@@ -1,0 +1,135 @@
+// C ABI for ctypes bindings (tpz/oracle/__init__.py).
+//
+// Conventions: every function returns a status int (0 ok; see
+// tpz/errors.py for the code map) unless it's an infallible pure function.
+// Output buffers are caller-allocated; *out_len carries capacity in and
+// actual length out. Status 4 = buffer too small.
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "bitio.h"
+#include "deflate.h"
+#include "huffman.h"
+#include "lzss.h"
+
+namespace tpz {
+uint32_t Crc32Reflected(const uint8_t*, size_t, uint32_t);
+uint32_t Crc32Msb(const uint8_t*, size_t, uint32_t);
+uint32_t Adler32(const uint8_t*, size_t, uint32_t);
+}  // namespace tpz
+
+using namespace tpz;
+
+namespace {
+constexpr int kOk = 0;
+constexpr int kBufferTooSmall = 4;
+
+int CopyOut(const std::vector<uint8_t>& v, uint8_t* out, size_t* out_len) {
+  if (v.size() > *out_len) {
+    *out_len = v.size();
+    return kBufferTooSmall;
+  }
+  std::memcpy(out, v.data(), v.size());
+  *out_len = v.size();
+  return kOk;
+}
+
+LzssParams ParamsFromArray(const int32_t* p) {
+  // [window, min_match, max_match, max_chain, hash_bits, block_size, lazy,
+  //  too_far_rule, too_far]
+  LzssParams lp;
+  lp.window = p[0];
+  lp.min_match = p[1];
+  lp.max_match = p[2];
+  lp.max_chain = p[3];
+  lp.hash_bits = p[4];
+  lp.block_size = p[5];
+  lp.lazy = p[6] != 0;
+  lp.too_far_rule = p[7] != 0;
+  lp.too_far = p[8];
+  return lp;
+}
+}  // namespace
+
+extern "C" {
+
+// --------------------------------------------------------------- checksums
+uint32_t tpz_crc32_reflected(const uint8_t* p, size_t n, uint32_t init_state) {
+  return Crc32Reflected(p, n, init_state);
+}
+uint32_t tpz_crc32_msb(const uint8_t* p, size_t n, uint32_t init_state) {
+  return Crc32Msb(p, n, init_state);
+}
+uint32_t tpz_adler32(const uint8_t* p, size_t n, uint32_t state) {
+  return Adler32(p, n, state);
+}
+
+// ----------------------------------------------------------------- huffman
+int tpz_huff_lengths(const uint32_t* freqs, int32_t nsyms, int32_t limit,
+                     uint8_t* lengths) {
+  return PackageMergeLengths(freqs, nsyms, limit, lengths) ? 0 : 1;
+}
+void tpz_huff_canonical(const uint8_t* lengths, int32_t nsyms,
+                        uint16_t* codes) {
+  CanonicalCodes(lengths, nsyms, codes);
+}
+
+// -------------------------------------------------------------------- lzss
+// tokens_out layout: 4 x int32 per token [pos, len, lit, dist].
+int tpz_lzss_tokenize(const uint8_t* in, size_t n, const int32_t* params9,
+                      int32_t* tokens_out, size_t* ntokens /* cap in/out */) {
+  std::vector<Token> toks;
+  LzssTokenize(in, n, ParamsFromArray(params9), &toks);
+  if (toks.size() > *ntokens) {
+    *ntokens = toks.size();
+    return kBufferTooSmall;
+  }
+  for (size_t i = 0; i < toks.size(); ++i) {
+    tokens_out[4 * i + 0] = (int32_t)toks[i].pos;
+    tokens_out[4 * i + 1] = toks[i].len;
+    tokens_out[4 * i + 2] = toks[i].lit;
+    tokens_out[4 * i + 3] = (int32_t)toks[i].dist;
+  }
+  *ntokens = toks.size();
+  return kOk;
+}
+
+// ----------------------------------------------------------------- deflate
+int tpz_deflate_encode(const uint8_t* in, size_t n, const int32_t* params9,
+                       uint8_t* out, size_t* out_len) {
+  DeflateParams dp;
+  dp.lzss = ParamsFromArray(params9);
+  BitWriterLSB bw;
+  DeflateEncode(in, n, dp, &bw);
+  return CopyOut(bw.bytes(), out, out_len);
+}
+
+// Encode exactly one DEFLATE block from pre-made tokens (device parity
+// testing): block_data points at the block's first input byte.
+int tpz_deflate_encode_block(const uint8_t* block_data, size_t block_len,
+                             const int32_t* tokens, size_t ntokens,
+                             int32_t bfinal, uint8_t* out, size_t* out_len) {
+  std::vector<Token> toks(ntokens);
+  for (size_t i = 0; i < ntokens; ++i) {
+    toks[i].pos = (uint32_t)tokens[4 * i + 0];
+    toks[i].len = (uint16_t)tokens[4 * i + 1];
+    toks[i].lit = (uint16_t)tokens[4 * i + 2];
+    toks[i].dist = (uint32_t)tokens[4 * i + 3];
+  }
+  BitWriterLSB bw;
+  DeflateEncodeBlock(block_data, block_len, toks.data(), ntokens, bfinal != 0,
+                     &bw);
+  bw.AlignByte();
+  return CopyOut(bw.bytes(), out, out_len);
+}
+
+int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
+                size_t* consumed) {
+  std::vector<uint8_t> v;
+  int st = Inflate(in, n, &v, consumed);
+  if (st != 0) return st;
+  return CopyOut(v, out, out_len);
+}
+
+}  // extern "C"

@@ -1,0 +1,53 @@
+// DEFLATE (RFC 1951) encode/decode for the CPU oracle.
+//
+// Parity: reference crate src/deflate/ (Deflater/Inflater, stored/fixed/
+// dynamic blocks, [MED] SURVEY.md §2.1; behavior pinned by RFC 1951, not by
+// the crate's internals). Encode-side block/parse decisions follow "parse
+// spec v1" (lzss.h) shared with the TPU kernels; one input block (64 KiB)
+// maps to one DEFLATE block, chosen stored/fixed/dynamic by exact bit cost.
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+#include "bitio.h"
+#include "lzss.h"
+
+namespace tpz {
+
+struct DeflateParams {
+  LzssParams lzss;
+  // Profile: "tpu" = greedy parse (device-parity); "max" = lazy host parse.
+  static DeflateParams Profile(int level) {
+    DeflateParams p;
+    if (level <= 0) {  // fastest: tiny chain
+      p.lzss.max_chain = 4;
+      p.lzss.lazy = false;
+    } else if (level <= 6) {  // default / TPU-parity
+      p.lzss.max_chain = 16;
+      p.lzss.lazy = false;
+    } else {  // max (host only)
+      p.lzss.max_chain = 64;
+      p.lzss.lazy = true;
+    }
+    return p;
+  }
+};
+
+// Raw DEFLATE encode of in[0..n) into `bw` (whole stream, BFINAL on last
+// block). Returns compressed token/bit stats via optional out params.
+void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
+                   BitWriterLSB* bw);
+
+// Raw DEFLATE decode. Appends to *out. Returns a status code from
+// common.h-style enum: 0 ok, 1 data error, 2 unexpected eof.
+int Inflate(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
+            size_t* consumed_bytes /* nullable: bytes of `in` consumed */);
+
+// Encode a pre-tokenized block sequence (for differential tests against the
+// device pipeline): tokens for one DEFLATE block + the block's input span.
+void DeflateEncodeBlock(const uint8_t* block_data, size_t block_len,
+                        const Token* tokens, size_t ntokens, bool bfinal,
+                        BitWriterLSB* bw);
+
+}  // namespace tpz

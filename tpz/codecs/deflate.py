@@ -1,0 +1,70 @@
+"""Raw DEFLATE codec (RFC 1951).
+
+Parity: reference crate src/deflate/ `Deflater`/`Inflater` ([MED] SURVEY.md
+§2.1). Two encode backends share "parse spec v1" and produce identical
+bytes for the same profile:
+  - "oracle": C++ CPU path (cpp/deflate.cc) — also the decode path
+  - "tpu":    device pipeline (tpz/kernels/deflate_pipeline.py)
+  - "auto":   tpu when a non-CPU jax backend + the pipeline are usable,
+              else oracle
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from tpz import oracle
+from tpz.errors import DataError
+
+
+@dataclass(frozen=True)
+class DeflateConfig:
+    level: int = 6
+    window: int = 32768
+    block_size: int = 65536
+    # Derived profile knobs (see cpp/deflate.h DeflateParams::Profile).
+    @property
+    def max_chain(self) -> int:
+        return 4 if self.level <= 0 else (16 if self.level <= 6 else 64)
+
+    @property
+    def lazy(self) -> bool:
+        return self.level > 6
+
+    def params_array(self):
+        return oracle.params_array(
+            window=self.window,
+            max_chain=self.max_chain,
+            block_size=self.block_size,
+            lazy=self.lazy,
+        )
+
+
+def compress(data: bytes, level: int = 6, backend: str = "auto",
+             config: DeflateConfig | None = None) -> bytes:
+    cfg = config or DeflateConfig(level=level)
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import deflate_pipeline
+
+            if deflate_pipeline.usable():
+                return deflate_pipeline.compress(data, cfg)
+        except ImportError:
+            pass
+        if backend == "tpu":
+            raise RuntimeError("tpu backend requested but unusable")
+    return oracle.deflate_encode(data, cfg.params_array())
+
+
+def decompress(data: bytes) -> bytes:
+    plain, consumed = oracle.inflate(data)
+    if consumed != len(data):
+        raise DataError(f"trailing garbage after deflate stream "
+                        f"({len(data) - consumed} bytes)")
+    return plain
+
+
+def decompress_prefix(data: bytes) -> tuple[bytes, int]:
+    """Decode a deflate stream that may be followed by more data (framing
+    trailers). Returns (plaintext, consumed_bytes)."""
+    return oracle.inflate(data)

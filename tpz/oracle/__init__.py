@@ -1,0 +1,206 @@
+"""ctypes bindings to the C++ CPU oracle (cpp/libtpz_oracle.so).
+
+The oracle is the bit-exact differential-testing reference and the fast
+host fallback path (SURVEY.md §2.1 "ours" column). Parity target: the whole
+reference crate's native surface. Build with `make -C cpp`; set
+TPZ_ORACLE_LIB to override the library path (e.g. the ASan build).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from tpz.errors import STATUS_BUFFER_TOO_SMALL, raise_for_status
+
+_LIB = None
+
+
+def _find_lib() -> str:
+    env = os.environ.get("TPZ_ORACLE_LIB")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "cpp", "libtpz_oracle.so")
+
+
+def lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        path = _find_lib()
+        if not os.path.exists(path):
+            raise RuntimeError(
+                f"oracle library not found at {path}; run `make -C cpp`"
+            )
+        L = ctypes.CDLL(path)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        szp = ctypes.POINTER(ctypes.c_size_t)
+        L.tpz_crc32_reflected.restype = ctypes.c_uint32
+        L.tpz_crc32_reflected.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+        L.tpz_crc32_msb.restype = ctypes.c_uint32
+        L.tpz_crc32_msb.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+        L.tpz_adler32.restype = ctypes.c_uint32
+        L.tpz_adler32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+        L.tpz_huff_lengths.restype = ctypes.c_int
+        L.tpz_huff_lengths.argtypes = [u32p, ctypes.c_int32, ctypes.c_int32, u8p]
+        L.tpz_huff_canonical.restype = None
+        L.tpz_huff_canonical.argtypes = [u8p, ctypes.c_int32, u16p]
+        L.tpz_lzss_tokenize.restype = ctypes.c_int
+        L.tpz_lzss_tokenize.argtypes = [u8p, ctypes.c_size_t, i32p, i32p, szp]
+        L.tpz_deflate_encode.restype = ctypes.c_int
+        L.tpz_deflate_encode.argtypes = [u8p, ctypes.c_size_t, i32p, u8p, szp]
+        L.tpz_deflate_encode_block.restype = ctypes.c_int
+        L.tpz_deflate_encode_block.argtypes = [
+            u8p, ctypes.c_size_t, i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
+        L.tpz_inflate.restype = ctypes.c_int
+        L.tpz_inflate.argtypes = [u8p, ctypes.c_size_t, u8p, szp, szp]
+        _LIB = L
+    return _LIB
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return np.ascontiguousarray(data, dtype=np.uint8)
+    return np.frombuffer(memoryview(bytes(data)), dtype=np.uint8)
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+_DUMMY = np.zeros(1, dtype=np.uint8)  # valid pointer for empty buffers
+
+
+def _u8ptr(a: np.ndarray):
+    if a.size == 0:
+        return _ptr(_DUMMY, ctypes.c_uint8)
+    return _ptr(a, ctypes.c_uint8)
+
+
+def crc32_reflected(data, state: int = 0xFFFFFFFF) -> int:
+    a = _u8(data)
+    return int(lib().tpz_crc32_reflected(_u8ptr(a), a.size, state))
+
+
+def crc32_msb(data, state: int = 0xFFFFFFFF) -> int:
+    a = _u8(data)
+    return int(lib().tpz_crc32_msb(_u8ptr(a), a.size, state))
+
+
+def adler32(data, state: int = 1) -> int:
+    a = _u8(data)
+    return int(lib().tpz_adler32(_u8ptr(a), a.size, state))
+
+
+def huff_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
+    f = np.ascontiguousarray(freqs, dtype=np.uint32)
+    out = np.zeros(f.size, dtype=np.uint8)
+    st = lib().tpz_huff_lengths(
+        _ptr(f, ctypes.c_uint32), f.size, limit, _ptr(out, ctypes.c_uint8))
+    raise_for_status(st, "huff_lengths: impossible length limit")
+    return out
+
+
+def huff_canonical(lengths: np.ndarray) -> np.ndarray:
+    ln = np.ascontiguousarray(lengths, dtype=np.uint8)
+    out = np.zeros(ln.size, dtype=np.uint16)
+    lib().tpz_huff_canonical(
+        _ptr(ln, ctypes.c_uint8), ln.size, _ptr(out, ctypes.c_uint16))
+    return out
+
+
+def params_array(
+    window: int = 32768,
+    min_match: int = 3,
+    max_match: int = 258,
+    max_chain: int = 16,
+    hash_bits: int = 15,
+    block_size: int = 65536,
+    lazy: bool = False,
+    too_far_rule: bool = True,
+    too_far: int = 4096,
+) -> np.ndarray:
+    return np.array(
+        [window, min_match, max_match, max_chain, hash_bits, block_size,
+         int(lazy), int(too_far_rule), too_far],
+        dtype=np.int32,
+    )
+
+
+def lzss_tokenize(data, params: np.ndarray | None = None) -> np.ndarray:
+    """Returns [N, 4] int32 tokens: (pos, len, lit, dist); len==0 ⇒ literal."""
+    a = _u8(data)
+    p = params if params is not None else params_array()
+    p = np.ascontiguousarray(p, dtype=np.int32)
+    cap = max(16, a.size + 16)
+    toks = np.zeros((cap, 4), dtype=np.int32)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_lzss_tokenize(
+        _u8ptr(a), a.size, _ptr(p, ctypes.c_int32),
+        _ptr(toks, ctypes.c_int32), ctypes.byref(n))
+    raise_for_status(st, "lzss_tokenize")
+    return toks[: n.value].copy()
+
+
+def deflate_encode(data, params: np.ndarray | None = None) -> bytes:
+    a = _u8(data)
+    p = params if params is not None else params_array()
+    p = np.ascontiguousarray(p, dtype=np.int32)
+    cap = a.size + (a.size >> 3) + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_deflate_encode(
+        _u8ptr(a), a.size, _ptr(p, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
+        ctypes.byref(n))
+    raise_for_status(st, "deflate_encode")
+    return out[: n.value].tobytes()
+
+
+def deflate_encode_block(
+    block_data, tokens: np.ndarray, bfinal: bool = True
+) -> bytes:
+    a = _u8(block_data)
+    toks = np.ascontiguousarray(tokens, dtype=np.int32)
+    ntok = toks.shape[0] if toks.ndim == 2 else 0
+    cap = a.size + (a.size >> 3) + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_deflate_encode_block(
+        _u8ptr(a), a.size,
+        _ptr(toks, ctypes.c_int32) if ntok else _ptr(
+            np.zeros((1, 4), np.int32), ctypes.c_int32),
+        ntok, int(bfinal), _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "deflate_encode_block")
+    return out[: n.value].tobytes()
+
+
+def inflate(data, max_out: int | None = None) -> tuple[bytes, int]:
+    """Raw-DEFLATE decode. Returns (plaintext, consumed_input_bytes)."""
+    a = _u8(data)
+    cap = max_out if max_out is not None else max(1024, 64 * a.size + 1024)
+    for _ in range(8):
+        out = np.zeros(cap, dtype=np.uint8)
+        n = ctypes.c_size_t(cap)
+        consumed = ctypes.c_size_t(0)
+        st = lib().tpz_inflate(
+            _u8ptr(a), a.size, _ptr(out, ctypes.c_uint8), ctypes.byref(n),
+            ctypes.byref(consumed))
+        if st == STATUS_BUFFER_TOO_SMALL and max_out is None:
+            cap = n.value
+            continue
+        raise_for_status(st, "inflate")
+        return out[: n.value].tobytes(), consumed.value
+    raise_for_status(STATUS_BUFFER_TOO_SMALL, "inflate: output cap")
