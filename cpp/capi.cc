@@ -132,4 +132,16 @@ int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
   return CopyOut(v, out, out_len);
 }
 
+int tpz_deflate_plan(const uint32_t* lit_freq, const uint32_t* dist_freq,
+                     const int64_t* block_lens, int32_t nb, int32_t* btype,
+                     int64_t* body_bit_offset, int64_t* chunk1_bit_offset,
+                     int64_t* total_bits, uint8_t* lit_len,
+                     uint16_t* lit_code, uint8_t* dist_len,
+                     uint16_t* dist_code, uint8_t* header_stream,
+                     size_t header_cap) {
+  return DeflatePlan(lit_freq, dist_freq, block_lens, nb, btype,
+                     body_bit_offset, chunk1_bit_offset, total_bits, lit_len,
+                     lit_code, dist_len, dist_code, header_stream, header_cap);
+}
+
 }  // extern "C"

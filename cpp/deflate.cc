@@ -14,6 +14,11 @@ constexpr int kStatusOk = 0;
 constexpr int kStatusDataError = 1;
 constexpr int kStatusUnexpectedEof = 2;
 
+// Stored chunk size: 32 KiB (spec v1 choice, not the RFC max 65535) so a
+// 64 KiB input block maps to exactly two chunks and the device bitpack can
+// compute chunk data offsets with a shift+mask (tpz/kernels/bitpack.py).
+constexpr size_t kStoredChunk = 32768;
+
 struct ClToken {
   uint8_t sym;        // 0..18
   uint8_t extra_bits; // 0, 2, 3 or 7
@@ -54,11 +59,9 @@ void ClEncode(const uint8_t* seq, int len, std::vector<ClToken>* out) {
 }
 
 struct BlockPlan {
-  // Symbol streams (precomputed once, reused for cost + emit).
   uint32_t lit_freq[288] = {0};
   uint32_t dist_freq[32] = {0};
   uint64_t extra_bits_total = 0;
-  // Dynamic header pieces.
   uint8_t lit_len[288] = {0};
   uint8_t dist_len[32] = {0};
   uint16_t lit_code[288];
@@ -70,22 +73,16 @@ struct BlockPlan {
   uint64_t dyn_body_bits = 0, dyn_header_bits = 0, fixed_body_bits = 0;
 };
 
-void PlanBlock(const Token* tokens, size_t ntokens, BlockPlan* bp) {
+// Everything downstream of the histograms; shared by the oracle encoder
+// and the TPU pipeline's host planning (tpz_deflate_plan) so the two can
+// never diverge. lit_freq must NOT count EOB; it is forced to 1 here.
+void PlanFromFreqs(BlockPlan* bp) {
   bp->lit_freq[256] = 1;  // EOB
-  for (size_t t = 0; t < ntokens; ++t) {
-    const Token& tok = tokens[t];
-    if (tok.len == 0) {
-      ++bp->lit_freq[tok.lit];
-    } else {
-      int ls = kLengthSymTable[tok.len];
-      ++bp->lit_freq[ls];
-      bp->extra_bits_total += kLengthExtra[ls - 257];
-      int ds = (tok.dist <= 256) ? kDistSymLo[tok.dist - 1]
-                                 : kDistSymHi[(tok.dist - 1) >> 7];
-      ++bp->dist_freq[ds];
-      bp->extra_bits_total += kDistExtra[ds];
-    }
-  }
+  bp->extra_bits_total = 0;
+  for (int s = 257; s < 286; ++s)
+    bp->extra_bits_total += (uint64_t)bp->lit_freq[s] * kLengthExtra[s - 257];
+  for (int s = 0; s < 30; ++s)
+    bp->extra_bits_total += (uint64_t)bp->dist_freq[s] * kDistExtra[s];
 
   PackageMergeLengths(bp->lit_freq, 288, kDeflateMaxBits, bp->lit_len);
   PackageMergeLengths(bp->dist_freq, 30, kDeflateMaxBits, bp->dist_len);
@@ -108,6 +105,7 @@ void PlanBlock(const Token* tokens, size_t ntokens, BlockPlan* bp) {
   uint8_t joint[288 + 32];
   std::memcpy(joint, bp->lit_len, bp->nlit);
   std::memcpy(joint + bp->nlit, bp->dist_len, bp->ndist);
+  bp->cl_tokens.clear();
   ClEncode(joint, bp->nlit + bp->ndist, &bp->cl_tokens);
 
   uint32_t cl_freq[19] = {0};
@@ -140,6 +138,72 @@ void PlanBlock(const Token* tokens, size_t ntokens, BlockPlan* bp) {
   bp->fixed_body_bits = fixed + bp->extra_bits_total;
 }
 
+void PlanBlock(const Token* tokens, size_t ntokens, BlockPlan* bp) {
+  for (size_t t = 0; t < ntokens; ++t) {
+    const Token& tok = tokens[t];
+    if (tok.len == 0) {
+      ++bp->lit_freq[tok.lit];
+    } else {
+      ++bp->lit_freq[kLengthSymTable[tok.len]];
+      int ds = (tok.dist <= 256) ? kDistSymLo[tok.dist - 1]
+                                 : kDistSymHi[(tok.dist - 1) >> 7];
+      ++bp->dist_freq[ds];
+    }
+  }
+  PlanFromFreqs(bp);
+}
+
+uint64_t StoredCost(uint64_t start_bits, size_t block_len) {
+  uint64_t pos = start_bits;
+  size_t remaining = block_len;
+  do {
+    pos += 3;
+    pos += (8 - (pos & 7)) & 7;
+    pos += 32;
+    size_t chunk = std::min<size_t>(remaining, kStoredChunk);
+    pos += 8 * chunk;
+    remaining -= chunk;
+  } while (remaining > 0);
+  return pos - start_bits;
+}
+
+// btype + (for dynamic) table description. Templated over the writer so the
+// oracle's streaming BitWriterLSB and the plan API's absolute-offset OR
+// writer share one emission path.
+template <typename Writer>
+void EmitBlockHeader(const BlockPlan& bp, int btype, bool bfinal, Writer* bw) {
+  bw->Write(bfinal ? 1 : 0, 1);
+  bw->Write((uint32_t)btype, 2);
+  if (btype != 2) return;
+  bw->Write(bp.nlit - 257, 5);
+  bw->Write(bp.ndist - 1, 5);
+  bw->Write(bp.ncl - 4, 4);
+  for (int i = 0; i < bp.ncl; ++i) bw->Write(bp.cl_len[kClOrder[i]], 3);
+  for (const auto& c : bp.cl_tokens) {
+    bw->WriteHuff(bp.cl_code[c.sym], bp.cl_len[c.sym]);
+    if (c.extra_bits) bw->Write(c.extra_val, c.extra_bits);
+  }
+}
+
+struct FixedCodes {
+  uint8_t fl_len[288];
+  uint8_t fd_len[32];
+  uint16_t fl_code[288];
+  uint16_t fd_code[32];
+  FixedCodes() {
+    std::memcpy(fl_len, kFixedLitLenLengths, 288);
+    std::memcpy(fd_len, kFixedDistLengths, 30);
+    fd_len[30] = fd_len[31] = 5;
+    CanonicalCodes(fl_len, 288, fl_code);
+    CanonicalCodes(fd_len, 32, fd_code);
+  }
+};
+
+const FixedCodes& GetFixedCodes() {
+  static FixedCodes c;
+  return c;
+}
+
 void EmitSymbols(const Token* tokens, size_t ntokens, const uint8_t* lit_len,
                  const uint16_t* lit_code, const uint8_t* dist_len,
                  const uint16_t* dist_code, BitWriterLSB* bw) {
@@ -164,7 +228,7 @@ void EmitSymbols(const Token* tokens, size_t ntokens, const uint8_t* lit_len,
 void EmitStored(const uint8_t* data, size_t len, bool bfinal, BitWriterLSB* bw) {
   size_t off = 0;
   do {
-    size_t chunk = std::min<size_t>(len - off, 65535);
+    size_t chunk = std::min<size_t>(len - off, kStoredChunk);
     bool last_chunk = (off + chunk == len);
     bw->Write((bfinal && last_chunk) ? 1 : 0, 1);
     bw->Write(0, 2);  // BTYPE=00
@@ -176,6 +240,23 @@ void EmitStored(const uint8_t* data, size_t len, bool bfinal, BitWriterLSB* bw) 
   } while (off < len);
 }
 
+int ChooseBtype(const BlockPlan& bp, uint64_t start_bits, size_t block_len,
+                uint64_t* cost_out) {
+  uint64_t dyn_cost = 3 + bp.dyn_header_bits + bp.dyn_body_bits;
+  uint64_t fixed_cost = 3 + bp.fixed_body_bits;
+  uint64_t stored_cost = StoredCost(start_bits, block_len);
+  if (block_len > 0 && stored_cost < dyn_cost && stored_cost < fixed_cost) {
+    *cost_out = stored_cost;
+    return 0;
+  }
+  if (fixed_cost <= dyn_cost) {
+    *cost_out = fixed_cost;
+    return 1;
+  }
+  *cost_out = dyn_cost;
+  return 2;
+}
+
 }  // namespace
 
 void DeflateEncodeBlock(const uint8_t* block_data, size_t block_len,
@@ -183,57 +264,20 @@ void DeflateEncodeBlock(const uint8_t* block_data, size_t block_len,
                         BitWriterLSB* bw) {
   BlockPlan bp;
   PlanBlock(tokens, ntokens, &bp);
-
-  uint64_t dyn_cost = 3 + bp.dyn_header_bits + bp.dyn_body_bits;
-  uint64_t fixed_cost = 3 + bp.fixed_body_bits;
-  // Stored cost simulated from the current bit position.
-  uint64_t stored_cost = 0;
-  {
-    uint64_t pos = bw->BitLength();
-    size_t remaining = block_len, chunks = 0;
-    do {
-      pos += 3;
-      pos += (8 - (pos & 7)) & 7;
-      pos += 32;
-      size_t chunk = std::min<size_t>(remaining, 65535);
-      pos += 8 * chunk;
-      remaining -= chunk;
-      ++chunks;
-    } while (remaining > 0);
-    stored_cost = pos - bw->BitLength();
-    (void)chunks;
-  }
-
-  if (block_len > 0 && stored_cost < dyn_cost && stored_cost < fixed_cost) {
+  uint64_t cost;
+  int btype = ChooseBtype(bp, bw->BitLength(), block_len, &cost);
+  if (btype == 0) {
     EmitStored(block_data, block_len, bfinal, bw);
     return;
   }
-  if (fixed_cost <= dyn_cost) {
-    bw->Write(bfinal ? 1 : 0, 1);
-    bw->Write(1, 2);  // BTYPE=01
-    uint16_t fl_code[288], fd_code[32];
-    uint8_t fd_len[32];
-    std::memcpy(fd_len, kFixedDistLengths, 30);
-    fd_len[30] = fd_len[31] = 5;
-    CanonicalCodes(kFixedLitLenLengths, 288, fl_code);
-    CanonicalCodes(fd_len, 32, fd_code);
-    EmitSymbols(tokens, ntokens, kFixedLitLenLengths, fl_code, fd_len, fd_code,
-                bw);
-    return;
+  EmitBlockHeader(bp, btype, bfinal, bw);
+  if (btype == 1) {
+    const FixedCodes& f = GetFixedCodes();
+    EmitSymbols(tokens, ntokens, f.fl_len, f.fl_code, f.fd_len, f.fd_code, bw);
+  } else {
+    EmitSymbols(tokens, ntokens, bp.lit_len, bp.lit_code, bp.dist_len,
+                bp.dist_code, bw);
   }
-  // Dynamic.
-  bw->Write(bfinal ? 1 : 0, 1);
-  bw->Write(2, 2);  // BTYPE=10
-  bw->Write(bp.nlit - 257, 5);
-  bw->Write(bp.ndist - 1, 5);
-  bw->Write(bp.ncl - 4, 4);
-  for (int i = 0; i < bp.ncl; ++i) bw->Write(bp.cl_len[kClOrder[i]], 3);
-  for (const auto& c : bp.cl_tokens) {
-    bw->WriteHuff(bp.cl_code[c.sym], bp.cl_len[c.sym]);
-    if (c.extra_bits) bw->Write(c.extra_val, c.extra_bits);
-  }
-  EmitSymbols(tokens, ntokens, bp.lit_len, bp.lit_code, bp.dist_len,
-              bp.dist_code, bw);
 }
 
 void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
@@ -255,6 +299,134 @@ void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
                        end == n, bw);
   }
   bw->AlignByte();
+}
+
+// ---------------------------------------------------------------------------
+// Planning API for the TPU pipeline (host side of the device encode)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// LSB-first bit writer that ORs into a caller-provided buffer at absolute
+// bit offsets (the device packs body bits into the same bit-space; the two
+// are merged with a plain byte OR).
+class AbsBitWriter {
+ public:
+  AbsBitWriter(uint8_t* buf, size_t cap_bytes, uint64_t pos)
+      : buf_(buf), cap_(cap_bytes), pos_(pos) {}
+  void Write(uint32_t value, int nbits) {
+    uint64_t v = value & ((nbits >= 32) ? 0xffffffffull : ((1ull << nbits) - 1));
+    uint64_t byte = pos_ >> 3;
+    int shift = (int)(pos_ & 7);
+    uint64_t payload = v << shift;
+    int total = shift + nbits;
+    for (int b = 0; b * 8 < total && byte + b < cap_; ++b)
+      buf_[byte + b] |= (uint8_t)((payload >> (8 * b)) & 0xff);
+    pos_ += nbits;
+  }
+  void WriteHuff(uint32_t code, int nbits) {
+    uint32_t rev = 0;
+    for (int i = 0; i < nbits; ++i) {
+      rev = (rev << 1) | (code & 1);
+      code >>= 1;
+    }
+    Write(rev, nbits);
+  }
+  uint64_t pos() const { return pos_; }
+  void set_pos(uint64_t p) { pos_ = p; }
+
+ private:
+  uint8_t* buf_;
+  size_t cap_;
+  uint64_t pos_;
+};
+
+}  // namespace
+
+int DeflatePlan(const uint32_t* lit_freq, const uint32_t* dist_freq,
+                const int64_t* block_lens, int32_t nb, int32_t* btype_out,
+                int64_t* body_bit_offset, int64_t* chunk1_bit_offset,
+                int64_t* total_bits_out, uint8_t* lit_len_out,
+                uint16_t* lit_code_out, uint8_t* dist_len_out,
+                uint16_t* dist_code_out, uint8_t* header_stream,
+                size_t header_cap) {
+  uint64_t pos = 0;
+  for (int b = 0; b < nb; ++b) {
+    BlockPlan bp;
+    std::memcpy(bp.lit_freq, lit_freq + (size_t)b * 288, 288 * 4);
+    std::memcpy(bp.dist_freq, dist_freq + (size_t)b * 30, 30 * 4);
+    bp.lit_freq[256] = 0;  // PlanFromFreqs forces EOB = 1
+    PlanFromFreqs(&bp);
+    uint64_t cost;
+    bool bfinal = b == nb - 1;
+    int btype = ChooseBtype(bp, pos, (size_t)block_lens[b], &cost);
+    btype_out[b] = btype;
+    chunk1_bit_offset[b] = -1;
+    AbsBitWriter aw(header_stream, header_cap, pos);
+    const uint8_t* ll;
+    const uint16_t* lc;
+    const uint8_t* dl;
+    const uint16_t* dc;
+    if (btype == 0) {
+      size_t remaining = (size_t)block_lens[b];
+      size_t off = 0;
+      int chunk_i = 0;
+      do {
+        size_t chunk = std::min<size_t>(remaining, kStoredChunk);
+        bool last_chunk = (off + chunk == (size_t)block_lens[b]);
+        aw.Write((bfinal && last_chunk) ? 1 : 0, 1);
+        aw.Write(0, 2);
+        uint64_t p2 = aw.pos();
+        aw.set_pos(p2 + ((8 - (p2 & 7)) & 7));  // align (zero pad = no-op OR)
+        aw.Write((uint32_t)chunk, 16);
+        aw.Write((uint32_t)(~chunk) & 0xffff, 16);
+        if (chunk_i == 0)
+          body_bit_offset[b] = (int64_t)aw.pos();
+        else
+          chunk1_bit_offset[b] = (int64_t)aw.pos();
+        aw.set_pos(aw.pos() + 8 * chunk);  // device fills the bytes
+        off += chunk;
+        remaining -= chunk;
+        ++chunk_i;
+      } while (remaining > 0);
+      ll = nullptr; lc = nullptr; dl = nullptr; dc = nullptr;
+      std::memset(lit_len_out + (size_t)b * 288, 0, 288);
+      std::memset(dist_len_out + (size_t)b * 30, 0, 30);
+      std::memset(lit_code_out + (size_t)b * 288, 0, 288 * 2);
+      std::memset(dist_code_out + (size_t)b * 30, 0, 30 * 2);
+    } else {
+      EmitBlockHeader(bp, btype, bfinal, &aw);
+      body_bit_offset[b] = (int64_t)aw.pos();
+      if (btype == 1) {
+        const FixedCodes& f = GetFixedCodes();
+        ll = f.fl_len; lc = f.fl_code; dl = f.fd_len; dc = f.fd_code;
+      } else {
+        ll = bp.lit_len; lc = bp.lit_code; dl = bp.dist_len; dc = bp.dist_code;
+      }
+      // Export bit-REVERSED codes, ready for LSB-first packing on device.
+      for (int s = 0; s < 288; ++s) {
+        lit_len_out[(size_t)b * 288 + s] = ll[s];
+        uint32_t code = lc[s], rev = 0;
+        for (int i = 0; i < ll[s]; ++i) {
+          rev = (rev << 1) | (code & 1);
+          code >>= 1;
+        }
+        lit_code_out[(size_t)b * 288 + s] = (uint16_t)rev;
+      }
+      for (int s = 0; s < 30; ++s) {
+        dist_len_out[(size_t)b * 30 + s] = dl[s];
+        uint32_t code = dc[s], rev = 0;
+        for (int i = 0; i < dl[s]; ++i) {
+          rev = (rev << 1) | (code & 1);
+          code >>= 1;
+        }
+        dist_code_out[(size_t)b * 30 + s] = (uint16_t)rev;
+      }
+    }
+    pos += cost;
+  }
+  *total_bits_out = (int64_t)pos;
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -50,4 +50,19 @@ void DeflateEncodeBlock(const uint8_t* block_data, size_t block_len,
                         const Token* tokens, size_t ntokens, bool bfinal,
                         BitWriterLSB* bw);
 
+// Host-side planning for the TPU encode pipeline: from per-block symbol
+// histograms (device-computed), choose block types, build code tables
+// (bit-reversed for LSB packing), emit every header bit at its absolute
+// offset into `header_stream` (caller-zeroed; device body bits are ORed in
+// afterwards), and report per-block body bit offsets.
+// For stored blocks, body_bit_offset is chunk 0's data offset and
+// chunk1_bit_offset the second 32 KiB chunk's (-1 if absent).
+int DeflatePlan(const uint32_t* lit_freq, const uint32_t* dist_freq,
+                const int64_t* block_lens, int32_t nb, int32_t* btype_out,
+                int64_t* body_bit_offset, int64_t* chunk1_bit_offset,
+                int64_t* total_bits_out, uint8_t* lit_len_out,
+                uint16_t* lit_code_out, uint8_t* dist_len_out,
+                uint16_t* dist_code_out, uint8_t* header_stream,
+                size_t header_cap);
+
 }  // namespace tpz

@@ -48,27 +48,36 @@ void LzssTokenize(const uint8_t* in, size_t n, const LzssParams& p,
     }
   };
 
+  // Screen+winner rule (shared with tpz/kernels/matchfinder.py): each
+  // candidate is scored by its LCP clamped to min(8, cap); the winner is
+  // the best screen with ties to the most recent candidate; only the
+  // winner is fully extended, and only when its screen is saturated.
   auto best_match = [&](size_t i, size_t block_end, uint32_t* best_dist) -> size_t {
     size_t cap = block_end - i;
     if (cap > (size_t)p.max_match) cap = p.max_match;
     if (cap < (size_t)p.min_match || i + (size_t)p.min_match > n) return 0;
+    const size_t screen_cap = cap < 8 ? cap : 8;
     uint32_t h = Hash3(in + i, p.hash_bits);
     int64_t j = head[h];
-    size_t best_len = 0;
-    *best_dist = 0;
+    size_t best_screen = 0;
+    int64_t best_j = -1;
     int cands = 0;
     while (j >= 0 && cands < p.max_chain) {
       size_t dist = i - (size_t)j;
       if (dist > (size_t)p.window) break;  // chain is recency-ordered
       ++cands;
-      size_t len = MatchLen(in, i, (size_t)j, cap);
-      if (len > best_len) {
-        best_len = len;
-        *best_dist = (uint32_t)dist;
+      size_t s = MatchLen(in, i, (size_t)j, screen_cap);
+      if (s > best_screen) {  // strict: ties keep the more recent candidate
+        best_screen = s;
+        best_j = j;
       }
       j = prev[(size_t)j];
     }
-    if (best_len < (size_t)p.min_match) return 0;
+    if (best_screen < (size_t)p.min_match) return 0;
+    size_t best_len = best_screen;
+    if (best_screen >= screen_cap)
+      best_len = MatchLen(in, i, (size_t)best_j, cap);
+    *best_dist = (uint32_t)(i - (size_t)best_j);
     if (p.too_far_rule && best_len == (size_t)p.min_match &&
         *best_dist > (uint32_t)p.too_far)
       return 0;

@@ -11,9 +11,11 @@
 //   - candidates at i: the first `max_chain` positions j < i with h(j) ==
 //     h(i), most recent first, with i - j <= window (all positions are
 //     inserted, including inside matches)
-//   - match length: longest common prefix of in[i..] and in[j..], capped at
-//     min(max_match, block_end - i)
-//   - selection: strictly longer wins; ties keep the more recent candidate
+//   - screening: each candidate scored by its LCP clamped to min(8, cap)
+//     where cap = min(max_match, block_end - i); the winner is the best
+//     screen, ties to the more recent candidate
+//   - extension: only the winner is extended to its full LCP (capped at
+//     cap), and only when its screen is saturated (== min(8, cap))
 //   - too-far rule: a match of length == min_match with distance > 4096 is
 //     demoted to a literal
 //   - parse: greedy per block (lazy=0, the TPU-parity profile) or one-step

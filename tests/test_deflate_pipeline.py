@@ -1,0 +1,58 @@
+"""Device DEFLATE pipeline vs C++ oracle — byte-identity differential test
+(SURVEY.md §4 item 1). Runs on the CPU backend via conftest; the same jit
+code runs on TPU."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from tpz import oracle
+from tpz.utils import corpus
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="oracle library not built"
+)
+
+
+def pipeline_compress(data):
+    from tpz.kernels import deflate_pipeline
+
+    return deflate_pipeline.compress(data)
+
+
+CASES = {
+    "text_4k": corpus.text(4096),
+    "text_100k": corpus.text(100_000),     # multi-block
+    "mixed_130k": corpus.mixed(130_000),
+    "repetitive": corpus.repetitive(70_000),
+    "random_70k": corpus.random_bytes(70_000),   # stored blocks
+    "skewed": corpus.skewed_bytes(50_000),
+    "tiny": b"hello hello hello hello",
+    "one": b"x",
+    "all_zero": b"\x00" * 100_000,
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_pipeline_matches_oracle(name):
+    data = CASES[name]
+    ours = pipeline_compress(data)
+    ref = oracle.deflate_encode(data)
+    assert ours == ref, (
+        f"{name}: device pipeline diverged from oracle "
+        f"(len {len(ours)} vs {len(ref)}; first diff at "
+        f"{next((i for i, (a, b) in enumerate(zip(ours, ref)) if a != b), 'len')})"
+    )
+    assert zlib.decompress(ours, -15) == data
+
+
+def test_pipeline_empty():
+    assert pipeline_compress(b"") == oracle.deflate_encode(b"")
+
+
+def test_pipeline_block_boundary_sizes():
+    for n in (65535, 65536, 65537, 131072, 131073):
+        data = corpus.text(n, seed=n)
+        ours = pipeline_compress(data)
+        assert ours == oracle.deflate_encode(data), f"n={n}"

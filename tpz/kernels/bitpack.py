@@ -1,0 +1,157 @@
+"""Variable-length bit packing on device (SURVEY.md §7 hard part 2).
+
+Parity: the reference crate's BitWriter<Right> byte-serial loop
+(src/bitio/writer.rs [MED]) becomes a data-parallel formulation: every
+token contributes up to two (value, nbits) "slots" in position order;
+since tokens are emitted in position order, the slot stream's exclusive
+prefix sum of nbits gives each slot's absolute bit offset directly — no
+compaction scatter needed. Each slot (≤28 bits) then lands in at most two
+32-bit output words; a scatter-add over disjoint bit ranges assembles the
+stream (add == or when ranges are disjoint).
+
+Slot layout per input position p (LSB-first stream order):
+  slot 2p   : literal code  OR  length code | length-extra bits
+  slot 2p+1 : unused (literal) OR distance code | distance-extra bits
+  one trailing slot per block: end-of-block code
+Stored blocks instead use 8-bit byte slots at formula offsets
+(32 KiB chunks, see cpp/deflate.cc kStoredChunk).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpz.constants import (
+    DEFLATE_DIST_BASE,
+    DEFLATE_DIST_EXTRA,
+    DEFLATE_DIST_SYM_HI,
+    DEFLATE_DIST_SYM_LO,
+    DEFLATE_LENGTH_BASE,
+    DEFLATE_LENGTH_EXTRA,
+    DEFLATE_LENGTH_SYM_TABLE,
+)
+from tpz.kernels.matchfinder import BLOCK
+
+STORED_CHUNK = 32768  # must match cpp/deflate.cc kStoredChunk
+
+
+def token_slots(data_block, is_token, mlen, mdist, lit_len, lit_code,
+                dist_len, dist_code):
+    """Build (values u32, nbits i32) slot arrays [NB, 2*BLOCK] for
+    fixed/dynamic blocks.
+
+    data_block: [NB, BLOCK] int32 bytes; is_token: [NB, BLOCK] bool;
+    mlen/mdist: [NB, BLOCK] int32; tables: [NB, 288]/[NB, 30] (codes
+    bit-reversed, from cpp DeflatePlan).
+    """
+    len_sym_t = jnp.asarray(DEFLATE_LENGTH_SYM_TABLE)
+    len_base_t = jnp.asarray(DEFLATE_LENGTH_BASE)
+    len_extra_t = jnp.asarray(DEFLATE_LENGTH_EXTRA)
+    dist_lo_t = jnp.asarray(DEFLATE_DIST_SYM_LO)
+    dist_hi_t = jnp.asarray(DEFLATE_DIST_SYM_HI)
+    dist_base_t = jnp.asarray(DEFLATE_DIST_BASE)
+    dist_extra_t = jnp.asarray(DEFLATE_DIST_EXTRA)
+
+    is_match = is_token & (mlen > 0)
+    is_lit = is_token & (mlen == 0)
+
+    # Literal slot.
+    lit_c = jnp.take_along_axis(lit_code, data_block, axis=1).astype(jnp.uint32)
+    lit_n = jnp.take_along_axis(lit_len, data_block, axis=1).astype(jnp.int32)
+
+    # Length symbol slot: code | extra << codelen.
+    ml = jnp.clip(mlen, 0, 258)
+    lsym = jnp.take(len_sym_t, ml)                       # [NB, BLOCK]
+    lsym_i = jnp.clip(lsym - 257, 0, 28)
+    l_extra_bits = jnp.take(len_extra_t, lsym_i)
+    l_extra_val = (ml - jnp.take(len_base_t, lsym_i)).astype(jnp.uint32)
+    l_c = jnp.take_along_axis(lit_code, jnp.where(is_match, lsym, 0), axis=1).astype(jnp.uint32)
+    l_n = jnp.take_along_axis(lit_len, jnp.where(is_match, lsym, 0), axis=1).astype(jnp.int32)
+    slot0_val = jnp.where(is_match, l_c | (l_extra_val << l_n), lit_c)
+    slot0_n = jnp.where(is_match, l_n + l_extra_bits,
+                        jnp.where(is_lit, lit_n, 0))
+
+    # Distance slot.
+    md = jnp.maximum(mdist, 1)
+    dsym = jnp.where(md <= 256, jnp.take(dist_lo_t, md - 1),
+                     jnp.take(dist_hi_t, (md - 1) >> 7))
+    d_extra_bits = jnp.take(dist_extra_t, dsym)
+    d_extra_val = (md - jnp.take(dist_base_t, dsym)).astype(jnp.uint32)
+    d_c = jnp.take_along_axis(dist_code, dsym, axis=1).astype(jnp.uint32)
+    d_n = jnp.take_along_axis(dist_len, dsym, axis=1).astype(jnp.int32)
+    slot1_val = jnp.where(is_match, d_c | (d_extra_val << d_n), 0)
+    slot1_n = jnp.where(is_match, d_n + d_extra_bits, 0)
+
+    # Interleave: [NB, BLOCK, 2] -> [NB, 2*BLOCK].
+    NB = data_block.shape[0]
+    vals = jnp.stack([slot0_val, slot1_val], axis=2).reshape(NB, 2 * BLOCK)
+    nbits = jnp.stack([slot0_n, slot1_n], axis=2).reshape(NB, 2 * BLOCK)
+    return vals, nbits
+
+
+def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
+                    data_block, block_len, chunk1_off, total_words):
+    """Pack all blocks' body bits into one u32 word array.
+
+    vals/nbits: [NB, 2*BLOCK] token slots (fixed/dynamic path)
+    eob_val/eob_n: [NB] end-of-block code (bit-reversed) and its length
+    body_off: [NB] absolute bit offset of block body (or stored chunk 0)
+    btype: [NB] (0 stored / 1 fixed / 2 dynamic)
+    data_block: [NB, BLOCK] bytes; block_len: [NB]
+    chunk1_off: [NB] absolute bit offset of stored chunk 1 data (or -1)
+    total_words: static int — output size in u32 words
+    """
+    NB = vals.shape[0]
+    stored = (btype == 0)[:, None]
+
+    # --- fixed/dynamic path: offsets via exclusive prefix sum ---
+    excl = jnp.cumsum(nbits, axis=1) - nbits
+    tok_off = body_off[:, None] + excl
+    # EOB as an extra slot at the end of each block's body.
+    eob_off = body_off + excl[:, -1] + nbits[:, -1]
+
+    # --- stored path: byte slots at formula offsets ---
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
+    in_c0 = pos < STORED_CHUNK
+    s_off = jnp.where(
+        in_c0,
+        body_off[:, None] + 8 * pos,
+        chunk1_off[:, None] + 8 * (pos - STORED_CHUNK),
+    )
+    s_val = data_block.astype(jnp.uint32)
+    s_n = jnp.where(pos < block_len[:, None], 8, 0)
+    # Expand stored slots into the same [NB, 2*BLOCK] geometry (odd slots
+    # unused).
+    zero = jnp.zeros_like(s_off)
+    s_off2 = jnp.stack([s_off, zero], axis=2).reshape(NB, 2 * BLOCK)
+    s_val2 = jnp.stack([s_val, jnp.zeros_like(s_val)], axis=2).reshape(NB, 2 * BLOCK)
+    s_n2 = jnp.stack([s_n, zero], axis=2).reshape(NB, 2 * BLOCK)
+
+    off = jnp.where(stored, s_off2, tok_off)
+    val = jnp.where(stored, s_val2, vals)
+    nb_ = jnp.where(stored, s_n2, nbits)
+
+    # Append EOB slots (one per block; stored blocks get nbits 0).
+    off = jnp.concatenate([off, eob_off[:, None]], axis=1)
+    val = jnp.concatenate(
+        [val, jnp.where(btype == 0, 0, eob_val)[:, None].astype(jnp.uint32)], axis=1)
+    nb_ = jnp.concatenate(
+        [nb_, jnp.where(btype == 0, 0, eob_n)[:, None]], axis=1)
+
+    # --- scatter-add into words ---
+    flat_off = off.reshape(-1)
+    flat_val = val.reshape(-1)
+    flat_n = nb_.reshape(-1)
+    w0 = flat_off >> 5
+    sh = (flat_off & 31).astype(jnp.uint32)
+    v = flat_val.astype(jnp.uint32)
+    # 64-bit shifted payload via two 32-bit words (no x64 needed).
+    lo = jnp.where(flat_n > 0, v << sh, 0)
+    hi = jnp.where((flat_n > 0) & (sh > 0), v >> (jnp.uint32(32) - sh), 0)
+    w0 = jnp.where(flat_n > 0, w0, total_words)  # park dead slots
+    words = jnp.zeros((total_words + 2,), jnp.uint32)
+    words = words.at[w0].add(lo, mode="drop")
+    words = words.at[w0 + 1].add(hi, mode="drop")
+    return words[:total_words]

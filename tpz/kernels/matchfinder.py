@@ -1,0 +1,246 @@
+"""LZSS match finding on device — the flagship kernel (SURVEY.md §2.1 LZSS
+row: "batched-window match scan", §7 hard part 1).
+
+Implements the same "parse spec v1" as cpp/lzss.cc, reformulated for the
+VPU instead of hash-chain pointer chasing:
+
+  candidates   The oracle's "K most recent previous positions with the same
+               3-byte hash, within the window" is exactly "the K sorted-
+               order predecessors" after sorting (hash, position) keys —
+               one batched radix sort per block batch instead of a serial
+               hash-table build.
+  screening    Each candidate is scored by its clamped 8-byte LCP
+               (two u32 word compares, gather-light); the winner is the
+               candidate with the longest screen, ties to most-recent.
+               The oracle implements the identical screen+winner rule.
+  extension    The winner's full match length is the true LCP, computed
+               from prefix-doubling rank arrays (7 batched sorts build
+               ranks for lengths 4..256; a descending-level walk then
+               yields LCP in 2 gathers per level) — no byte-at-a-time
+               compare loop anywhere.
+
+All arrays are [NB, M] — NB blocks processed batch-parallel, M = window
+halo + block + forward pad. Data-parallel across blocks is the primary
+scaling axis (SURVEY.md §2.2 DP row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WINDOW = 32768
+BLOCK = 65536
+FWD_PAD = 512          # forward pad: max_match rounded up + screen slack
+M_TOTAL = WINDOW + BLOCK + FWD_PAD
+HASH_BITS = 15
+MAX_MATCH = 258
+MIN_MATCH = 3
+TOO_FAR = 4096
+RANK_LEVELS = (4, 8, 16, 32, 64, 128, 256)
+
+
+def hash3(words: jax.Array) -> jax.Array:
+    """words: u32 little-endian 4-byte windows; hash of the low 3 bytes,
+    identical to cpp/lzss.cc Hash3."""
+    v = words & jnp.uint32(0x00FFFFFF)
+    return (v * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - HASH_BITS)
+
+
+def words_at(data: jax.Array) -> jax.Array:
+    """data: [NB, M] uint8-valued int32. Returns u32 little-endian 4-byte
+    windows at every byte offset (elementwise shifts, no gathers)."""
+    d = data.astype(jnp.uint32)
+    b0 = d
+    b1 = jnp.roll(d, -1, axis=1)
+    b2 = jnp.roll(d, -2, axis=1)
+    b3 = jnp.roll(d, -3, axis=1)
+    return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+def candidates(h: jax.Array, valid_insert: jax.Array, k: int):
+    """h: [NB, M] hashes; valid_insert: [NB, M] bool (position may serve as
+    a match source). Returns cand [K, NB, M] int32: the k-th most recent
+    same-hash predecessor position (M-indexed), or -1.
+    """
+    NB, M = h.shape
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (NB, M), 1)
+    # Key: hash(15b) << 17 | idx(17b); invalid positions get the max key so
+    # they sort last and can never be predecessors of valid entries.
+    key = (h << jnp.uint32(17)) | idx
+    key = jnp.where(valid_insert, key, jnp.uint32(0xFFFFFFFF))
+    skey = jax.lax.sort(key, dimension=1)
+    spos = (skey & jnp.uint32(0x1FFFF)).astype(jnp.int32)
+    shash = skey >> jnp.uint32(17)
+    sval = skey != jnp.uint32(0xFFFFFFFF)
+    outs = []
+    for kk in range(1, k + 1):
+        ph = jnp.roll(shash, kk, axis=1)
+        pp = jnp.roll(spos, kk, axis=1)
+        pv = jnp.roll(sval, kk, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+        ok = (col >= kk) & (ph == shash) & pv & sval
+        cand_sorted = jnp.where(ok, pp, -1)
+        # Scatter back to position order.
+        nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 0)
+        cand = jnp.full((NB, M), -1, jnp.int32)
+        cand = cand.at[nbidx, spos].set(cand_sorted, mode="drop")
+        outs.append(cand)
+    return jnp.stack(outs, axis=0)
+
+
+def build_ranks(words: jax.Array):
+    """Prefix-doubling ranks. words: [NB, M] u32 4-byte windows.
+    Returns dict level->rank [NB, M] int32 for level in RANK_LEVELS.
+    Positions compare by their suffix of `level` bytes (padded data is
+    compared as-is; callers clamp lengths to real bounds).
+    """
+    NB, M = words.shape
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+
+    def assign_ranks(k1, k2):
+        # Sort by (k1, k2, idx); rank = cumsum of "differs from previous".
+        sk1, sk2, sidx = jax.lax.sort((k1, k2, idx), dimension=1, num_keys=3)
+        diff = (sk1 != jnp.roll(sk1, 1, axis=1)) | (sk2 != jnp.roll(sk2, 1, axis=1))
+        diff = diff.at[:, 0].set(True)
+        ranks_sorted = jnp.cumsum(diff.astype(jnp.int32), axis=1)
+        r = jnp.zeros((NB, M), jnp.int32)
+        return r.at[nbidx, sidx].set(ranks_sorted)
+
+    ranks = {}
+    # Split the u32 word into two non-negative int32 keys (lax.sort on
+    # int32 would misorder values with the sign bit set).
+    r = assign_ranks((words >> 1).astype(jnp.int32), (words & 1).astype(jnp.int32))
+    ranks[4] = r
+    for lvl in RANK_LEVELS[1:]:
+        half = lvl // 2
+        shifted = jnp.roll(r, -half, axis=1)
+        # Past-the-end shifts wrap; wrapped values only affect the last
+        # `half` columns, which lie in the forward pad and are clamped away.
+        r = assign_ranks(r, shifted)
+        ranks[lvl] = r
+    return ranks
+
+
+def lcp_from_ranks(ranks: dict, p: jax.Array, q: jax.Array, words: jax.Array,
+                   data: jax.Array, cap: jax.Array) -> jax.Array:
+    """Vectorized LCP of suffixes p and q ([NB, BLOCK] M-indices), clamped
+    to cap. Descends rank levels 256..4, then refines the last <4 bytes
+    with byte gathers."""
+    NB = p.shape[0]
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    ln = jnp.zeros_like(p)
+    cp, cq = p, q
+    maxi = words.shape[1] - 1
+    for lvl in reversed(RANK_LEVELS):
+        r = ranks[lvl]
+        a = r[nbidx, jnp.minimum(cp, maxi)]
+        b = r[nbidx, jnp.minimum(cq, maxi)]
+        take = (a == b) & (ln + lvl <= cap)
+        ln = jnp.where(take, ln + lvl, ln)
+        cp = jnp.where(take, cp + lvl, cp)
+        cq = jnp.where(take, cq + lvl, cq)
+    # Up to 3 remaining bytes (plus rank-level gaps are powers of two so the
+    # descent can leave at most lvl-1 of each level... levels are 4..256 with
+    # each exactly double the previous, so remaining < 4).
+    for _ in range(3):
+        a = data[nbidx, jnp.minimum(cp, maxi)]
+        b = data[nbidx, jnp.minimum(cq, maxi)]
+        take = (a == b) & (ln < cap)
+        ln = jnp.where(take, ln + 1, ln)
+        cp = jnp.where(take, cp + 1, cp)
+        cq = jnp.where(take, cq + 1, cq)
+    return jnp.minimum(ln, cap)
+
+
+def lcp8(words: jax.Array, data: jax.Array, p: jax.Array, q: jax.Array,
+         cap: jax.Array) -> jax.Array:
+    """Clamped 8-byte screening LCP via two u32 compares + byte refinement.
+
+    Matches the oracle's screen: number of equal bytes among the first
+    min(8, cap)."""
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    maxi = words.shape[1] - 1
+    w_p0 = words[nbidx, jnp.minimum(p, maxi)]
+    w_q0 = words[nbidx, jnp.minimum(q, maxi)]
+    w_p4 = words[nbidx, jnp.minimum(p + 4, maxi)]
+    w_q4 = words[nbidx, jnp.minimum(q + 4, maxi)]
+    x0 = w_p0 ^ w_q0
+    x4 = w_p4 ^ w_q4
+    z0 = _match_bytes_u32(x0)           # 0..4 equal leading bytes
+    z4 = _match_bytes_u32(x4)
+    ln = jnp.where(z0 == 4, 4 + z4, z0)
+    return jnp.minimum(ln, cap)
+
+
+def _match_bytes_u32(x: jax.Array) -> jax.Array:
+    """Number of leading zero BYTES of little-endian u32 xor value."""
+    b0 = (x & jnp.uint32(0xFF)) == 0
+    b1 = (x & jnp.uint32(0xFFFF)) == 0
+    b2 = (x & jnp.uint32(0xFFFFFF)) == 0
+    b3 = x == 0
+    return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
+            + b2.astype(jnp.int32) + b3.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "block"))
+def find_matches(data: jax.Array, span_off: jax.Array, span_len: jax.Array,
+                 k: int = 8, window: int = WINDOW, block: int = BLOCK):
+    """Batched best-match search.
+
+    data: [NB, M_TOTAL] int32 byte values — block b's bytes at
+          [WINDOW : WINDOW+BLOCK], preceded by its 32 KiB window halo and
+          followed by FWD_PAD forward bytes (zeros beyond the span).
+    span_off: [NB] int32 — global span offset of each block's first byte.
+    span_len: scalar int32 — total span length.
+
+    Returns (match_len, match_dist): [NB, BLOCK] int32; match_len is 0
+    where no spec-valid match exists. Identical to the oracle's per-
+    position best_match (before parsing).
+    """
+    NB, M = data.shape
+    words = words_at(data)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+    # Global position of each cell; cells before span start (block 0 halo)
+    # or at/after span end are not insertable.
+    gpos = span_off[:, None] + (idx - window)
+    insertable = (gpos >= 0) & (gpos + MIN_MATCH <= span_len)
+    h = hash3(words)
+    cand = candidates(h, insertable, k)  # [K, NB, M]
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1) + window
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 0)
+    gp = span_off[:, None] + (p - window)
+    block_end_rel = jnp.minimum(
+        jnp.full_like(gp, block + window), window + (span_len - span_off[:, None])
+    )
+    cap = jnp.clip(block_end_rel - p, 0, MAX_MATCH)
+
+    best_screen = jnp.full((NB, block), -1, jnp.int32)
+    best_j = jnp.zeros((NB, block), jnp.int32)
+    for kk in range(k):
+        j = cand[kk][:, window:window + block]
+        ok = j >= 0
+        dist = p - j
+        ok = ok & (dist <= window)
+        s = lcp8(words, data, p, jnp.where(ok, j, 0), cap)
+        s = jnp.where(ok, s, -1)
+        better = s > best_screen  # ties keep earlier (more recent) candidate
+        best_screen = jnp.where(better, s, best_screen)
+        best_j = jnp.where(better, j, best_j)
+
+    ranks = build_ranks(words)
+    full = lcp_from_ranks(ranks, p, best_j, words, data, cap)
+    need_ext = best_screen >= jnp.minimum(8, cap)
+    mlen = jnp.where(need_ext, full, jnp.maximum(best_screen, 0))
+    mdist = p - best_j
+    valid = (best_screen >= MIN_MATCH) & (mlen >= MIN_MATCH)
+    # too-far rule (parse spec v1)
+    valid = valid & ~((mlen == MIN_MATCH) & (mdist > TOO_FAR))
+    mlen = jnp.where(valid, mlen, 0)
+    mdist = jnp.where(valid, mdist, 0)
+    return mlen, mdist

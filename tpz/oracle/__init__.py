@@ -59,6 +59,11 @@ def lib() -> ctypes.CDLL:
             u8p, ctypes.c_size_t, i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
         L.tpz_inflate.restype = ctypes.c_int
         L.tpz_inflate.argtypes = [u8p, ctypes.c_size_t, u8p, szp, szp]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.tpz_deflate_plan.restype = ctypes.c_int
+        L.tpz_deflate_plan.argtypes = [
+            u32p, u32p, i64p, ctypes.c_int32, i32p, i64p, i64p, i64p,
+            u8p, u16p, u8p, u16p, u8p, ctypes.c_size_t]
         _LIB = L
     return _LIB
 
@@ -185,6 +190,47 @@ def deflate_encode_block(
         ntok, int(bfinal), _ptr(out, ctypes.c_uint8), ctypes.byref(n))
     raise_for_status(st, "deflate_encode_block")
     return out[: n.value].tobytes()
+
+
+def deflate_plan(lit_freq: np.ndarray, dist_freq: np.ndarray,
+                 block_lens: np.ndarray) -> dict:
+    """Host planning for the TPU pipeline (cpp DeflatePlan).
+
+    lit_freq [NB, 288] uint32 (EOB not counted), dist_freq [NB, 30],
+    block_lens [NB] int64. Returns dict with btype, body_off, chunk1_off,
+    total_bits, tables (codes bit-reversed), and the header byte stream
+    (all header bits at absolute offsets, zero elsewhere).
+    """
+    lf = np.ascontiguousarray(lit_freq, dtype=np.uint32)
+    df = np.ascontiguousarray(dist_freq, dtype=np.uint32)
+    bl = np.ascontiguousarray(block_lens, dtype=np.int64)
+    nb = lf.shape[0]
+    btype = np.zeros(nb, dtype=np.int32)
+    body_off = np.zeros(nb, dtype=np.int64)
+    chunk1_off = np.zeros(nb, dtype=np.int64)
+    total_bits = np.zeros(1, dtype=np.int64)
+    lit_len = np.zeros((nb, 288), dtype=np.uint8)
+    lit_code = np.zeros((nb, 288), dtype=np.uint16)
+    dist_len = np.zeros((nb, 30), dtype=np.uint8)
+    dist_code = np.zeros((nb, 30), dtype=np.uint16)
+    # Header cap: stream upper bound = sum(block_lens) + stored overhead.
+    cap = int(bl.sum()) + 64 * nb + 1024
+    header = np.zeros(cap, dtype=np.uint8)
+    st = lib().tpz_deflate_plan(
+        _ptr(lf, ctypes.c_uint32), _ptr(df, ctypes.c_uint32),
+        _ptr(bl, ctypes.c_int64), nb,
+        _ptr(btype, ctypes.c_int32), _ptr(body_off, ctypes.c_int64),
+        _ptr(chunk1_off, ctypes.c_int64), _ptr(total_bits, ctypes.c_int64),
+        _ptr(lit_len, ctypes.c_uint8), _ptr(lit_code, ctypes.c_uint16),
+        _ptr(dist_len, ctypes.c_uint8), _ptr(dist_code, ctypes.c_uint16),
+        _ptr(header, ctypes.c_uint8), cap)
+    raise_for_status(st, "deflate_plan")
+    return {
+        "btype": btype, "body_off": body_off, "chunk1_off": chunk1_off,
+        "total_bits": int(total_bits[0]), "lit_len": lit_len,
+        "lit_code": lit_code, "dist_len": dist_len, "dist_code": dist_code,
+        "header": header,
+    }
 
 
 def inflate(data, max_out: int | None = None) -> tuple[bytes, int]:
