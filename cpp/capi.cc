@@ -11,6 +11,7 @@
 #include "bitio.h"
 #include "deflate.h"
 #include "huffman.h"
+#include "lzhuf.h"
 #include "lzss.h"
 
 namespace tpz {
@@ -128,6 +129,38 @@ int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
                 size_t* consumed) {
   std::vector<uint8_t> v;
   int st = Inflate(in, n, &v, consumed);
+  if (st != 0) return st;
+  return CopyOut(v, out, out_len);
+}
+
+// ------------------------------------------------------------------- lzhuf
+int tpz_lzhuf_encode(const uint8_t* in, size_t n, int32_t dict_bits,
+                     int32_t max_chain, uint8_t* out, size_t* out_len) {
+  BitWriterMSB bw;
+  LzhufEncodeBytes(in, n, LzhufMethodFor(dict_bits), max_chain, &bw);
+  return CopyOut(bw.bytes(), out, out_len);
+}
+
+int tpz_lzhuf_encode_tokens(const int32_t* tokens, size_t ntokens,
+                            int32_t dict_bits, uint8_t* out,
+                            size_t* out_len) {
+  std::vector<Token> toks(ntokens);
+  for (size_t i = 0; i < ntokens; ++i) {
+    toks[i].pos = (uint32_t)tokens[4 * i + 0];
+    toks[i].len = (uint16_t)tokens[4 * i + 1];
+    toks[i].lit = (uint16_t)tokens[4 * i + 2];
+    toks[i].dist = (uint32_t)tokens[4 * i + 3];
+  }
+  BitWriterMSB bw;
+  LzhufEncode(toks.data(), ntokens, LzhufMethodFor(dict_bits), &bw);
+  bw.AlignByte();
+  return CopyOut(bw.bytes(), out, out_len);
+}
+
+int tpz_lzhuf_decode(const uint8_t* in, size_t n, int32_t dict_bits,
+                     size_t orig_size, uint8_t* out, size_t* out_len) {
+  std::vector<uint8_t> v;
+  int st = LzhufDecode(in, n, LzhufMethodFor(dict_bits), orig_size, &v);
   if (st != 0) return st;
   return CopyOut(v, out, out_len);
 }

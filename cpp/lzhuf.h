@@ -1,2 +1,52 @@
-// LZHUF (LHA lh4-lh7) — implemented in a later milestone this round.
+// LZHUF — the LHA static-Huffman methods lh4..lh7.
+//
+// Parity: reference crate src/lzhuf/ (LzhufEncoder::new(&LzhufMethod),
+// LzhufDecoder, [HIGH] names; SURVEY.md §0.1 Q4 resolves "lzhuf" to the
+// static/canonical block-Huffman LHA scheme lh4-lh7, the survey's default).
+// Stream layout per block (all MSB-first):
+//   u16 token count;
+//   T-table (code lengths of the C-length alphabet, 19 syms): 5-bit count,
+//     3-bit lengths with unary extension past 7, 2-bit zero-skip after the
+//     3rd entry; count==0 -> 5-bit constant symbol;
+//   C-table (literals 0..255 + match lengths 3..256 as 256..509): 9-bit
+//     count, lengths coded via T-Huffman (0 -> len 0; 1 -> 3+getbits(2)
+//     zeros; 2 -> 20+getbits(9) zeros; s -> len s-2); count==0 -> 9-bit
+//     constant symbol;
+//   P-table (position MSB-count alphabet, np = dictbits+1): 4/5-bit count,
+//     3-bit lengths with unary extension; count==0 -> constant;
+//   tokens: C code; for matches a P code c plus c-1 raw bits encode
+//     p = dist-1 (c = bit length of p), literal bytes are C codes < 256.
+// The stream has no terminator: decode stops after orig_size bytes (LHA
+// stores the size in the archive header; our container does too).
 #pragma once
+
+#include <cstdint>
+#include <vector>
+
+#include "bitio.h"
+#include "lzss.h"
+
+namespace tpz {
+
+struct LzhufMethod {
+  int dict_bits;  // lh4:12 lh5:13 lh6:15 lh7:16
+  int np;         // dict_bits + 1 (lh4 shares lh5's np = 14)
+  int pbit;       // bits for the P-table count field (4 for np<=14, else 5)
+};
+
+LzhufMethod LzhufMethodFor(int dict_bits);
+
+// Tokens -> stream. Tokens must satisfy min_match 3, max_match 256,
+// window 2^dict_bits. Block grouping: tokens_per_block at most 65535.
+void LzhufEncode(const Token* tokens, size_t ntokens, const LzhufMethod& m,
+                 BitWriterMSB* bw);
+
+// Convenience: tokenize + encode with spec-v1 params (block_size 32768).
+void LzhufEncodeBytes(const uint8_t* in, size_t n, const LzhufMethod& m,
+                      int max_chain, BitWriterMSB* bw);
+
+// Decode exactly orig_size bytes. Returns status (0/1/2, see common codes).
+int LzhufDecode(const uint8_t* in, size_t n, const LzhufMethod& m,
+                size_t orig_size, std::vector<uint8_t>* out);
+
+}  // namespace tpz

@@ -1,0 +1,86 @@
+"""LZHUF (LHA lh4-lh7) round-trip + structural tests.
+
+No system tool exists for lzhuf, so the correctness bar is: exhaustive
+round-trips across methods and content classes, token-level reconstruction,
+and negative decode tests (SURVEY.md §4)."""
+
+import pytest
+
+from tpz import oracle
+from tpz.codecs import lzhuf
+from tpz.errors import CompressionError
+from tpz.utils import corpus
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="oracle library not built"
+)
+
+CASES = {**corpus.edge_cases(), "text": corpus.text(1 << 16),
+         "mixed": corpus.mixed(120_000)}
+METHODS = ["lh4", "lh5", "lh6", "lh7"]
+
+
+@pytest.mark.parametrize("method", METHODS)
+@pytest.mark.parametrize("name", list(CASES))
+def test_raw_roundtrip(method, name):
+    data = CASES[name]
+    comp = lzhuf.raw_compress(data, method)
+    assert lzhuf.raw_decompress(comp, len(data), method) == data
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_container_roundtrip(method):
+    data = corpus.mixed(80_000)
+    comp = lzhuf.compress(data, method)
+    assert lzhuf.decompress(comp) == data
+    assert lzhuf.decompress(comp, method) == data
+
+
+def test_compresses_text():
+    data = corpus.text(1 << 16)
+    comp = lzhuf.raw_compress(data, "lh5")
+    assert len(comp) < len(data) * 0.55
+
+
+def test_window_respected():
+    """lh4's 4 KiB window vs lh7's 64 KiB on long-range repetition."""
+    probe = corpus.random_bytes(2000)
+    data = probe + corpus.random_bytes(40_000, seed=77) + probe
+    small = lzhuf.raw_compress(data, "lh4")
+    big = lzhuf.raw_compress(data, "lh7")
+    assert len(big) < len(small)  # lh7 can reach the far copy
+    assert lzhuf.raw_decompress(small, len(data), "lh4") == data
+    assert lzhuf.raw_decompress(big, len(data), "lh7") == data
+
+
+def test_many_blocks():
+    data = corpus.text(300_000)  # ~ several 32k-token blocks
+    comp = lzhuf.raw_compress(data, "lh5")
+    assert lzhuf.raw_decompress(comp, len(data), "lh5") == data
+
+
+def test_negative_truncated():
+    data = corpus.text(50_000)
+    comp = lzhuf.raw_compress(data, "lh5")
+    with pytest.raises(CompressionError):
+        lzhuf.raw_decompress(comp[: len(comp) // 3], len(data), "lh5")
+
+
+def test_negative_bad_container():
+    with pytest.raises(CompressionError):
+        lzhuf.decompress(b"NOPE" + b"\x00" * 20)
+
+
+def test_unknown_method():
+    with pytest.raises(ValueError):
+        lzhuf.raw_compress(b"x", "lh9")
+
+
+def test_tokens_path_matches_bytes_path():
+    data = corpus.mixed(100_000)
+    toks = oracle.lzss_tokenize(
+        data, oracle.params_array(window=1 << 13, max_match=256,
+                                  block_size=32768))
+    via_tokens = oracle.lzhuf_encode_tokens(toks, 13)
+    via_bytes = oracle.lzhuf_encode(data, 13)
+    assert via_tokens == via_bytes

@@ -49,10 +49,13 @@ def compress(data: bytes, level: int = 6, backend: str = "auto",
 
             if deflate_pipeline.usable():
                 return deflate_pipeline.compress(data, cfg)
-        except ImportError:
-            pass
-        if backend == "tpu":
-            raise RuntimeError("tpu backend requested but unusable")
+            raise RuntimeError("device pipeline not usable")
+        except Exception:
+            # "auto" falls back to the oracle when the accelerator is
+            # unavailable (e.g. the chip is held by another process and
+            # backend init fails); an explicit "tpu" request surfaces it.
+            if backend == "tpu":
+                raise
     return oracle.deflate_encode(data, cfg.params_array())
 
 

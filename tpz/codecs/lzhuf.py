@@ -1,0 +1,65 @@
+"""LZHUF codec — LHA static-Huffman methods lh4..lh7.
+
+Parity: reference crate src/lzhuf/ `LzhufEncoder::new(&LzhufMethod)` /
+`LzhufDecoder` ([HIGH] names, SURVEY.md §2.1; Q4 resolved to the static
+lh4-lh7 scheme). `raw_compress`/`raw_decompress` mirror the crate's raw
+stream (no size header — LHA archives carry the original size in the
+archive header). `compress`/`decompress` add a minimal container
+(magic + method + u64 size) so the generic tpz.api surface works.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from tpz import oracle
+from tpz.constants import LZHUF_METHODS
+from tpz.errors import DataError, UnexpectedEof
+
+_MAGIC = b"TPZL"
+
+
+def _dict_bits(method: str) -> int:
+    if method not in LZHUF_METHODS:
+        raise ValueError(f"unknown lzhuf method {method!r}; have "
+                         f"{sorted(LZHUF_METHODS)}")
+    return LZHUF_METHODS[method][0]
+
+
+def raw_compress(data: bytes, method: str = "lh5", max_chain: int = 16,
+                 backend: str = "auto") -> bytes:
+    bits = _dict_bits(method)
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import lzhuf_pipeline
+
+            if lzhuf_pipeline.usable():
+                return lzhuf_pipeline.compress(data, method, max_chain)
+        except ImportError:
+            pass
+        if backend == "tpu":
+            raise RuntimeError("tpu backend requested but unusable")
+    return oracle.lzhuf_encode(data, bits, max_chain)
+
+
+def raw_decompress(data: bytes, orig_size: int, method: str = "lh5") -> bytes:
+    return oracle.lzhuf_decode(data, orig_size, _dict_bits(method))
+
+
+def compress(data: bytes, method: str = "lh5", level: int = 6,
+             backend: str = "auto") -> bytes:
+    _ = level
+    body = raw_compress(data, method, backend=backend)
+    return _MAGIC + method.encode() + struct.pack("<Q", len(data)) + body
+
+
+def decompress(data: bytes, method: str | None = None) -> bytes:
+    if len(data) < 16:
+        raise UnexpectedEof("lzhuf container too short")
+    if data[:4] != _MAGIC:
+        raise DataError("bad lzhuf container magic")
+    m = data[4:7].decode()
+    if method is not None and m != method:
+        raise DataError(f"container method {m} != requested {method}")
+    (size,) = struct.unpack_from("<Q", data, 7)
+    return raw_decompress(data[15:], size, m)

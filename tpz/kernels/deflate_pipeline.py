@@ -49,7 +49,10 @@ def usable() -> bool:
     try:
         from tpz import oracle
 
-        return oracle.available()
+        if not oracle.available():
+            return False
+        jax.devices()  # raises if the backend cannot initialize
+        return True
     except Exception:
         return False
 
@@ -73,12 +76,13 @@ def _make_blocks(span_u8: jax.Array):
                            axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
 def _stage1(blocks: jax.Array, span_off: jax.Array, span_len: jax.Array,
-            block_len: jax.Array, k: int):
+            block_len: jax.Array, k: int, use_pallas: bool = False):
     """blocks: [NB, M_TOTAL] int32 haloed data."""
     mlen, mdist = find_matches(blocks, span_off, span_len, k=k)
-    is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len)
+    is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
+                                                use_pallas=use_pallas)
 
     data_block = blocks[:, WINDOW:WINDOW + BLOCK]
     len_sym_t = jnp.asarray(DEFLATE_LENGTH_SYM_TABLE)
@@ -134,8 +138,9 @@ def compress(data: bytes, cfg=None) -> bytes:
     block_len_np = np.minimum(n - np.arange(nb) * BLOCK, BLOCK).astype(np.int32)
     block_len = jnp.asarray(block_len_np)
 
+    use_pallas = jax.default_backend() == "tpu"
     mlen, mdist, is_token, lit_hist, dist_hist, ntokens = _stage1(
-        blocks, span_off, jnp.int32(n), block_len, k)
+        blocks, span_off, jnp.int32(n), block_len, k, use_pallas)
 
     lit_hist_np = fetch(lit_hist).astype(np.uint32)
     dist_hist_np = fetch(dist_hist).astype(np.uint32)

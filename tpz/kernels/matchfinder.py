@@ -61,35 +61,63 @@ def words_at(data: jax.Array) -> jax.Array:
     return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-def candidates(h: jax.Array, valid_insert: jax.Array, k: int):
-    """h: [NB, M] hashes; valid_insert: [NB, M] bool (position may serve as
-    a match source). Returns cand [K, NB, M] int32: the k-th most recent
-    same-hash predecessor position (M-indexed), or -1.
+def best_candidate_sorted(h: jax.Array, valid_insert: jax.Array,
+                          words: jax.Array, cap_at: jax.Array, k: int,
+                          window: int):
+    """Screen all K candidates for every position entirely in sorted space.
+
+    Sorting (hash<<17 | idx) makes each entry's K most recent same-hash
+    predecessors its K sorted-order neighbors. The 8-byte screen words
+    (words[p], words[p+4]) travel through the sort as payloads, so the
+    K screening comparisons are vector rolls — zero gathers. One scatter
+    per output returns the winner to position order.
+
+    h/valid_insert/words: [NB, M]; cap_at: [NB, M] per-position cap
+    (min(MAX_MATCH, block_end - p), <=0 outside the block region).
+    Returns best_j [NB, M] (winning candidate position or -1) and
+    best_screen [NB, M] (its clamped 8-byte LCP).
     """
     NB, M = h.shape
     idx = jax.lax.broadcasted_iota(jnp.uint32, (NB, M), 1)
-    # Key: hash(15b) << 17 | idx(17b); invalid positions get the max key so
-    # they sort last and can never be predecessors of valid entries.
+    # Invalid positions get the max key: they sort last, after every real
+    # entry, so they can never appear as a predecessor of a valid one.
     key = (h << jnp.uint32(17)) | idx
     key = jnp.where(valid_insert, key, jnp.uint32(0xFFFFFFFF))
-    skey = jax.lax.sort(key, dimension=1)
+    w4 = jnp.roll(words, -4, axis=1)
+    skey, sw0, sw4, scap = jax.lax.sort(
+        (key, words, w4, cap_at), dimension=1, num_keys=1)
     spos = (skey & jnp.uint32(0x1FFFF)).astype(jnp.int32)
     shash = skey >> jnp.uint32(17)
     sval = skey != jnp.uint32(0xFFFFFFFF)
-    outs = []
+    col = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+
+    screen_cap = jnp.minimum(scap, 8)
+    best_screen = jnp.full((NB, M), -1, jnp.int32)
+    best_j = jnp.full((NB, M), -1, jnp.int32)
     for kk in range(1, k + 1):
         ph = jnp.roll(shash, kk, axis=1)
         pp = jnp.roll(spos, kk, axis=1)
         pv = jnp.roll(sval, kk, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
-        ok = (col >= kk) & (ph == shash) & pv & sval
-        cand_sorted = jnp.where(ok, pp, -1)
-        # Scatter back to position order.
-        nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 0)
-        cand = jnp.full((NB, M), -1, jnp.int32)
-        cand = cand.at[nbidx, spos].set(cand_sorted, mode="drop")
-        outs.append(cand)
-    return jnp.stack(outs, axis=0)
+        pw0 = jnp.roll(sw0, kk, axis=1)
+        pw4 = jnp.roll(sw4, kk, axis=1)
+        dist = spos - pp
+        ok = (col >= kk) & (ph == shash) & pv & sval & (dist <= window)
+        z0 = _match_bytes_u32(sw0 ^ pw0)
+        z4 = _match_bytes_u32(sw4 ^ pw4)
+        s = jnp.where(z0 == 4, 4 + z4, z0)
+        s = jnp.minimum(s, screen_cap)
+        s = jnp.where(ok, s, -1)
+        better = s > best_screen  # strict: ties keep the more recent
+        best_screen = jnp.where(better, s, best_screen)
+        best_j = jnp.where(better, pp, best_j)
+
+    # Scatter winners back to position order.
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 0)
+    out_j = jnp.full((NB, M), -1, jnp.int32)
+    out_s = jnp.full((NB, M), -1, jnp.int32)
+    out_j = out_j.at[nbidx, spos].set(best_j, mode="drop")
+    out_s = out_s.at[nbidx, spos].set(best_screen, mode="drop")
+    return out_j, out_s
 
 
 def build_ranks(words: jax.Array):
@@ -210,35 +238,28 @@ def find_matches(data: jax.Array, span_off: jax.Array, span_len: jax.Array,
     gpos = span_off[:, None] + (idx - window)
     insertable = (gpos >= 0) & (gpos + MIN_MATCH <= span_len)
     h = hash3(words)
-    cand = candidates(h, insertable, k)  # [K, NB, M]
+
+    # Per-position cap = min(MAX_MATCH, block_end - p); <= 0 outside the
+    # parse region (halo and pad columns never produce matches).
+    block_end_rel = jnp.minimum(
+        jnp.full_like(idx, block + window),
+        window + (span_len - span_off[:, None]))
+    cap_at = jnp.clip(block_end_rel - idx, 0, MAX_MATCH)
+    cap_at = jnp.where(idx >= window, cap_at, 0)
+
+    bj, bs = best_candidate_sorted(h, insertable, words, cap_at, k, window)
 
     p = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1) + window
-    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 0)
-    gp = span_off[:, None] + (p - window)
-    block_end_rel = jnp.minimum(
-        jnp.full_like(gp, block + window), window + (span_len - span_off[:, None])
-    )
-    cap = jnp.clip(block_end_rel - p, 0, MAX_MATCH)
-
-    best_screen = jnp.full((NB, block), -1, jnp.int32)
-    best_j = jnp.zeros((NB, block), jnp.int32)
-    for kk in range(k):
-        j = cand[kk][:, window:window + block]
-        ok = j >= 0
-        dist = p - j
-        ok = ok & (dist <= window)
-        s = lcp8(words, data, p, jnp.where(ok, j, 0), cap)
-        s = jnp.where(ok, s, -1)
-        better = s > best_screen  # ties keep earlier (more recent) candidate
-        best_screen = jnp.where(better, s, best_screen)
-        best_j = jnp.where(better, j, best_j)
+    best_j = bj[:, window:window + block]
+    best_screen = bs[:, window:window + block]
+    cap = cap_at[:, window:window + block]
 
     ranks = build_ranks(words)
-    full = lcp_from_ranks(ranks, p, best_j, words, data, cap)
+    full = lcp_from_ranks(ranks, p, jnp.maximum(best_j, 0), words, data, cap)
     need_ext = best_screen >= jnp.minimum(8, cap)
     mlen = jnp.where(need_ext, full, jnp.maximum(best_screen, 0))
     mdist = p - best_j
-    valid = (best_screen >= MIN_MATCH) & (mlen >= MIN_MATCH)
+    valid = (best_j >= 0) & (best_screen >= MIN_MATCH) & (mlen >= MIN_MATCH)
     # too-far rule (parse spec v1)
     valid = valid & ~((mlen == MIN_MATCH) & (mdist > TOO_FAR))
     mlen = jnp.where(valid, mlen, 0)

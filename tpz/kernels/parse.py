@@ -1,18 +1,21 @@
-"""Greedy LZSS parse as pointer-doubling reachability (SURVEY.md §7 hard
-part 1: "greedy via pointer-jumping").
+"""Greedy LZSS parse (SURVEY.md §7 hard part 1).
 
 The sequential greedy parse is the chain p -> p + step(p) with
-step(p) = match_len(p) if a valid match starts at p else 1. The token set
-is exactly the set of positions reachable from the block start, computed in
-log2(BLOCK) rounds of jump-doubling:
+step(p) = match_len(p) if a valid match starts at p else 1; the token set
+is the set of positions reachable from the block start. Two equivalent
+device implementations:
 
-  S_0 = {0};  S_{r+1} = S_r ∪ f_{2^r}(S_r);  f_{2^{r+1}} = f_{2^r} ∘ f_{2^r}
+  - Pallas kernel (TPU path): the chain visits ~1 position per token, so a
+    VMEM-resident scalar walk (one grid step per block, blocks pipelined)
+    is far cheaper than log-round gathers on hardware where XLA gather
+    runs at ~140 M elem/s.
+  - Pointer-doubling (portable XLA path, also the spec reference):
+    S_0 = {0}; S_{r+1} = S_r ∪ f_{2^r}(S_r); f_{2^{r+1}} = f_{2^r}∘f_{2^r}
+    — every step count has a unique binary decomposition, so the union
+    enumerates the whole chain in log2(N) gather+scatter rounds.
 
-(every step count has a unique binary decomposition, so the union over all
-rounds enumerates the whole chain). Each round is one gather + one
-scatter-max over [NB, BLOCK] — no sequential scan anywhere.
-
-Produces the identical token stream to cpp/lzss.cc's while-loop.
+Both produce the identical token stream to cpp/lzss.cc's while-loop
+(differential-tested in tests/test_kernels.py).
 """
 
 from __future__ import annotations
@@ -23,39 +26,81 @@ import jax.numpy as jnp
 from tpz.kernels.matchfinder import MIN_MATCH
 
 
-@jax.jit
+def _parse_pallas(step: jax.Array, interpret: bool = False) -> jax.Array:
+    """step: [NB, N] int32 jump sizes -> [NB, N] int32 reach mask.
+
+    Data is viewed [NB, N/128, 128] to satisfy TPU tile constraints; the
+    walk addresses element p as [p >> 7, p & 127]."""
+    from jax.experimental import pallas as pl
+
+    NB, N = step.shape
+    assert N % 128 == 0
+    rows = N // 128
+    step3 = step.reshape(NB, rows, 128)
+
+    def kernel(step_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        def cond(p):
+            return p < N
+
+        def body(p):
+            r = p >> 7
+            c = p & 127
+            # Mosaic has no scalar VMEM stores: RMW the (1,128) row instead.
+            row = out_ref[0, pl.ds(r, 1), :]
+            out_ref[0, pl.ds(r, 1), :] = row | (lane == c).astype(jnp.int32)
+            srow = step_ref[0, pl.ds(r, 1), :]
+            step_v = jnp.sum(jnp.where(lane == c, srow, 0))
+            return p + step_v
+
+        jax.lax.while_loop(cond, body, jnp.int32(0))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, rows, 128), jnp.int32),
+        interpret=interpret,
+    )(step3)
+    return out.reshape(NB, N)
+
+
+def _parse_doubling(step: jax.Array) -> jax.Array:
+    NB, block = step.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1)
+    nxt = jnp.minimum(pos + step, block)
+    f = jnp.concatenate([nxt, jnp.full((NB, 1), block, jnp.int32)], axis=1)
+    reach = jnp.zeros((NB, block + 1), jnp.int32)
+    reach = reach.at[:, 0].set(1)
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, block + 1), 0)
+    for _ in range(block.bit_length()):
+        reach = reach.at[nbidx, f].max(reach)
+        f = f[nbidx, f]
+    return reach[:, :block]
+
+
 def greedy_parse(match_len: jax.Array, match_dist: jax.Array,
-                 block_len: jax.Array):
+                 block_len: jax.Array, use_pallas: bool = False):
     """match_len/match_dist: [NB, BLOCK] int32 (0 where no match).
     block_len: [NB] int32 — valid bytes in each block.
 
     Returns:
       is_token [NB, BLOCK] bool — a token starts at this position
-      token_idx [NB, BLOCK] int32 — dense index of the token (valid where
-        is_token)
+      token_idx [NB, BLOCK] int32 — dense token index (valid where is_token)
       ntokens [NB] int32
     """
     NB, block = match_len.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1)
     step = jnp.where(match_len >= MIN_MATCH, match_len, 1)
-    # Clamp: jumps out of the block land on the sentinel column BLOCK
-    # (handled by padding f with one extra column).
-    nxt = jnp.minimum(pos + step, block)
-    f = jnp.concatenate([nxt, jnp.full((NB, 1), block, jnp.int32)], axis=1)
-
-    reach = jnp.zeros((NB, block + 1), jnp.bool_)
-    reach = reach.at[:, 0].set(True)
-    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, block + 1), 0)
-
-    rounds = block.bit_length()  # 17 for 65536
-    for _ in range(rounds):
-        target = f
-        reach = reach.at[nbidx, target].max(reach)
-        f = f[nbidx, f]
-
-    reach = reach[:, :block]
+    if use_pallas:
+        reach = _parse_pallas(step)
+    else:
+        reach = _parse_doubling(step)
     # Positions at/after block_len are not tokens.
-    is_token = reach & (pos < block_len[:, None])
+    is_token = (reach > 0) & (pos < block_len[:, None])
     cum = jnp.cumsum(is_token.astype(jnp.int32), axis=1)
     token_idx = cum - 1
     ntokens = cum[:, -1]

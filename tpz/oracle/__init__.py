@@ -59,6 +59,15 @@ def lib() -> ctypes.CDLL:
             u8p, ctypes.c_size_t, i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
         L.tpz_inflate.restype = ctypes.c_int
         L.tpz_inflate.argtypes = [u8p, ctypes.c_size_t, u8p, szp, szp]
+        L.tpz_lzhuf_encode.restype = ctypes.c_int
+        L.tpz_lzhuf_encode.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32, u8p, szp]
+        L.tpz_lzhuf_encode_tokens.restype = ctypes.c_int
+        L.tpz_lzhuf_encode_tokens.argtypes = [
+            i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
+        L.tpz_lzhuf_decode.restype = ctypes.c_int
+        L.tpz_lzhuf_decode.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int32, ctypes.c_size_t, u8p, szp]
         i64p = ctypes.POINTER(ctypes.c_int64)
         L.tpz_deflate_plan.restype = ctypes.c_int
         L.tpz_deflate_plan.argtypes = [
@@ -231,6 +240,44 @@ def deflate_plan(lit_freq: np.ndarray, dist_freq: np.ndarray,
         "lit_code": lit_code, "dist_len": dist_len, "dist_code": dist_code,
         "header": header,
     }
+
+
+def lzhuf_encode(data, dict_bits: int = 13, max_chain: int = 16) -> bytes:
+    """Raw LHA lh4-lh7 stream (no size header; LHA archives carry the
+    original size externally, as does our container)."""
+    a = _u8(data)
+    cap = a.size + (a.size >> 2) + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_lzhuf_encode(_u8ptr(a), a.size, dict_bits, max_chain,
+                                _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "lzhuf_encode")
+    return out[: n.value].tobytes()
+
+
+def lzhuf_encode_tokens(tokens: np.ndarray, dict_bits: int = 13) -> bytes:
+    toks = np.ascontiguousarray(tokens, dtype=np.int32)
+    ntok = toks.shape[0] if toks.ndim == 2 else 0
+    cap = 4 * max(ntok, 16) + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_lzhuf_encode_tokens(
+        _ptr(toks, ctypes.c_int32) if ntok else _ptr(
+            np.zeros((1, 4), np.int32), ctypes.c_int32),
+        ntok, dict_bits, _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "lzhuf_encode_tokens")
+    return out[: n.value].tobytes()
+
+
+def lzhuf_decode(data, orig_size: int, dict_bits: int = 13) -> bytes:
+    a = _u8(data)
+    cap = orig_size + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_lzhuf_decode(_u8ptr(a), a.size, dict_bits, orig_size,
+                                _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "lzhuf_decode")
+    return out[: n.value].tobytes()
 
 
 def inflate(data, max_out: int | None = None) -> tuple[bytes, int]:
