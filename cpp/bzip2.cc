@@ -1,1 +1,532 @@
 #include "bzip2.h"
+
+#include <algorithm>
+#include <cstring>
+
+#include "bitio.h"
+#include "generated_constants.h"
+#include "huffman.h"
+
+namespace tpz {
+
+uint32_t Crc32Msb(const uint8_t*, size_t, uint32_t);
+
+namespace {
+
+constexpr int kStatusOk = 0;
+constexpr int kStatusDataError = 1;
+constexpr int kStatusUnexpectedEof = 2;
+
+constexpr int kGroupSize = 50;
+constexpr int kCodeLenLimit = 17;   // encoder limit (format allows 20)
+constexpr int kMaxCodeLen = 20;     // decoder tolerance
+constexpr int kNIters = 4;
+constexpr uint64_t kBlockMagic = 0x314159265359ULL;
+constexpr uint64_t kEosMagic = 0x177245385090ULL;
+
+// ---------------------------------------------------------------- RLE1
+
+// Encode a run-limited RLE1 unit stream. Each "unit" is either a literal
+// byte (1 source byte -> 1 output byte) or a run unit (4..259 source bytes
+// -> 4 bytes + count). Returns units so the block splitter never cuts one.
+struct Rle1Unit {
+  uint32_t src_len;
+  uint8_t out_len;
+  uint8_t byte;     // the repeated/literal byte
+  uint8_t count;    // run count byte (out_len == 5 only)
+};
+
+void Rle1Units(const uint8_t* in, size_t n, std::vector<Rle1Unit>* units) {
+  size_t i = 0;
+  while (i < n) {
+    uint8_t b = in[i];
+    size_t run = 1;
+    while (i + run < n && run < 259 && in[i + run] == b) ++run;
+    if (run >= 4) {
+      units->push_back({(uint32_t)run, 5, b, (uint8_t)(run - 4)});
+      i += run;
+    } else {
+      for (size_t k = 0; k < run; ++k) units->push_back({1, 1, b, 0});
+      i += run;
+    }
+  }
+}
+
+// ------------------------------------------------------------------- BWT
+
+// Sort all rotations of s (cyclic prefix-doubling, O(n log^2 n)).
+// Returns the last column in `last` and the origin pointer.
+uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
+  const int n = (int)s.size();
+  std::vector<int> sa(n), rank(n), tmp(n);
+  for (int i = 0; i < n; ++i) {
+    sa[i] = i;
+    rank[i] = s[i];
+  }
+  for (int k = 1;; k <<= 1) {
+    auto cmp = [&](int a, int b) {
+      if (rank[a] != rank[b]) return rank[a] < rank[b];
+      int ra = rank[(a + k) % n];
+      int rb = rank[(b + k) % n];
+      return ra < rb;
+    };
+    std::sort(sa.begin(), sa.end(), cmp);
+    tmp[sa[0]] = 0;
+    for (int i = 1; i < n; ++i)
+      tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
+    rank = tmp;
+    if (rank[sa[n - 1]] == n - 1) break;
+    if (k > n) break;  // all distinct impossible to miss, safety
+  }
+  last->resize(n);
+  uint32_t orig = 0;
+  for (int i = 0; i < n; ++i) {
+    int j = sa[i];
+    (*last)[i] = s[(j + n - 1) % n];
+    if (j == 0) orig = (uint32_t)i;
+  }
+  return orig;
+}
+
+// ---------------------------------------------------------------- encode
+
+void EncodeBlock(const std::vector<uint8_t>& data, uint32_t block_crc,
+                 BitWriterMSB* bw) {
+  const int n = (int)data.size();
+  std::vector<uint8_t> last;
+  uint32_t orig = BwtEncode(data, &last);
+
+  // Used-symbol map + MTF + RLE2.
+  bool in_use[256] = {false};
+  for (uint8_t b : last) in_use[b] = true;
+  uint8_t seq_to_unseq[256];
+  int n_used = 0;
+  for (int i = 0; i < 256; ++i)
+    if (in_use[i]) seq_to_unseq[n_used++] = (uint8_t)i;
+  uint8_t unseq_to_seq[256];
+  for (int i = 0; i < n_used; ++i) unseq_to_seq[seq_to_unseq[i]] = (uint8_t)i;
+
+  const int eob = n_used + 1;
+  const int alpha = n_used + 2;
+  std::vector<uint16_t> mtfv;  // RLE2 symbol stream incl. EOB
+  mtfv.reserve(n + 16);
+  {
+    uint8_t order[256];
+    for (int i = 0; i < n_used; ++i) order[i] = (uint8_t)i;
+    int zero_run = 0;
+    auto flush_run = [&](void) {
+      int r = zero_run;
+      // bijective base-2: r+1 in binary, low bits first, drop the top 1.
+      while (r > 0) {
+        if ((r - 1) & 1) {
+          mtfv.push_back(1);  // RUNB
+          r = (r - 2) / 2;
+        } else {
+          mtfv.push_back(0);  // RUNA
+          r = (r - 1) / 2;
+        }
+      }
+      zero_run = 0;
+    };
+    for (uint8_t b : last) {
+      uint8_t v = unseq_to_seq[b];
+      if (order[0] == v) {
+        ++zero_run;
+        continue;
+      }
+      flush_run();
+      int j = 0;
+      while (order[j] != v) ++j;
+      std::memmove(order + 1, order, j);
+      order[0] = v;
+      mtfv.push_back((uint16_t)(j + 1));
+    }
+    flush_run();
+    mtfv.push_back((uint16_t)eob);
+  }
+  const int n_mtf = (int)mtfv.size();
+
+  // Choose table count (bzip2's thresholds).
+  int n_tables;
+  if (n_mtf < 200) n_tables = 2;
+  else if (n_mtf < 600) n_tables = 3;
+  else if (n_mtf < 1200) n_tables = 4;
+  else if (n_mtf < 2400) n_tables = 5;
+  else n_tables = 6;
+
+  const int n_sel = (n_mtf + kGroupSize - 1) / kGroupSize;
+  std::vector<uint8_t> selector(n_sel);
+  std::vector<std::vector<uint8_t>> lens(
+      n_tables, std::vector<uint8_t>(alpha, 15));
+
+  // Initial partition by cumulative frequency (bzip2-style).
+  {
+    std::vector<uint32_t> freq(alpha, 0);
+    for (uint16_t v : mtfv) ++freq[v];
+    int rem_sym = alpha, rem_tab = n_tables, gs = 0;
+    int total = n_mtf;
+    int acc_lo = 0;
+    for (int t = n_tables - 1; t >= 0; --t) {
+      int target = total / (t + 1);
+      int acc = 0, hi = acc_lo;
+      while (hi < alpha && (acc < target || hi == acc_lo)) {
+        acc += (int)freq[hi++];
+      }
+      for (int s = 0; s < alpha; ++s)
+        lens[n_tables - 1 - t][s] =
+            (s >= acc_lo && s < hi) ? 0 : 15;
+      total -= acc;
+      acc_lo = hi;
+      (void)rem_sym;
+      (void)rem_tab;
+      (void)gs;
+    }
+    // convert 0/15 marker lengths into real initial lengths
+    for (int t = 0; t < n_tables; ++t)
+      for (int s = 0; s < alpha; ++s)
+        lens[t][s] = lens[t][s] == 0 ? 2 : 15;
+  }
+
+  std::vector<std::vector<uint16_t>> codes(
+      n_tables, std::vector<uint16_t>(alpha, 0));
+
+  // Iterated refinement: assign each group to the cheapest table, then
+  // rebuild each table from its groups' frequencies.
+  for (int iter = 0; iter < kNIters; ++iter) {
+    std::vector<std::vector<uint32_t>> tfreq(
+        n_tables, std::vector<uint32_t>(alpha, 0));
+    for (int g = 0; g < n_sel; ++g) {
+      int lo = g * kGroupSize;
+      int hi = std::min(n_mtf, lo + kGroupSize);
+      uint32_t best_cost = 0xffffffff;
+      int best_t = 0;
+      for (int t = 0; t < n_tables; ++t) {
+        uint32_t cost = 0;
+        for (int i = lo; i < hi; ++i) cost += lens[t][mtfv[i]];
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_t = t;
+        }
+      }
+      selector[g] = (uint8_t)best_t;
+      for (int i = lo; i < hi; ++i) ++tfreq[best_t][mtfv[i]];
+    }
+    for (int t = 0; t < n_tables; ++t) {
+      // +1 on every freq: the delta length coding cannot express an
+      // unused symbol, so all symbols need a code in all tables.
+      std::vector<uint32_t> f(alpha);
+      for (int s = 0; s < alpha; ++s) f[s] = tfreq[t][s] + 1;
+      PackageMergeLengths(f.data(), alpha, kCodeLenLimit, lens[t].data());
+      CanonicalCodes(lens[t].data(), alpha, codes[t].data());
+    }
+  }
+
+  // ---- emit ----
+  bw->Write((uint32_t)(kBlockMagic >> 24), 24);
+  bw->Write((uint32_t)(kBlockMagic & 0xffffff), 24);
+  bw->Write(block_crc, 32);
+  bw->Write(0, 1);  // randomized = no
+  bw->Write(orig, 24);
+  // used map
+  uint16_t used16 = 0;
+  for (int i = 0; i < 16; ++i)
+    for (int j = 0; j < 16; ++j)
+      if (in_use[16 * i + j]) used16 |= (uint16_t)(1 << (15 - i));
+  bw->Write(used16, 16);
+  for (int i = 0; i < 16; ++i) {
+    if (!(used16 & (1 << (15 - i)))) continue;
+    uint16_t m = 0;
+    for (int j = 0; j < 16; ++j)
+      if (in_use[16 * i + j]) m |= (uint16_t)(1 << (15 - j));
+    bw->Write(m, 16);
+  }
+  bw->Write((uint32_t)n_tables, 3);
+  bw->Write((uint32_t)n_sel, 15);
+  // selectors, MTF'd over table ids, unary
+  {
+    uint8_t order[6];
+    for (int i = 0; i < n_tables; ++i) order[i] = (uint8_t)i;
+    for (int g = 0; g < n_sel; ++g) {
+      uint8_t v = selector[g];
+      int j = 0;
+      while (order[j] != v) ++j;
+      std::memmove(order + 1, order, j);
+      order[0] = v;
+      for (int k = 0; k < j; ++k) bw->Write(1, 1);
+      bw->Write(0, 1);
+    }
+  }
+  // tables: 5-bit start, then delta steps
+  for (int t = 0; t < n_tables; ++t) {
+    int cur = lens[t][0];
+    bw->Write((uint32_t)cur, 5);
+    for (int s = 0; s < alpha; ++s) {
+      int target = lens[t][s];
+      while (cur < target) {
+        bw->Write(2, 2);  // "10" increment
+        ++cur;
+      }
+      while (cur > target) {
+        bw->Write(3, 2);  // "11" decrement
+        --cur;
+      }
+      bw->Write(0, 1);
+    }
+  }
+  // symbol stream
+  for (int g = 0; g < n_sel; ++g) {
+    int t = selector[g];
+    int lo = g * kGroupSize;
+    int hi = std::min(n_mtf, lo + kGroupSize);
+    for (int i = lo; i < hi; ++i) {
+      uint16_t v = mtfv[i];
+      bw->WriteHuff(codes[t][v], lens[t][v]);
+    }
+  }
+}
+
+}  // namespace
+
+void Bzip2Encode(const uint8_t* in, size_t n, int level,
+                 std::vector<uint8_t>* out) {
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  const size_t limit = (size_t)level * 100000;
+  BitWriterMSB bw;
+  bw.Write('B', 8);
+  bw.Write('Z', 8);
+  bw.Write('h', 8);
+  bw.Write('0' + level, 8);
+
+  std::vector<Rle1Unit> units;
+  Rle1Units(in, n, &units);
+
+  uint32_t combined = 0;
+  size_t u = 0;
+  size_t src_pos = 0;
+  while (u < units.size()) {
+    std::vector<uint8_t> block;
+    block.reserve(std::min(limit, n + 16));
+    size_t src_len = 0;
+    while (u < units.size() && block.size() + units[u].out_len <= limit) {
+      const Rle1Unit& un = units[u];
+      if (un.out_len == 1) {
+        block.push_back(un.byte);
+      } else {
+        for (int k = 0; k < 4; ++k) block.push_back(un.byte);
+        block.push_back(un.count);
+      }
+      src_len += un.src_len;
+      ++u;
+    }
+    uint32_t crc =
+        Crc32Msb(in + src_pos, src_len, 0xFFFFFFFF) ^ 0xFFFFFFFF;
+    src_pos += src_len;
+    combined = ((combined << 1) | (combined >> 31)) ^ crc;
+    EncodeBlock(block, crc, &bw);
+  }
+  bw.Write((uint32_t)(kEosMagic >> 24), 24);
+  bw.Write((uint32_t)(kEosMagic & 0xffffff), 24);
+  bw.Write(combined, 32);
+  bw.AlignByte();
+  *out = std::move(bw.bytes());
+}
+
+// ------------------------------------------------------------------ decode
+
+namespace {
+
+int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
+                    uint32_t* block_crc_out) {
+  uint32_t crc = br->Read(32);
+  *block_crc_out = crc;
+  uint32_t randomized = br->Read(1);
+  if (randomized) return kStatusDataError;  // deprecated, unsupported
+  uint32_t orig = br->Read(24);
+  if (br->Overrun()) return kStatusUnexpectedEof;
+
+  uint8_t seq_to_unseq[256];
+  int n_used = 0;
+  uint16_t used16 = (uint16_t)br->Read(16);
+  for (int i = 0; i < 16; ++i) {
+    if (!(used16 & (1 << (15 - i)))) continue;
+    uint16_t m = (uint16_t)br->Read(16);
+    for (int j = 0; j < 16; ++j)
+      if (m & (1 << (15 - j))) seq_to_unseq[n_used++] = (uint8_t)(16 * i + j);
+  }
+  if (br->Overrun()) return kStatusUnexpectedEof;
+  if (n_used == 0) return kStatusDataError;
+  const int alpha = n_used + 2;
+  const int eob = n_used + 1;
+
+  int n_tables = (int)br->Read(3);
+  int n_sel = (int)br->Read(15);
+  if (n_tables < 2 || n_tables > 6 || n_sel < 1) return kStatusDataError;
+  std::vector<uint8_t> selector(n_sel);
+  {
+    uint8_t order[6];
+    for (int i = 0; i < n_tables; ++i) order[i] = (uint8_t)i;
+    for (int g = 0; g < n_sel; ++g) {
+      int j = 0;
+      while (br->Read(1) == 1) {
+        ++j;
+        if (j >= n_tables) return kStatusDataError;
+        if (br->Overrun()) return kStatusUnexpectedEof;
+      }
+      uint8_t v = order[j];
+      std::memmove(order + 1, order, j);
+      order[0] = v;
+      selector[g] = v;
+    }
+  }
+  if (br->Overrun()) return kStatusUnexpectedEof;
+
+  std::vector<HuffDecodeTable> tabs(n_tables);
+  for (int t = 0; t < n_tables; ++t) {
+    std::vector<uint8_t> lens(alpha);
+    int cur = (int)br->Read(5);
+    for (int s = 0; s < alpha; ++s) {
+      for (;;) {
+        if (cur < 1 || cur > kMaxCodeLen) return kStatusDataError;
+        if (br->Read(1) == 0) break;
+        if (br->Read(1) == 0) ++cur;
+        else --cur;
+        if (br->Overrun()) return kStatusUnexpectedEof;
+      }
+      lens[s] = (uint8_t)cur;
+    }
+    if (br->Overrun()) return kStatusUnexpectedEof;
+    if (!BuildDecodeTable(lens.data(), alpha, /*lsb=*/false, &tabs[t]) ||
+        tabs[t].bits == 0)
+      return kStatusDataError;
+  }
+
+  // Symbol stream -> RLE2^-1 + MTF^-1 -> BWT last column.
+  std::vector<uint8_t> last;
+  {
+    uint8_t order[256];
+    for (int i = 0; i < n_used; ++i) order[i] = seq_to_unseq[i];
+    int g = -1, gpos = 0, t = 0;
+    int64_t zero_run = 0, zbit = 0;
+    for (;;) {
+      if (gpos == 0) {
+        ++g;
+        if (g >= n_sel) return kStatusDataError;
+        t = selector[g];
+        gpos = kGroupSize;
+      }
+      --gpos;
+      const HuffDecodeTable& tab = tabs[t];
+      uint32_t e = tab.entries[br->Peek(tab.bits)];
+      int len = (int)(e & 0x1f);
+      if (len == 0) return kStatusDataError;
+      br->Consume(len);
+      if (br->Overrun()) return kStatusUnexpectedEof;
+      int sym = (int)(e >> 5);
+      if (sym == 0 || sym == 1) {  // RUNA / RUNB
+        zero_run += (int64_t)(sym + 1) << zbit;
+        ++zbit;
+        continue;
+      }
+      if (zero_run > 0) {
+        if ((size_t)zero_run > (size_t)100000 * 10) return kStatusDataError;
+        last.insert(last.end(), (size_t)zero_run, order[0]);
+        zero_run = 0;
+        zbit = 0;
+      }
+      if (sym == eob) break;
+      if (sym > eob) return kStatusDataError;
+      int j = sym - 1;  // MTF index
+      uint8_t v = order[j];
+      std::memmove(order + 1, order, j);
+      order[0] = v;
+      last.push_back(v);
+      if (last.size() > (size_t)9 * 100000 + 10) return kStatusDataError;
+    }
+  }
+  if (last.empty()) return kStatusDataError;
+  if (orig >= last.size()) return kStatusDataError;
+
+  // Inverse BWT (counting sort -> next-pointer walk).
+  const size_t bn = last.size();
+  std::vector<uint32_t> cnt(256, 0);
+  for (uint8_t b : last) ++cnt[b];
+  uint32_t tot = 0;
+  uint32_t base[256];
+  for (int i = 0; i < 256; ++i) {
+    base[i] = tot;
+    tot += cnt[i];
+  }
+  std::vector<uint32_t> tvec(bn);
+  {
+    uint32_t fill[256];
+    std::memcpy(fill, base, sizeof(base));
+    for (size_t i = 0; i < bn; ++i) tvec[fill[last[i]]++] = (uint32_t)i;
+  }
+  std::vector<uint8_t> bwt_out(bn);
+  {
+    uint32_t p = tvec[orig];
+    for (size_t i = 0; i < bn; ++i) {
+      bwt_out[i] = last[p];
+      p = tvec[p];
+    }
+  }
+
+  // RLE1 inverse.
+  size_t i = 0;
+  while (i < bn) {
+    uint8_t b = bwt_out[i];
+    size_t run = 1;
+    while (i + run < bn && run < 4 && bwt_out[i + run] == b) ++run;
+    plain->insert(plain->end(), run, b);
+    i += run;
+    if (run == 4) {
+      if (i >= bn) return kStatusUnexpectedEof;
+      plain->insert(plain->end(), bwt_out[i], b);
+      ++i;
+    }
+  }
+  return kStatusOk;
+}
+
+}  // namespace
+
+int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
+  size_t stream_start = 0;
+  bool decoded_any = false;
+  while (stream_start < n) {
+    BitReaderMSB br(in + stream_start, n - stream_start);
+    if (br.Read(8) != 'B' || br.Read(8) != 'Z' || br.Read(8) != 'h')
+      return decoded_any ? kStatusOk : kStatusDataError;
+    uint32_t lvl = br.Read(8);
+    if (lvl < '1' || lvl > '9') return kStatusDataError;
+    if (br.Overrun()) return kStatusUnexpectedEof;
+    uint32_t combined = 0;
+    for (;;) {
+      uint64_t magic = ((uint64_t)br.Read(24) << 24) | br.Read(24);
+      if (br.Overrun()) return kStatusUnexpectedEof;
+      if (magic == kEosMagic) {
+        uint32_t expect = br.Read(32);
+        if (br.Overrun()) return kStatusUnexpectedEof;
+        if (expect != combined) return kStatusDataError;
+        break;
+      }
+      if (magic != kBlockMagic) return kStatusDataError;
+      size_t before = out->size();
+      uint32_t block_crc;
+      int st = DecodeBlockBody(&br, out, &block_crc);
+      if (st != kStatusOk) return st;
+      uint32_t actual = Crc32Msb(out->data() + before, out->size() - before,
+                                 0xFFFFFFFF) ^ 0xFFFFFFFF;
+      if (actual != block_crc) return kStatusDataError;
+      combined = ((combined << 1) | (combined >> 31)) ^ block_crc;
+    }
+    // Streams are byte-aligned; advance to the next one.
+    uint64_t bits = br.BitsConsumed();
+    stream_start += (size_t)((bits + 7) / 8);
+    decoded_any = true;
+  }
+  return decoded_any ? kStatusOk : kStatusUnexpectedEof;
+}
+
+}  // namespace tpz

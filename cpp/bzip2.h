@@ -1,2 +1,27 @@
-// BZip2 — implemented in a later milestone this round.
+// BZip2 stream codec for the CPU oracle.
+//
+// Parity: reference crate src/bzip2/ (BZip2Encoder::new(level)/
+// BZip2Decoder, [HIGH] names; SURVEY.md §2.1/§3.2-3.3; behavior pinned by
+// the public BZip2 stream format). Pipeline per block:
+//   RLE1 -> BWT (rotation sort, 24-bit origin ptr) -> MTF -> RLE2
+//   (RUNA/RUNB bijective base-2) -> 2..6 Huffman tables with 50-symbol
+//   selector groups (selectors MTF'd + unary), delta-coded code lengths,
+//   per-block CRC (MSB-first variant) and combined stream CRC.
+// All bits MSB-first. The deprecated "randomized" blocks are rejected on
+// decode (no modern encoder emits them).
 #pragma once
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+namespace tpz {
+
+// level in 1..9 (block budget = level * 100000 post-RLE1 bytes).
+void Bzip2Encode(const uint8_t* in, size_t n, int level,
+                 std::vector<uint8_t>* out);
+
+// Decodes one or more concatenated streams. Returns 0/1/2 status.
+int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out);
+
+}  // namespace tpz

@@ -9,6 +9,7 @@
 #include <vector>
 
 #include "bitio.h"
+#include "bzip2.h"
 #include "deflate.h"
 #include "huffman.h"
 #include "lzhuf.h"
@@ -129,6 +130,22 @@ int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
                 size_t* consumed) {
   std::vector<uint8_t> v;
   int st = Inflate(in, n, &v, consumed);
+  if (st != 0) return st;
+  return CopyOut(v, out, out_len);
+}
+
+// ------------------------------------------------------------------- bzip2
+int tpz_bzip2_encode(const uint8_t* in, size_t n, int32_t level, uint8_t* out,
+                     size_t* out_len) {
+  std::vector<uint8_t> v;
+  Bzip2Encode(in, n, level, &v);
+  return CopyOut(v, out, out_len);
+}
+
+int tpz_bzip2_decode(const uint8_t* in, size_t n, uint8_t* out,
+                     size_t* out_len) {
+  std::vector<uint8_t> v;
+  int st = Bzip2Decode(in, n, &v);
   if (st != 0) return st;
   return CopyOut(v, out, out_len);
 }

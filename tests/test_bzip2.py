@@ -1,0 +1,91 @@
+"""BZip2 vs stdlib bz2 — interop goldens both directions (SURVEY.md §4)."""
+
+import bz2 as stdbz2
+
+import pytest
+
+from tpz import oracle
+from tpz.codecs import bzip2
+from tpz.errors import CompressionError, DataError
+from tpz.utils import corpus
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="oracle library not built"
+)
+
+CASES = {**corpus.edge_cases(), "text": corpus.text(1 << 16),
+         "mixed": corpus.mixed(150_000), "skewed": corpus.skewed_bytes(60_000)}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_stdlib_decodes_ours(name):
+    data = CASES[name]
+    comp = bzip2.compress(data, backend="oracle")
+    assert stdbz2.decompress(comp) == data, name
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_we_decode_stdlib(name):
+    data = CASES[name]
+    for level in (1, 9):
+        comp = stdbz2.compress(data, level)
+        assert bzip2.decompress(comp) == data, (name, level)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_roundtrip(name):
+    data = CASES[name]
+    comp = bzip2.compress(data, backend="oracle")
+    assert bzip2.decompress(comp) == data, name
+
+
+def test_empty():
+    comp = bzip2.compress(b"", backend="oracle")
+    assert stdbz2.decompress(comp) == b""
+    assert bzip2.decompress(stdbz2.compress(b"")) == b""
+
+
+def test_multiblock():
+    """Input spanning multiple 100k blocks at level 1."""
+    data = corpus.mixed(350_000)
+    comp = oracle.bzip2_encode(data, level=1)
+    assert stdbz2.decompress(comp) == data
+    assert bzip2.decompress(comp) == data
+
+
+def test_multistream():
+    a, b = corpus.text(30_000), corpus.random_bytes(10_000)
+    blob = stdbz2.compress(a) + stdbz2.compress(b)
+    assert bzip2.decompress(blob) == a + b
+
+
+def test_size_reasonable():
+    data = corpus.text(1 << 16)
+    ours = len(bzip2.compress(data, backend="oracle"))
+    theirs = len(stdbz2.compress(data, 9))
+    assert ours <= theirs * 1.1, (ours, theirs)
+
+
+def test_rle1_protection():
+    """Long runs exercise RLE1 (including the 255+4 split)."""
+    data = b"\x00" * 1000 + b"ab" * 50 + b"\xff" * 300 + b"x" * 4 + b"\x07"
+    comp = bzip2.compress(data, backend="oracle")
+    assert stdbz2.decompress(comp) == data
+
+
+def test_negative_truncated():
+    comp = bzip2.compress(corpus.text(50_000), backend="oracle")
+    with pytest.raises(CompressionError):
+        bzip2.decompress(comp[: len(comp) // 2])
+
+
+def test_negative_bad_magic():
+    with pytest.raises(DataError):
+        bzip2.decompress(b"BAh9" + b"\x00" * 50)
+
+
+def test_negative_corrupt_crc():
+    comp = bytearray(bzip2.compress(corpus.text(20_000), backend="oracle"))
+    comp[len(comp) // 2] ^= 0xFF
+    with pytest.raises(CompressionError):
+        bzip2.decompress(bytes(comp))

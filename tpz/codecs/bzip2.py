@@ -1,0 +1,30 @@
+"""BZip2 codec.
+
+Parity: reference crate src/bzip2/ `BZip2Encoder::new(level)` /
+`BZip2Decoder` ([HIGH] names, SURVEY.md §2.1; behavior pinned by the BZip2
+stream format and interop-tested against stdlib bz2). Encode runs on the
+C++ oracle or, when an accelerator is available, the device pipeline
+(tpz/kernels/bzip2_pipeline.py) for the block transforms.
+"""
+
+from __future__ import annotations
+
+from tpz import oracle
+
+
+def compress(data: bytes, level: int = 9, backend: str = "auto") -> bytes:
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import bzip2_pipeline
+
+            if bzip2_pipeline.usable():
+                return bzip2_pipeline.compress(data, level)
+            raise RuntimeError("device pipeline not usable")
+        except Exception:
+            if backend == "tpu":
+                raise
+    return oracle.bzip2_encode(data, level)
+
+
+def decompress(data: bytes) -> bytes:
+    return oracle.bzip2_decode(data)

@@ -59,6 +59,11 @@ def lib() -> ctypes.CDLL:
             u8p, ctypes.c_size_t, i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
         L.tpz_inflate.restype = ctypes.c_int
         L.tpz_inflate.argtypes = [u8p, ctypes.c_size_t, u8p, szp, szp]
+        L.tpz_bzip2_encode.restype = ctypes.c_int
+        L.tpz_bzip2_encode.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
+        L.tpz_bzip2_decode.restype = ctypes.c_int
+        L.tpz_bzip2_decode.argtypes = [u8p, ctypes.c_size_t, u8p, szp]
         L.tpz_lzhuf_encode.restype = ctypes.c_int
         L.tpz_lzhuf_encode.argtypes = [
             u8p, ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32, u8p, szp]
@@ -240,6 +245,33 @@ def deflate_plan(lit_freq: np.ndarray, dist_freq: np.ndarray,
         "lit_code": lit_code, "dist_len": dist_len, "dist_code": dist_code,
         "header": header,
     }
+
+
+def bzip2_encode(data, level: int = 9) -> bytes:
+    a = _u8(data)
+    cap = a.size + (a.size >> 2) + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_bzip2_encode(_u8ptr(a), a.size, level,
+                                _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "bzip2_encode")
+    return out[: n.value].tobytes()
+
+
+def bzip2_decode(data, max_out: int | None = None) -> bytes:
+    a = _u8(data)
+    cap = max_out if max_out is not None else max(4096, 80 * a.size)
+    for _ in range(8):
+        out = np.zeros(cap, dtype=np.uint8)
+        n = ctypes.c_size_t(cap)
+        st = lib().tpz_bzip2_decode(_u8ptr(a), a.size,
+                                    _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+        if st == STATUS_BUFFER_TOO_SMALL and max_out is None:
+            cap = n.value
+            continue
+        raise_for_status(st, "bzip2_decode")
+        return out[: n.value].tobytes()
+    raise_for_status(STATUS_BUFFER_TOO_SMALL, "bzip2_decode: output cap")
 
 
 def lzhuf_encode(data, dict_bits: int = 13, max_chain: int = 16) -> bytes:
