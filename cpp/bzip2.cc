@@ -55,6 +55,9 @@ void Rle1Units(const uint8_t* in, size_t n, std::vector<Rle1Unit>* units) {
 // ------------------------------------------------------------------- BWT
 
 // Sort all rotations of s (cyclic prefix-doubling, O(n log^2 n)).
+// Ties between identical rotations (periodic inputs) break by rotation
+// index — the same rule as the device kernel (tpz/kernels/bwt.py), so the
+// two produce identical (last, origPtr) pairs.
 // Returns the last column in `last` and the origin pointer.
 uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
   const int n = (int)s.size();
@@ -64,19 +67,24 @@ uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
     rank[i] = s[i];
   }
   for (int k = 1;; k <<= 1) {
-    auto cmp = [&](int a, int b) {
+    // Content-only comparison: drives rank assignment.
+    auto content_less = [&](int a, int b) {
       if (rank[a] != rank[b]) return rank[a] < rank[b];
-      int ra = rank[(a + k) % n];
-      int rb = rank[(b + k) % n];
-      return ra < rb;
+      return rank[(a + k) % n] < rank[(b + k) % n];
+    };
+    // Order comparison: content, then rotation index (determinism).
+    auto cmp = [&](int a, int b) {
+      if (content_less(a, b)) return true;
+      if (content_less(b, a)) return false;
+      return a < b;
     };
     std::sort(sa.begin(), sa.end(), cmp);
     tmp[sa[0]] = 0;
     for (int i = 1; i < n; ++i)
-      tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
+      tmp[sa[i]] = tmp[sa[i - 1]] + (content_less(sa[i - 1], sa[i]) ? 1 : 0);
     rank = tmp;
     if (rank[sa[n - 1]] == n - 1) break;
-    if (k > n) break;  // all distinct impossible to miss, safety
+    if (k > n) break;  // ties are only between identical rotations now
   }
   last->resize(n);
   uint32_t orig = 0;
@@ -90,11 +98,11 @@ uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
 
 // ---------------------------------------------------------------- encode
 
-void EncodeBlock(const std::vector<uint8_t>& data, uint32_t block_crc,
-                 BitWriterMSB* bw) {
-  const int n = (int)data.size();
-  std::vector<uint8_t> last;
-  uint32_t orig = BwtEncode(data, &last);
+void EncodeBlockPostBwt(const std::vector<uint8_t>& last_in, uint32_t orig,
+                        uint32_t block_crc, BitWriterMSB* bw) {
+  const std::vector<uint8_t>& last = last_in;
+  const int n = (int)last.size();
+  (void)n;
 
   // Used-symbol map + MTF + RLE2.
   bool in_use[256] = {false};
@@ -109,7 +117,7 @@ void EncodeBlock(const std::vector<uint8_t>& data, uint32_t block_crc,
   const int eob = n_used + 1;
   const int alpha = n_used + 2;
   std::vector<uint16_t> mtfv;  // RLE2 symbol stream incl. EOB
-  mtfv.reserve(n + 16);
+  mtfv.reserve(last.size() + 16);
   {
     uint8_t order[256];
     for (int i = 0; i < n_used; ++i) order[i] = (uint8_t)i;
@@ -323,7 +331,9 @@ void Bzip2Encode(const uint8_t* in, size_t n, int level,
         Crc32Msb(in + src_pos, src_len, 0xFFFFFFFF) ^ 0xFFFFFFFF;
     src_pos += src_len;
     combined = ((combined << 1) | (combined >> 31)) ^ crc;
-    EncodeBlock(block, crc, &bw);
+    std::vector<uint8_t> lastcol;
+    uint32_t orig = BwtEncode(block, &lastcol);
+    EncodeBlockPostBwt(lastcol, orig, crc, &bw);
   }
   bw.Write((uint32_t)(kEosMagic >> 24), 24);
   bw.Write((uint32_t)(kEosMagic & 0xffffff), 24);

@@ -195,3 +195,15 @@ int tpz_deflate_plan(const uint32_t* lit_freq, const uint32_t* dist_freq,
 }
 
 }  // extern "C"
+
+extern "C" int tpz_lzhuf_plan(const uint32_t* c_freq, const uint32_t* p_freq,
+                              const uint32_t* token_counts, int32_t nb,
+                              int32_t dict_bits, int64_t* body_bit_offset,
+                              int64_t* total_bits, uint8_t* c_len,
+                              uint16_t* c_code, uint8_t* p_len,
+                              uint16_t* p_code, uint8_t* header_stream,
+                              size_t header_cap) {
+  return tpz::LzhufPlan(c_freq, p_freq, token_counts, nb, dict_bits,
+                        body_bit_offset, total_bits, c_len, c_code, p_len,
+                        p_code, header_stream, header_cap);
+}

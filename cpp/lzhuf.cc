@@ -20,7 +20,10 @@ constexpr int kTBits = 5;    // bits for T-table count
 constexpr int kCBits = 9;    // bits for C-table count
 constexpr int kMaxLen = 16;  // code length limit for C/P tables
 constexpr int kTLen = 16;    // length limit for the T table itself
-constexpr size_t kTokensPerBlock = 32768;
+// One lzhuf block per LZSS parse block (spec v1): block grouping follows
+// token positions, so the device pipeline's per-block arrays map 1:1 onto
+// lzhuf blocks (tpz/kernels/lzhuf_pipeline.py).
+constexpr uint32_t kParseBlock = 32768;
 
 inline int BitLength(uint32_t v) {
   int c = 0;
@@ -33,8 +36,35 @@ inline int BitLength(uint32_t v) {
 
 // ---- table writers (ar002-compatible layout) ----
 
+// MSB-first bit writer that ORs into a caller-provided buffer at absolute
+// bit offsets (for the device-pipeline planner: device body bits are ORed
+// into the same bit-space afterwards).
+class AbsBitWriterMSB {
+ public:
+  AbsBitWriterMSB(uint8_t* buf, size_t cap_bytes, uint64_t pos)
+      : buf_(buf), cap_(cap_bytes), pos_(pos) {}
+  void Write(uint32_t v, int n) {
+    for (int b = n - 1; b >= 0; --b) {
+      if ((v >> b) & 1) {
+        size_t byte = (size_t)(pos_ >> 3);
+        if (byte < cap_) buf_[byte] |= (uint8_t)(0x80u >> (pos_ & 7));
+      }
+      ++pos_;
+    }
+  }
+  void WriteHuff(uint32_t code, int nbits) { Write(code, nbits); }
+  uint64_t pos() const { return pos_; }
+  void set_pos(uint64_t p) { pos_ = p; }
+
+ private:
+  uint8_t* buf_;
+  size_t cap_;
+  uint64_t pos_;
+};
+
 // T-table: lengths of the 19-symbol C-length alphabet.
-void WriteTLens(const uint8_t* lens, BitWriterMSB* bw) {
+template <typename Writer>
+void WriteTLensT(const uint8_t* lens, Writer* bw) {
   int n = kNT;
   while (n > 0 && lens[n - 1] == 0) --n;
   // Count==0 form requires a constant C-length symbol; only usable when no
@@ -68,8 +98,9 @@ void WriteTLens(const uint8_t* lens, BitWriterMSB* bw) {
 }
 
 // C-table lengths via the T-Huffman code.
-void WriteCLens(const uint8_t* clen, const uint8_t* tlen,
-                const uint16_t* tcode, BitWriterMSB* bw) {
+template <typename Writer>
+void WriteCLensT(const uint8_t* clen, const uint8_t* tlen,
+                 const uint16_t* tcode, Writer* bw) {
   int n = kNC;
   while (n > 0 && clen[n - 1] == 0) --n;
   if (n == 0) {
@@ -115,7 +146,8 @@ void WriteCLens(const uint8_t* clen, const uint8_t* tlen,
 }
 
 // P-table: 3-bit lengths with unary extension, count field of `cbits` bits.
-void WritePLens(const uint8_t* lens, int np, int cbits, BitWriterMSB* bw) {
+template <typename Writer>
+void WritePLensT(const uint8_t* lens, int np, int cbits, Writer* bw) {
   int n = np;
   while (n > 0 && lens[n - 1] == 0) --n;
   if (n == 0) {
@@ -245,15 +277,129 @@ LzhufMethod LzhufMethodFor(int dict_bits) {
   return m;
 }
 
+namespace {
+
+struct LzhufTables {
+  std::vector<uint8_t> clen, plen;
+  std::vector<uint16_t> ccode, pcode;
+  uint8_t tlen[kNT];
+  uint16_t tcode[kNT];
+  int cused = 0, clast = 0, pused = 0, plast = 0, tused = 0, tlast = 0;
+};
+
+// Everything downstream of the (C, P) histograms; shared by the streaming
+// encoder and the device-pipeline planner so they cannot diverge.
+LzhufTables BuildTables(const uint32_t* cfreq, const uint32_t* pfreq,
+                        const LzhufMethod& m) {
+  LzhufTables T;
+  T.clen.assign(kNC, 0);
+  T.plen.assign(m.np, 0);
+  T.ccode.assign(kNC, 0);
+  T.pcode.assign(m.np, 0);
+  std::memset(T.tlen, 0, sizeof(T.tlen));
+  std::memset(T.tcode, 0, sizeof(T.tcode));
+  for (int s = 0; s < kNC; ++s)
+    if (cfreq[s]) {
+      ++T.cused;
+      T.clast = s;
+    }
+  for (int s = 0; s < m.np; ++s)
+    if (pfreq[s]) {
+      ++T.pused;
+      T.plast = s;
+    }
+  if (T.cused > 1) {
+    PackageMergeLengths(cfreq, kNC, kMaxLen, T.clen.data());
+    CanonicalCodes(T.clen.data(), kNC, T.ccode.data());
+    // T-table: histogram of the C-length RLE emission.
+    uint32_t tfreq[kNT] = {0};
+    int n = kNC;
+    while (n > 0 && T.clen[n - 1] == 0) --n;
+    int i = 0;
+    while (i < n) {
+      if (T.clen[i] == 0) {
+        int run = 0;
+        while (i + run < n && T.clen[i + run] == 0) ++run;
+        int r = run;
+        while (r > 0) {
+          if (r <= 2) {
+            tfreq[0] += r;
+            r = 0;
+          } else if (r <= 18) {
+            ++tfreq[1];
+            r = 0;
+          } else if (r == 19) {
+            ++tfreq[0];
+            ++tfreq[1];
+            r = 0;
+          } else {
+            int take = std::min(r, 20 + 511);
+            ++tfreq[2];
+            r -= take;
+          }
+        }
+        i += run;
+      } else {
+        ++tfreq[T.clen[i] + 2];
+        ++i;
+      }
+    }
+    for (int sTT = 0; sTT < kNT; ++sTT)
+      if (tfreq[sTT]) {
+        ++T.tused;
+        T.tlast = sTT;
+      }
+    if (T.tused > 1) {
+      PackageMergeLengths(tfreq, kNT, kTLen, T.tlen);
+      CanonicalCodes(T.tlen, kNT, T.tcode);
+    }
+  }
+  if (T.pused > 1) {
+    PackageMergeLengths(pfreq, m.np, kMaxLen, T.plen.data());
+    CanonicalCodes(T.plen.data(), m.np, T.pcode.data());
+  }
+  return T;
+}
+
+template <typename Writer>
+void EmitHeader(const LzhufTables& T, uint32_t cnt, const LzhufMethod& m,
+                Writer* bw) {
+  bw->Write(cnt, 16);
+  if (T.cused <= 1) {
+    bw->Write(0, kTBits);
+    bw->Write(0, kTBits);
+    bw->Write(0, kCBits);
+    bw->Write(T.cused ? (uint32_t)T.clast : 0, kCBits);
+  } else {
+    if (T.tused <= 1) {
+      bw->Write(0, kTBits);
+      bw->Write((uint32_t)T.tlast, kTBits);
+    } else {
+      WriteTLensT(T.tlen, bw);
+    }
+    WriteCLensT(T.clen.data(), T.tlen, T.tcode, bw);
+  }
+  if (T.pused <= 1) {
+    bw->Write(0, m.pbit);
+    bw->Write(T.pused ? (uint32_t)T.plast : 0, m.pbit);
+  } else {
+    WritePLensT(T.plen.data(), m.np, m.pbit, bw);
+  }
+}
+
+}  // namespace
+
 void LzhufEncode(const Token* tokens, size_t ntokens, const LzhufMethod& m,
                  BitWriterMSB* bw) {
   if (ntokens == 0) return;  // empty stream: no blocks at all
   size_t t0 = 0;
   while (t0 < ntokens) {
-    size_t cnt = std::min(kTokensPerBlock, ntokens - t0);
-    // Histograms.
+    uint32_t blk = tokens[t0].pos / kParseBlock;
+    size_t t1 = t0;
+    while (t1 < ntokens && tokens[t1].pos / kParseBlock == blk) ++t1;
+    size_t cnt = t1 - t0;
     std::vector<uint32_t> cfreq(kNC, 0), pfreq(m.np, 0);
-    for (size_t t = t0; t < t0 + cnt; ++t) {
+    for (size_t t = t0; t < t1; ++t) {
       const Token& tok = tokens[t];
       if (tok.len == 0) {
         ++cfreq[tok.lit];
@@ -262,116 +408,52 @@ void LzhufEncode(const Token* tokens, size_t ntokens, const LzhufMethod& m,
         ++pfreq[BitLength(tok.dist - 1)];
       }
     }
-    std::vector<uint8_t> clen(kNC, 0), plen(m.np, 0);
-    PackageMergeLengths(cfreq.data(), kNC, kMaxLen, clen.data());
-    PackageMergeLengths(pfreq.data(), m.np, kMaxLen, plen.data());
-    // Single-symbol tables use the constant form (length 0 convention).
-    int cused = 0, clast = 0, pused = 0, plast = 0;
-    for (int s = 0; s < kNC; ++s)
-      if (cfreq[s]) {
-        ++cused;
-        clast = s;
-      }
-    for (int s = 0; s < m.np; ++s)
-      if (pfreq[s]) {
-        ++pused;
-        plast = s;
-      }
-    std::vector<uint16_t> ccode(kNC, 0), pcode(m.np, 0);
-
-    bw->Write((uint32_t)cnt, 16);
-
-    if (cused <= 1) {
-      // constant C table: write empty T table then C count==0 + symbol
-      bw->Write(0, kTBits);
-      bw->Write(0, kTBits);
-      bw->Write(0, kCBits);
-      bw->Write(cused ? (uint32_t)clast : 0, kCBits);
-      std::fill(clen.begin(), clen.end(), 0);
-    } else {
-      CanonicalCodes(clen.data(), kNC, ccode.data());
-      // T-table: histogram of the C-length RLE symbols.
-      uint32_t tfreq[kNT] = {0};
-      {
-        int n = kNC;
-        while (n > 0 && clen[n - 1] == 0) --n;
-        int i = 0;
-        while (i < n) {
-          if (clen[i] == 0) {
-            int run = 0;
-            while (i + run < n && clen[i + run] == 0) ++run;
-            int r = run;
-            while (r > 0) {
-              if (r <= 2) {
-                tfreq[0] += r;
-                r = 0;
-              } else if (r <= 18) {
-                ++tfreq[1];
-                r = 0;
-              } else if (r == 19) {
-                ++tfreq[0];
-                ++tfreq[1];
-                r = 0;
-              } else {
-                int take = std::min(r, 20 + 511);
-                ++tfreq[2];
-                r -= take;
-              }
-            }
-            i += run;
-          } else {
-            ++tfreq[clen[i] + 2];
-            ++i;
-          }
-        }
-      }
-      uint8_t tlen[kNT] = {0};
-      PackageMergeLengths(tfreq, kNT, kTLen, tlen);
-      int tused = 0, tlast = 0;
-      for (int s = 0; s < kNT; ++s)
-        if (tfreq[s]) {
-          ++tused;
-          tlast = s;
-        }
-      uint16_t tcode[kNT] = {0};
-      if (tused <= 1) {
-        std::memset(tlen, 0, sizeof(tlen));
-        bw->Write(0, kTBits);
-        bw->Write((uint32_t)tlast, kTBits);
-      } else {
-        CanonicalCodes(tlen, kNT, tcode);
-        WriteTLens(tlen, bw);
-      }
-      WriteCLens(clen.data(), tlen, tcode, bw);
-    }
-
-    if (pused <= 1) {
-      bw->Write(0, m.pbit);
-      bw->Write(pused ? (uint32_t)plast : 0, m.pbit);
-      std::fill(plen.begin(), plen.end(), 0);
-    } else {
-      CanonicalCodes(plen.data(), m.np, pcode.data());
-      WritePLens(plen.data(), m.np, m.pbit, bw);
-    }
-
-    // Tokens.
-    for (size_t t = t0; t < t0 + cnt; ++t) {
+    LzhufTables T = BuildTables(cfreq.data(), pfreq.data(), m);
+    EmitHeader(T, (uint32_t)cnt, m, bw);
+    for (size_t t = t0; t < t1; ++t) {
       const Token& tok = tokens[t];
       if (tok.len == 0) {
-        if (clen[tok.lit]) bw->WriteHuff(ccode[tok.lit], clen[tok.lit]);
-        // constant C table: zero bits
+        if (T.clen[tok.lit]) bw->WriteHuff(T.ccode[tok.lit], T.clen[tok.lit]);
       } else {
         int cs = 256 + tok.len - 3;
-        if (clen[cs]) bw->WriteHuff(ccode[cs], clen[cs]);
-        uint32_t p = tok.dist - 1;
-        int c = BitLength(p);
-        if (plen[c]) bw->WriteHuff(pcode[c], plen[c]);
-        if (c > 1) bw->Write(p & ((1u << (c - 1)) - 1), c - 1);
+        if (T.clen[cs]) bw->WriteHuff(T.ccode[cs], T.clen[cs]);
+        uint32_t pv = tok.dist - 1;
+        int c = BitLength(pv);
+        if (T.plen[c]) bw->WriteHuff(T.pcode[c], T.plen[c]);
+        if (c > 1) bw->Write(pv & ((1u << (c - 1)) - 1), c - 1);
       }
     }
-    t0 += cnt;
-    if (ntokens == 0) break;
+    t0 = t1;
   }
+}
+
+int LzhufPlan(const uint32_t* c_freq, const uint32_t* p_freq,
+              const uint32_t* token_counts, int32_t nb, int32_t dict_bits,
+              int64_t* body_bit_offset, int64_t* total_bits_out,
+              uint8_t* c_len_out, uint16_t* c_code_out, uint8_t* p_len_out,
+              uint16_t* p_code_out, uint8_t* header_stream,
+              size_t header_cap) {
+  LzhufMethod m = LzhufMethodFor(dict_bits);
+  AbsBitWriterMSB aw(header_stream, header_cap, 0);
+  for (int b = 0; b < nb; ++b) {
+    LzhufTables T = BuildTables(c_freq + (size_t)b * kNC,
+                                p_freq + (size_t)b * m.np, m);
+    EmitHeader(T, token_counts[b], m, &aw);
+    body_bit_offset[b] = (int64_t)aw.pos();
+    uint64_t body = 0;
+    for (int s = 0; s < kNC; ++s)
+      body += (uint64_t)c_freq[(size_t)b * kNC + s] * T.clen[s];
+    for (int c = 0; c < m.np; ++c)
+      body += (uint64_t)p_freq[(size_t)b * m.np + c] *
+              (T.plen[c] + (c > 1 ? c - 1 : 0));
+    aw.set_pos(aw.pos() + body);
+    std::memcpy(c_len_out + (size_t)b * kNC, T.clen.data(), kNC);
+    std::memcpy(c_code_out + (size_t)b * kNC, T.ccode.data(), kNC * 2);
+    std::memcpy(p_len_out + (size_t)b * 20, T.plen.data(), m.np);
+    std::memcpy(p_code_out + (size_t)b * 20, T.pcode.data(), m.np * 2);
+  }
+  *total_bits_out = (int64_t)aw.pos();
+  return 0;
 }
 
 void LzhufEncodeBytes(const uint8_t* in, size_t n, const LzhufMethod& m,

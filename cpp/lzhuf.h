@@ -50,3 +50,16 @@ int LzhufDecode(const uint8_t* in, size_t n, const LzhufMethod& m,
                 size_t orig_size, std::vector<uint8_t>* out);
 
 }  // namespace tpz
+
+namespace tpz {
+// Host planning for the TPU lzhuf pipeline: from per-block C/P histograms
+// and token counts, build tables (MSB code values, no bit reversal) and
+// emit all header bits at absolute offsets into header_stream
+// (caller-zeroed). p_len/p_code rows are strided by 20 (np <= 17).
+int LzhufPlan(const uint32_t* c_freq, const uint32_t* p_freq,
+              const uint32_t* token_counts, int32_t nb, int32_t dict_bits,
+              int64_t* body_bit_offset, int64_t* total_bits_out,
+              uint8_t* c_len_out, uint16_t* c_code_out, uint8_t* p_len_out,
+              uint16_t* p_code_out, uint8_t* header_stream,
+              size_t header_cap);
+}  // namespace tpz

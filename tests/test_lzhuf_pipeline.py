@@ -1,0 +1,43 @@
+"""Device LZHUF pipeline vs C++ oracle — byte-identity differential test."""
+
+import pytest
+
+from tpz import oracle
+from tpz.utils import corpus
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="oracle library not built"
+)
+
+CASES = {
+    "text_100k": corpus.text(100_000),
+    "mixed": corpus.mixed(130_000),
+    "repetitive": corpus.repetitive(70_000),
+    "random": corpus.random_bytes(50_000),
+    "tiny": b"hello hello hello hello",
+    "boundary": corpus.text(32768),
+    "boundary+1": corpus.text(32769),
+}
+
+
+@pytest.mark.parametrize("method", ["lh4", "lh5", "lh7"])
+@pytest.mark.parametrize("name", list(CASES))
+def test_pipeline_matches_oracle(method, name):
+    from tpz.codecs.lzhuf import _dict_bits
+    from tpz.kernels import lzhuf_pipeline
+
+    data = CASES[name]
+    ours = lzhuf_pipeline.compress(data, method)
+    ref = oracle.lzhuf_encode(data, _dict_bits(method))
+    assert ours == ref, (
+        f"{method}/{name}: device diverged (len {len(ours)} vs {len(ref)}, "
+        f"first diff "
+        f"{next((i for i, (a, b) in enumerate(zip(ours, ref)) if a != b), 'len')})"
+    )
+    assert oracle.lzhuf_decode(ours, len(data), _dict_bits(method)) == data
+
+
+def test_pipeline_empty():
+    from tpz.kernels import lzhuf_pipeline
+
+    assert lzhuf_pipeline.compress(b"", "lh5") == oracle.lzhuf_encode(b"", 13)

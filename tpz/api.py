@@ -30,6 +30,12 @@ def _load():
     register_format("zlib", zlib_codec.compress, zlib_codec.decompress)
     register_format("gzip", gzip_codec.compress, gzip_codec.decompress)
     try:
+        from tpz.codecs import lzss as _lzss
+
+        register_format("lzss", _lzss.compress, _lzss.decompress)
+    except ImportError:
+        pass
+    try:
         from tpz.codecs import lzhuf as _lzhuf
 
         for m in ("lh4", "lh5", "lh6", "lh7"):

@@ -155,3 +155,36 @@ def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
     words = words.at[w0].add(lo, mode="drop")
     words = words.at[w0 + 1].add(hi, mode="drop")
     return words[:total_words]
+
+
+def assemble_stream_msb(vals, nbits, body_off, total_words):
+    """MSB-first bitpack (BZip2/LZHUF direction, SURVEY.md §1 bit-direction
+    row): slots in position order per block, offsets = body_off + exclusive
+    prefix sum. Word w holds stream bits [32w, 32w+32) with bit 32w at the
+    word's MSB; the caller views the u32 array big-endian to get bytes.
+
+    vals: [NB, S] uint32 (value's MSB written first), nbits: [NB, S] int32
+    (<= 31), body_off: [NB] int32 absolute bit offsets.
+    """
+    excl = jnp.cumsum(nbits, axis=1) - nbits
+    off = (body_off[:, None] + excl).reshape(-1)
+    v = vals.reshape(-1)
+    n = nbits.reshape(-1)
+    # 64-bit big-endian window starting at word w0: value occupies bits
+    # [shift, shift+n) from the top => left-shift by s = 64 - shift - n.
+    w0 = off >> 5
+    shift = (off & 31).astype(jnp.uint32)
+    s = jnp.uint32(64) - shift - n.astype(jnp.uint32)
+    s32 = s.astype(jnp.int32)
+    hi = jnp.where(s32 >= 32, v << (s - 32).astype(jnp.uint32),
+                   v >> (jnp.uint32(32) - s))
+    lo = jnp.where(s32 >= 32, jnp.uint32(0), v << s)
+    # s == 32 edge: v >> 0 fine; v << 32 avoided by the branch.
+    live = n > 0
+    hi = jnp.where(live, hi, 0)
+    lo = jnp.where(live, lo, 0)
+    w0 = jnp.where(live, w0, total_words)
+    words = jnp.zeros((total_words + 2,), jnp.uint32)
+    words = words.at[w0].add(hi, mode="drop")
+    words = words.at[w0 + 1].add(lo, mode="drop")
+    return words[:total_words]

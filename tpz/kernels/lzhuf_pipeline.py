@@ -1,0 +1,163 @@
+"""TPU LZHUF encode pipeline (SURVEY.md §2.1 LZHUF row: "reuses LZSS +
+Huffman + bitpack kernels with LHA parameters, MSB-first direction").
+
+Same architecture as deflate_pipeline: device match-find/parse/histograms
+(shared matchfinder with window 2^dictbits, block 32 KiB, max_match 256),
+C++ host planning (cpp LzhufPlan — tables + header bits at absolute
+offsets), device MSB bitpack, host OR-merge. Byte-identical to the
+oracle's LzhufEncodeBytes (differential test in tests/test_lzhuf_pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpz.constants import LZHUF_METHODS
+from tpz.kernels import bitpack
+from tpz.kernels.device_quirks import fetch
+from tpz.kernels.matchfinder import find_matches
+from tpz.kernels.parse import greedy_parse
+
+BLOCK = 32768
+FWD = 512
+MAX_MATCH = 256
+NC = 510
+
+
+def usable() -> bool:
+    from tpz.kernels.deflate_pipeline import usable as _u
+
+    return _u()
+
+
+def _shift_rows(base, k):
+    if k == 0:
+        return base
+    if k >= base.shape[0]:
+        return jnp.zeros_like(base)
+    return jnp.concatenate(
+        [jnp.zeros((k, base.shape[1]), base.dtype), base[:-k]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _make_blocks(span_u8: jax.Array, window: int):
+    nb = (span_u8.shape[0] - window - FWD) // BLOCK
+    base = span_u8[window:window + nb * BLOCK].reshape(nb, BLOCK)
+    parts = []
+    q, r = divmod(window, BLOCK)
+    if r:
+        parts.append(_shift_rows(base, q + 1)[:, BLOCK - r:])
+    for j in range(q, 0, -1):
+        parts.append(_shift_rows(base, j))
+    parts.append(base)
+    parts.append(jnp.concatenate(
+        [base[1:, :FWD], jnp.zeros((1, FWD), base.dtype)], axis=0))
+    return jnp.concatenate(parts, axis=1).astype(jnp.int32)
+
+
+def _bitlen16(p):
+    """bit_length(p) for p in [0, 65536) via 16 vector compares."""
+    c = jnp.zeros_like(p)
+    for k in range(17):
+        c = c + (p >= (1 << k)).astype(jnp.int32)
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "use_pallas", "np_"))
+def _stage1(blocks, span_off, span_len, block_len, k: int, window: int,
+            use_pallas: bool, np_: int):
+    mlen, mdist = find_matches(blocks, span_off, span_len, k=k,
+                               window=window, block=BLOCK,
+                               max_match=MAX_MATCH)
+    is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
+                                                use_pallas=use_pallas)
+    data_block = blocks[:, window:window + BLOCK]
+    is_match = is_token & (mlen > 0)
+    csym = jnp.where(is_match, 256 + mlen - 3, data_block)
+    psym = _bitlen16(jnp.maximum(mdist, 1) - 1)
+
+    NB = blocks.shape[0]
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 0)
+    c_hist = jnp.zeros((NB, NC), jnp.int32).at[
+        bidx, jnp.clip(csym, 0, NC - 1)].add(is_token.astype(jnp.int32))
+    p_hist = jnp.zeros((NB, np_), jnp.int32).at[
+        bidx, jnp.clip(psym, 0, np_ - 1)].add(is_match.astype(jnp.int32))
+    return mlen, mdist, is_token, c_hist, p_hist, ntokens
+
+
+@functools.partial(jax.jit, static_argnames=("total_words", "window"))
+def _stage2(blocks, is_token, mlen, mdist, c_len, c_code, p_len, p_code,
+            body_off, total_words: int, window: int):
+    data_block = blocks[:, window:window + BLOCK]
+    is_match = is_token & (mlen > 0)
+    csym = jnp.where(is_match, 256 + mlen - 3,
+                     jnp.where(is_token, data_block, 0))
+    cc = jnp.take_along_axis(c_code, csym, axis=1).astype(jnp.uint32)
+    cn = jnp.take_along_axis(c_len, csym, axis=1).astype(jnp.int32)
+    slot0_val = cc
+    slot0_n = jnp.where(is_token, cn, 0)
+
+    p = jnp.maximum(mdist, 1) - 1
+    c = _bitlen16(p)
+    raw_bits = jnp.maximum(c - 1, 0)
+    raw_val = (p.astype(jnp.uint32)
+               & ((jnp.uint32(1) << raw_bits.astype(jnp.uint32))
+                  - jnp.uint32(1)))
+    pc = jnp.take_along_axis(p_code, jnp.clip(c, 0, 19), axis=1).astype(jnp.uint32)
+    pn = jnp.take_along_axis(p_len, jnp.clip(c, 0, 19), axis=1).astype(jnp.int32)
+    slot1_val = (pc << raw_bits.astype(jnp.uint32)) | raw_val
+    slot1_n = jnp.where(is_match, pn + raw_bits, 0)
+
+    NB = blocks.shape[0]
+    vals = jnp.stack([slot0_val, slot1_val], axis=2).reshape(NB, 2 * BLOCK)
+    nbits = jnp.stack([slot0_n, slot1_n], axis=2).reshape(NB, 2 * BLOCK)
+    return bitpack.assemble_stream_msb(vals, nbits, body_off, total_words)
+
+
+def compress(data: bytes, method: str = "lh5", max_chain: int = 16) -> bytes:
+    from tpz import oracle
+
+    n = len(data)
+    if n == 0:
+        return b""
+    dict_bits, np_ = LZHUF_METHODS[method]
+    window = 1 << dict_bits
+    nb = (n + BLOCK - 1) // BLOCK
+    arr = np.frombuffer(memoryview(data), dtype=np.uint8)
+    span = np.zeros(window + nb * BLOCK + FWD, dtype=np.uint8)
+    span[window:window + n] = arr
+    blocks = _make_blocks(jnp.asarray(span), window)
+    span_off = jnp.asarray((np.arange(nb) * BLOCK).astype(np.int32))
+    block_len_np = np.minimum(n - np.arange(nb) * BLOCK, BLOCK).astype(np.int32)
+
+    use_pallas = jax.default_backend() == "tpu"
+    mlen, mdist, is_token, c_hist, p_hist, ntokens = _stage1(
+        blocks, span_off, jnp.int32(n), jnp.asarray(block_len_np),
+        max_chain, window, use_pallas, np_)
+
+    c_hist_np = fetch(c_hist).astype(np.uint32)
+    p_hist_np = fetch(p_hist).astype(np.uint32)
+    ntokens_np = fetch(ntokens).astype(np.uint32)
+
+    plan = oracle.lzhuf_plan(c_hist_np, p_hist_np, ntokens_np, dict_bits)
+    total_bits = plan["total_bits"]
+    total_words = (total_bits + 31) // 32 or 1
+
+    words = _stage2(
+        blocks, is_token, mlen, mdist,
+        jnp.asarray(plan["c_len"].astype(np.int32)),
+        jnp.asarray(plan["c_code"].astype(np.int32)),
+        jnp.asarray(plan["p_len"].astype(np.int32)),
+        jnp.asarray(plan["p_code"].astype(np.int32)),
+        jnp.asarray(plan["body_off"].astype(np.int32)),
+        total_words, window)
+    body = fetch(words).astype(">u4").view(np.uint8)  # MSB-first bytes
+
+    total_bytes = (total_bits + 7) // 8
+    out = plan["header"][:total_bytes].copy()
+    out |= body[:total_bytes]
+    return out.tobytes()

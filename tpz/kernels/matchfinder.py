@@ -215,9 +215,11 @@ def _match_bytes_u32(x: jax.Array) -> jax.Array:
             + b2.astype(jnp.int32) + b3.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "window", "block", "max_match"))
 def find_matches(data: jax.Array, span_off: jax.Array, span_len: jax.Array,
-                 k: int = 8, window: int = WINDOW, block: int = BLOCK):
+                 k: int = 8, window: int = WINDOW, block: int = BLOCK,
+                 max_match: int = MAX_MATCH):
     """Batched best-match search.
 
     data: [NB, M_TOTAL] int32 byte values — block b's bytes at
@@ -244,7 +246,7 @@ def find_matches(data: jax.Array, span_off: jax.Array, span_len: jax.Array,
     block_end_rel = jnp.minimum(
         jnp.full_like(idx, block + window),
         window + (span_len - span_off[:, None]))
-    cap_at = jnp.clip(block_end_rel - idx, 0, MAX_MATCH)
+    cap_at = jnp.clip(block_end_rel - idx, 0, max_match)
     cap_at = jnp.where(idx >= window, cap_at, 0)
 
     bj, bs = best_candidate_sorted(h, insertable, words, cap_at, k, window)

@@ -74,6 +74,10 @@ def lib() -> ctypes.CDLL:
         L.tpz_lzhuf_decode.argtypes = [
             u8p, ctypes.c_size_t, ctypes.c_int32, ctypes.c_size_t, u8p, szp]
         i64p = ctypes.POINTER(ctypes.c_int64)
+        L.tpz_lzhuf_plan.restype = ctypes.c_int
+        L.tpz_lzhuf_plan.argtypes = [
+            u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
+            u8p, u16p, u8p, u16p, u8p, ctypes.c_size_t]
         L.tpz_deflate_plan.restype = ctypes.c_int
         L.tpz_deflate_plan.argtypes = [
             u32p, u32p, i64p, ctypes.c_int32, i32p, i64p, i64p, i64p,
@@ -310,6 +314,45 @@ def lzhuf_decode(data, orig_size: int, dict_bits: int = 13) -> bytes:
                                 _ptr(out, ctypes.c_uint8), ctypes.byref(n))
     raise_for_status(st, "lzhuf_decode")
     return out[: n.value].tobytes()
+
+
+def lzhuf_plan(c_freq: np.ndarray, p_freq: np.ndarray,
+               token_counts: np.ndarray, dict_bits: int) -> dict:
+    """Host planning for the TPU lzhuf pipeline (cpp LzhufPlan).
+
+    c_freq [NB, 510] uint32, p_freq [NB, np] uint32 (padded rows fine),
+    token_counts [NB] uint32. p tables come back strided [NB, 20]."""
+    cf = np.ascontiguousarray(c_freq, dtype=np.uint32)
+    nb = cf.shape[0]
+    npad = np.zeros((nb, 20), dtype=np.uint32)
+    npad[:, : p_freq.shape[1]] = p_freq
+    # LzhufPlan reads p_freq rows with stride m.np — rebuild tight rows.
+    from tpz.constants import LZHUF_METHODS
+
+    np_ = next(v[1] for v in LZHUF_METHODS.values() if v[0] == dict_bits)
+    pf = np.ascontiguousarray(npad[:, :np_], dtype=np.uint32)
+    tc = np.ascontiguousarray(token_counts, dtype=np.uint32)
+    body_off = np.zeros(nb, dtype=np.int64)
+    total_bits = np.zeros(1, dtype=np.int64)
+    c_len = np.zeros((nb, 510), dtype=np.uint8)
+    c_code = np.zeros((nb, 510), dtype=np.uint16)
+    p_len = np.zeros((nb, 20), dtype=np.uint8)
+    p_code = np.zeros((nb, 20), dtype=np.uint16)
+    cap = int(tc.sum()) * 8 + 512 * nb + 1024
+    header = np.zeros(cap, dtype=np.uint8)
+    st = lib().tpz_lzhuf_plan(
+        _ptr(cf, ctypes.c_uint32), _ptr(pf, ctypes.c_uint32),
+        _ptr(tc, ctypes.c_uint32), nb, dict_bits,
+        _ptr(body_off, ctypes.c_int64), _ptr(total_bits, ctypes.c_int64),
+        _ptr(c_len, ctypes.c_uint8), _ptr(c_code, ctypes.c_uint16),
+        _ptr(p_len, ctypes.c_uint8), _ptr(p_code, ctypes.c_uint16),
+        _ptr(header, ctypes.c_uint8), cap)
+    raise_for_status(st, "lzhuf_plan")
+    return {
+        "body_off": body_off, "total_bits": int(total_bits[0]),
+        "c_len": c_len, "c_code": c_code, "p_len": p_len, "p_code": p_code,
+        "header": header,
+    }
 
 
 def inflate(data, max_out: int | None = None) -> tuple[bytes, int]:
