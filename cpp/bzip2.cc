@@ -342,6 +342,81 @@ void Bzip2Encode(const uint8_t* in, size_t n, int level,
   *out = std::move(bw.bytes());
 }
 
+// ---- device-pipeline split points (see tpz/kernels/bzip2_pipeline.py) ----
+
+int Bzip2Rle1Blocks(const uint8_t* in, size_t n, int level, uint8_t* rle_out,
+                    size_t* rle_len, int64_t* block_off, int64_t* block_len,
+                    uint32_t* block_crc, int32_t* nblocks) {
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  const size_t limit = (size_t)level * 100000;
+  std::vector<Rle1Unit> units;
+  Rle1Units(in, n, &units);
+  size_t u = 0, src_pos = 0, out_pos = 0;
+  int nb = 0;
+  const int cap_blocks = *nblocks;
+  const size_t cap_out = *rle_len;
+  while (u < units.size()) {
+    if (nb >= cap_blocks) return 4;
+    size_t start = out_pos, src_len = 0;
+    while (u < units.size() && out_pos - start + units[u].out_len <= limit) {
+      const Rle1Unit& un = units[u];
+      if (out_pos + un.out_len > cap_out) return 4;
+      if (un.out_len == 1) {
+        rle_out[out_pos++] = un.byte;
+      } else {
+        for (int k = 0; k < 4; ++k) rle_out[out_pos++] = un.byte;
+        rle_out[out_pos++] = un.count;
+      }
+      src_len += un.src_len;
+      ++u;
+    }
+    block_off[nb] = (int64_t)start;
+    block_len[nb] = (int64_t)(out_pos - start);
+    block_crc[nb] =
+        Crc32Msb(in + src_pos, src_len, 0xFFFFFFFF) ^ 0xFFFFFFFF;
+    src_pos += src_len;
+    ++nb;
+  }
+  *nblocks = nb;
+  *rle_len = out_pos;
+  return 0;
+}
+
+int Bzip2Assemble(const uint8_t* bwt_last, const int64_t* block_off,
+                  const int64_t* block_len, const uint32_t* block_crc,
+                  const uint32_t* orig_ptrs, int32_t nblocks, int level,
+                  std::vector<uint8_t>* out) {
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  BitWriterMSB bw;
+  bw.Write('B', 8);
+  bw.Write('Z', 8);
+  bw.Write('h', 8);
+  bw.Write('0' + level, 8);
+  uint32_t combined = 0;
+  for (int b = 0; b < nblocks; ++b) {
+    std::vector<uint8_t> last(bwt_last + block_off[b],
+                              bwt_last + block_off[b] + block_len[b]);
+    combined = ((combined << 1) | (combined >> 31)) ^ block_crc[b];
+    EncodeBlockPostBwt(last, orig_ptrs[b], block_crc[b], &bw);
+  }
+  bw.Write((uint32_t)(kEosMagic >> 24), 24);
+  bw.Write((uint32_t)(kEosMagic & 0xffffff), 24);
+  bw.Write(combined, 32);
+  bw.AlignByte();
+  *out = std::move(bw.bytes());
+  return 0;
+}
+
+uint32_t BwtEncodeRef(const uint8_t* in, size_t n, uint8_t* last_out) {
+  std::vector<uint8_t> s(in, in + n);
+  std::vector<uint8_t> last;
+  uint32_t orig = BwtEncode(s, &last);
+  std::memcpy(last_out, last.data(), n);
+  return orig;
+}
+
 // ------------------------------------------------------------------ decode
 
 namespace {

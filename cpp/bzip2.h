@@ -25,3 +25,18 @@ void Bzip2Encode(const uint8_t* in, size_t n, int level,
 int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out);
 
 }  // namespace tpz
+
+namespace tpz {
+// Device-pipeline split points: host RLE1 + block split (with per-block
+// CRCs over the ORIGINAL bytes), and final assembly from per-block BWT
+// results. BwtEncodeRef is the rotation-sort reference for differential
+// tests against tpz/kernels/bwt.py.
+int Bzip2Rle1Blocks(const uint8_t* in, size_t n, int level, uint8_t* rle_out,
+                    size_t* rle_len, int64_t* block_off, int64_t* block_len,
+                    uint32_t* block_crc, int32_t* nblocks);
+int Bzip2Assemble(const uint8_t* bwt_last, const int64_t* block_off,
+                  const int64_t* block_len, const uint32_t* block_crc,
+                  const uint32_t* orig_ptrs, int32_t nblocks, int level,
+                  std::vector<uint8_t>* out);
+uint32_t BwtEncodeRef(const uint8_t* in, size_t n, uint8_t* last_out);
+}  // namespace tpz

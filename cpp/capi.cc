@@ -207,3 +207,30 @@ extern "C" int tpz_lzhuf_plan(const uint32_t* c_freq, const uint32_t* p_freq,
                         body_bit_offset, total_bits, c_len, c_code, p_len,
                         p_code, header_stream, header_cap);
 }
+
+extern "C" int tpz_bzip2_rle1(const uint8_t* in, size_t n, int32_t level,
+                              uint8_t* rle_out, size_t* rle_len,
+                              int64_t* block_off, int64_t* block_len,
+                              uint32_t* block_crc, int32_t* nblocks) {
+  return tpz::Bzip2Rle1Blocks(in, n, level, rle_out, rle_len, block_off,
+                              block_len, block_crc, nblocks);
+}
+
+extern "C" int tpz_bzip2_assemble(const uint8_t* bwt_last,
+                                  const int64_t* block_off,
+                                  const int64_t* block_len,
+                                  const uint32_t* block_crc,
+                                  const uint32_t* orig_ptrs, int32_t nblocks,
+                                  int32_t level, uint8_t* out,
+                                  size_t* out_len) {
+  std::vector<uint8_t> v;
+  int st = tpz::Bzip2Assemble(bwt_last, block_off, block_len, block_crc,
+                              orig_ptrs, nblocks, level, &v);
+  if (st != 0) return st;
+  return CopyOut(v, out, out_len);
+}
+
+extern "C" uint32_t tpz_bwt_ref(const uint8_t* in, size_t n,
+                                uint8_t* last_out) {
+  return tpz::BwtEncodeRef(in, n, last_out);
+}

@@ -1,0 +1,60 @@
+"""Device BWT + bzip2 pipeline vs oracle — differential tests."""
+
+import bz2 as stdbz2
+
+import numpy as np
+import pytest
+
+from tpz import oracle
+from tpz.utils import corpus
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="oracle library not built"
+)
+
+
+def test_device_bwt_matches_reference():
+    from tpz.kernels.bwt import bwt_blocks
+
+    cases = [
+        b"banana",
+        b"abracadabra",
+        b"aaaa",                     # fully periodic (tie-break path)
+        b"abababab",
+        corpus.text(5000),
+        corpus.random_bytes(3000),
+        corpus.repetitive(4000),
+        b"x",
+    ]
+    N = 8192
+    nb = len(cases)
+    blocks = np.zeros((nb, N), np.uint8)
+    lens = np.zeros(nb, np.int64)
+    for i, c in enumerate(cases):
+        blocks[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    last, orig = bwt_blocks(blocks, lens)
+    for i, c in enumerate(cases):
+        ref_last, ref_orig = oracle.bwt_ref(c)
+        assert np.array_equal(last[i, : len(c)], ref_last), f"case {i}"
+        assert int(orig[i]) == ref_orig, f"case {i}: {orig[i]} != {ref_orig}"
+
+
+@pytest.mark.parametrize("name,level", [
+    ("text", 9), ("mixed", 9), ("repetitive", 9), ("random", 9),
+    ("mixed_l1", 1),
+])
+def test_pipeline_matches_oracle(name, level):
+    from tpz.kernels import bzip2_pipeline
+
+    data = {
+        "text": corpus.text(120_000),
+        "mixed": corpus.mixed(150_000),
+        "repetitive": corpus.repetitive(80_000),
+        "random": corpus.random_bytes(60_000),
+        "mixed_l1": corpus.mixed(250_000),   # multiple blocks at level 1
+    }[name]
+    ours = bzip2_pipeline.compress(data, level)
+    ref = oracle.bzip2_encode(data, level)
+    assert ours == ref, f"{name}: device bzip2 diverged from oracle"
+    assert stdbz2.decompress(ours) == data

@@ -1,0 +1,106 @@
+"""Parallel / distributed machinery on the 8-device virtual CPU mesh
+(SURVEY.md §4 item 3): sharded encode step, ordered ragged all-gather,
+span sharding + manifest/resume + fault injection."""
+
+import gzip as stdgzip
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpz import oracle
+from tpz.parallel import distributed
+from tpz.parallel.mesh import make_mesh, ragged_all_gather, sharded_encode_step
+from tpz.utils import corpus
+
+
+def test_ragged_all_gather_order():
+    mesh = make_mesh(8)
+    cap = 64
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(1, cap, size=8).astype(np.int32)
+    pay = np.zeros((8, cap), np.uint8)
+    chunks = []
+    for d in range(8):
+        c = rng.integers(0, 256, size=sizes[d]).astype(np.uint8)
+        pay[d, : sizes[d]] = c
+        chunks.append(c.tobytes())
+    out, total = ragged_all_gather(mesh, jnp.asarray(pay), jnp.asarray(sizes))
+    expect = b"".join(chunks)
+    assert int(total) == len(expect)
+    assert np.asarray(out)[: len(expect)].tobytes() == expect
+
+
+def test_sharded_encode_step_token_counts():
+    mesh = make_mesh(8)
+    step = sharded_encode_step(mesh, k=4, window=512, block=1024)
+    nb = 16
+    data = np.frombuffer(corpus.mixed(nb * 1024), np.uint8)
+    base = jnp.asarray(data.reshape(nb, 1024))
+    span_off = jnp.asarray((np.arange(nb) * 1024).astype(np.int32))
+    _, _, _, counts = step(base, span_off, jnp.int32(nb * 1024))
+    counts = np.asarray(counts)
+    assert counts.shape == (nb,) and (counts > 0).all()
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_compress_sharded_gzip(tmp_path):
+    data = corpus.mixed(3_000_000)
+    blob = distributed.compress_sharded(
+        data, "gzip", span_bytes=1 << 20, work_dir=str(tmp_path),
+        backend="oracle")
+    assert stdgzip.decompress(blob) == data
+    # manifest exists and covers all spans
+    import json
+
+    manifest = json.load(open(tmp_path / "manifest.json"))
+    assert len(manifest) == 3
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_fault_injection_and_resume(tmp_path):
+    data = corpus.mixed(2_000_000)
+    # First run: span 1 "dies".
+    with pytest.raises(RuntimeError, match="span 1 incomplete"):
+        distributed.compress_sharded(
+            data, "bzip2", span_bytes=1 << 20, work_dir=str(tmp_path),
+            backend="oracle", fail_spans={1})
+    # Resume: only span 1 is recomputed; result is complete and valid.
+    import bz2
+
+    blob = distributed.compress_sharded(
+        data, "bzip2", span_bytes=1 << 20, work_dir=str(tmp_path),
+        backend="oracle")
+    assert bz2.decompress(blob) == data
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_multi_process_simulation(tmp_path):
+    """Two 'hosts' each compress their spans; host 0 assembles."""
+    data = corpus.mixed(2_500_000)
+    r1 = distributed.compress_sharded(
+        data, "gzip", span_bytes=1 << 20, work_dir=str(tmp_path),
+        process_index=1, process_count=2, backend="oracle")
+    assert r1 is None
+    blob = distributed.compress_sharded(
+        data, "gzip", span_bytes=1 << 20, work_dir=str(tmp_path),
+        process_index=0, process_count=2, backend="oracle")
+    assert stdgzip.decompress(blob) == data
+
+
+def test_sharded_rejects_non_concat_format():
+    with pytest.raises(ValueError):
+        distributed.compress_sharded(b"x" * 100, "zlib")
+
+
+def test_metrics_report():
+    from tpz.utils import metrics
+
+    r = metrics.measure("gzip", lambda d: stdgzip.compress(d),
+                        corpus.text(10_000))
+    j = r.to_json()
+    assert '"codec": "gzip"' in j and r.ratio < 1.0 and r.gbps > 0
+    assert metrics.scaling_efficiency(10.0, 5.5, 2) == pytest.approx(0.909, 0.01)

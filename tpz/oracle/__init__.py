@@ -74,6 +74,18 @@ def lib() -> ctypes.CDLL:
         L.tpz_lzhuf_decode.argtypes = [
             u8p, ctypes.c_size_t, ctypes.c_int32, ctypes.c_size_t, u8p, szp]
         i64p = ctypes.POINTER(ctypes.c_int64)
+        L.tpz_bzip2_rle1.restype = ctypes.c_int
+        L.tpz_bzip2_rle1.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int32, u8p, szp,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            u32p, i32p]
+        L.tpz_bzip2_assemble.restype = ctypes.c_int
+        L.tpz_bzip2_assemble.argtypes = [
+            u8p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), u32p, u32p, ctypes.c_int32,
+            ctypes.c_int32, u8p, szp]
+        L.tpz_bwt_ref.restype = ctypes.c_uint32
+        L.tpz_bwt_ref.argtypes = [u8p, ctypes.c_size_t, u8p]
         L.tpz_lzhuf_plan.restype = ctypes.c_int
         L.tpz_lzhuf_plan.argtypes = [
             u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
@@ -276,6 +288,55 @@ def bzip2_decode(data, max_out: int | None = None) -> bytes:
         raise_for_status(st, "bzip2_decode")
         return out[: n.value].tobytes()
     raise_for_status(STATUS_BUFFER_TOO_SMALL, "bzip2_decode: output cap")
+
+
+def bzip2_rle1(data, level: int = 9):
+    """Host RLE1 + block split. Returns (rle_bytes, block_off, block_len,
+    block_crc) with int64 offsets/lengths into rle_bytes."""
+    a = _u8(data)
+    cap = 2 * a.size + 4096
+    rle = np.zeros(cap, dtype=np.uint8)
+    rle_len = ctypes.c_size_t(cap)
+    cap_blocks = max(4, 2 + a.size // 100000)
+    off = np.zeros(cap_blocks, dtype=np.int64)
+    ln = np.zeros(cap_blocks, dtype=np.int64)
+    crc = np.zeros(cap_blocks, dtype=np.uint32)
+    nb = ctypes.c_int32(cap_blocks)
+    st = lib().tpz_bzip2_rle1(
+        _u8ptr(a), a.size, level, _ptr(rle, ctypes.c_uint8),
+        ctypes.byref(rle_len), _ptr(off, ctypes.c_int64),
+        _ptr(ln, ctypes.c_int64), _ptr(crc, ctypes.c_uint32),
+        ctypes.byref(nb))
+    raise_for_status(st, "bzip2_rle1")
+    k = nb.value
+    return rle[: rle_len.value], off[:k], ln[:k], crc[:k]
+
+
+def bzip2_assemble(bwt_last: np.ndarray, block_off, block_len, block_crc,
+                   orig_ptrs, level: int = 9) -> bytes:
+    last = np.ascontiguousarray(bwt_last, dtype=np.uint8)
+    off = np.ascontiguousarray(block_off, dtype=np.int64)
+    ln = np.ascontiguousarray(block_len, dtype=np.int64)
+    crc = np.ascontiguousarray(block_crc, dtype=np.uint32)
+    orig = np.ascontiguousarray(orig_ptrs, dtype=np.uint32)
+    nb = off.size
+    cap = int(ln.sum()) + 4096 + 64 * nb
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_bzip2_assemble(
+        _u8ptr(last), _ptr(off, ctypes.c_int64), _ptr(ln, ctypes.c_int64),
+        _ptr(crc, ctypes.c_uint32), _ptr(orig, ctypes.c_uint32), nb, level,
+        _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "bzip2_assemble")
+    return out[: n.value].tobytes()
+
+
+def bwt_ref(data) -> tuple[np.ndarray, int]:
+    """Reference rotation-sort BWT: returns (last_column, origin_ptr)."""
+    a = _u8(data)
+    out = np.zeros(max(1, a.size), dtype=np.uint8)
+    orig = lib().tpz_bwt_ref(_u8ptr(a), a.size, _ptr(out, ctypes.c_uint8))
+    return out[: a.size], int(orig)
 
 
 def lzhuf_encode(data, dict_bits: int = 13, max_chain: int = 16) -> bytes:

@@ -87,3 +87,45 @@ def sharded_encode_step(mesh: Mesh, k: int = 4, window: int = 512,
         return sharded(blocks, span_off, span_len)
 
     return step
+
+
+def ragged_all_gather(mesh: Mesh, payload_pad: jax.Array,
+                      sizes: jax.Array):
+    """Ordered variable-length gather (SURVEY.md §2.3 pattern 3).
+
+    payload_pad: [n_dev, CAP] uint8 — each device's ragged payload, padded;
+    sizes: [n_dev] int32 actual lengths. Under shard_map: all_gather the
+    small size vector, prefix-sum offsets, all_gather the padded payloads,
+    then every device materializes the in-order concatenation.
+    Returns (gathered [n_dev*CAP] uint8 concatenated by offset, total int32).
+    """
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    cap = payload_pad.shape[-1]
+
+    def body(pay, sz):
+        all_sizes = jax.lax.all_gather(sz, axis, tiled=True)      # [ndev]
+        offsets = jnp.cumsum(all_sizes) - all_sizes               # excl scan
+        all_pay = jax.lax.all_gather(pay, axis, tiled=True)       # [ndev,CAP]
+        total_cap = ndev * cap
+        out = jnp.zeros((total_cap,), jnp.uint8)
+        # Scatter each device's payload to its stream offset.
+        col = jax.lax.broadcasted_iota(jnp.int32, (ndev, cap), 1)
+        dev = jax.lax.broadcasted_iota(jnp.int32, (ndev, cap), 0)
+        dst = offsets[:, None] + col
+        live = col < all_sizes[:, None]
+        dst = jnp.where(live, dst, total_cap)  # park padding
+        out = jnp.zeros((total_cap + 1,), jnp.uint8).at[
+            dst.reshape(-1)].add(jnp.where(live, all_pay, 0).reshape(-1),
+                                 mode="drop")
+        del dev
+        return out[:total_cap], jnp.sum(all_sizes)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))(payload_pad, sizes)
