@@ -1,0 +1,31 @@
+# Top-level build/test entry points (SURVEY.md §2.1 CI row).
+
+.PHONY: all oracle test test-asan bench clean selftest
+
+all: oracle
+
+oracle:
+	$(MAKE) -C cpp
+
+test: oracle
+	python -m pytest tests/ -q
+
+# Sanitizer pass over the C++ oracle (SURVEY.md §5 race-detection row):
+# rebuilds with ASan+UBSan and exercises every codec through the bindings.
+test-asan:
+	$(MAKE) -C cpp asan
+	TPZ_ORACLE_LIB=cpp/libtpz_oracle_asan.so \
+	TPZ_FORCE_ORACLE=1 \
+	LD_PRELOAD=$$(g++ -print-file-name=libasan.so) \
+	ASAN_OPTIONS=detect_leaks=0 \
+	python -m pytest tests/test_oracle_deflate.py tests/test_bzip2.py \
+	    tests/test_lzhuf.py -q
+
+bench: oracle
+	python bench.py
+
+selftest: oracle
+	python -m tpz selftest
+
+clean:
+	$(MAKE) -C cpp clean

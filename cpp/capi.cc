@@ -32,7 +32,7 @@ int CopyOut(const std::vector<uint8_t>& v, uint8_t* out, size_t* out_len) {
     *out_len = v.size();
     return kBufferTooSmall;
   }
-  std::memcpy(out, v.data(), v.size());
+  if (!v.empty()) std::memcpy(out, v.data(), v.size());
   *out_len = v.size();
   return kOk;
 }

@@ -46,6 +46,10 @@ MAX_SPAN = 1 << 28  # single-batch limit for int32 bit offsets
 
 
 def usable() -> bool:
+    import os
+
+    if os.environ.get("TPZ_FORCE_ORACLE"):
+        return False  # e.g. the ASan CI pass: jaxlib is not sanitizer-clean
     try:
         from tpz import oracle
 
