@@ -85,3 +85,41 @@ def test_device_tokens_match_oracle_tokens():
                 dev_tokens.append((pos, 0, int(data[pos]), 0))
     ref_tokens = [tuple(t) for t in ref.tolist()]
     assert dev_tokens == ref_tokens
+
+
+def test_parse_extend_pallas_matches_xla_path():
+    """Fused Pallas parse+extend (interpret mode) == find_matches+parse."""
+    import functools
+
+    from tpz.kernels import matchfinder as mf
+    from tpz.kernels.parse import greedy_parse, parse_extend_pallas
+
+    window, block, n_blocks = 512, 1024, 3
+    n = n_blocks * block
+    data = np.frombuffer(corpus.mixed(n, seed=77), np.uint8)
+    span = np.zeros(window + n + 512, np.uint8)
+    span[window:window + n] = data
+    m = window + block + 512
+    idx = np.arange(n_blocks)[:, None] * block + np.arange(m)[None, :]
+    blocks = jnp.asarray(span[idx].astype(np.int32))
+    span_off = jnp.asarray((np.arange(n_blocks) * block).astype(np.int32))
+    block_len = jnp.asarray(np.full(n_blocks, block, np.int32))
+
+    mlen_ref, mdist_ref = mf.find_matches(
+        blocks, span_off, jnp.int32(n), k=8, window=window, block=block)
+    is_tok_ref, _, _ = greedy_parse(mlen_ref, mdist_ref, block_len)
+
+    bj, bs, words, _ = mf.screen_candidates(
+        blocks, span_off, jnp.int32(n), 8, window, block, 258)
+    words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
+    reach, mlen = parse_extend_pallas(
+        np.asarray(bs)[:, window:window + block],
+        np.asarray(bj)[:, window:window + block],
+        words_i32, block_len[:, None], window, interpret=True)
+    reach, mlen = np.asarray(reach), np.asarray(mlen)
+    is_tok = (reach > 0)
+    assert np.array_equal(is_tok, np.asarray(is_tok_ref)), "token sets differ"
+    ml_ref = np.asarray(mlen_ref)
+    for b in range(n_blocks):
+        for p in np.nonzero(is_tok[b])[0]:
+            assert mlen[b, p] == ml_ref[b, p], (b, p, mlen[b, p], ml_ref[b, p])

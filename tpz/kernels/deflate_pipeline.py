@@ -24,15 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpz.constants import (
-    DEFLATE_DIST_EXTRA,
-    DEFLATE_DIST_SYM_HI,
-    DEFLATE_DIST_SYM_LO,
-    DEFLATE_LENGTH_EXTRA,
-    DEFLATE_LENGTH_SYM_TABLE,
-)
 from tpz.kernels import bitpack
-from tpz.kernels.device_quirks import fetch
+from tpz.kernels.device_quirks import fetch, fetch_many
 from tpz.kernels.matchfinder import (
     BLOCK,
     FWD_PAD,
@@ -84,21 +77,37 @@ def _make_blocks(span_u8: jax.Array):
 def _stage1(blocks: jax.Array, span_off: jax.Array, span_len: jax.Array,
             block_len: jax.Array, k: int, use_pallas: bool = False):
     """blocks: [NB, M_TOTAL] int32 haloed data."""
-    mlen, mdist = find_matches(blocks, span_off, span_len, k=k)
-    is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
-                                                use_pallas=use_pallas)
+    NB = blocks.shape[0]
+    if use_pallas:
+        # Fused path: screening in XLA, then parse+extension in one Pallas
+        # walk — skips the rank-array sorts and per-position LCP gathers
+        # entirely (only ~1 in 5 positions is a token, and only tokens
+        # need extension).
+        from tpz.kernels.matchfinder import screen_candidates
+        from tpz.kernels.parse import parse_extend_pallas
+
+        bj, bs, words, _ = screen_candidates(
+            blocks, span_off, span_len, k, WINDOW, BLOCK, 258)
+        words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
+        reach, mlen = parse_extend_pallas(
+            bs[:, WINDOW:WINDOW + BLOCK], bj[:, WINDOW:WINDOW + BLOCK],
+            words_i32, block_len[:, None], WINDOW)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
+        is_token = (reach > 0) & (pos < block_len[:, None])
+        mdist = jnp.where(mlen > 0,
+                          pos + WINDOW - bj[:, WINDOW:WINDOW + BLOCK], 0)
+        cum = jnp.cumsum(is_token.astype(jnp.int32), axis=1)
+        ntokens = cum[:, -1]
+    else:
+        mlen, mdist = find_matches(blocks, span_off, span_len, k=k)
+        is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
+                                                    use_pallas=False)
 
     data_block = blocks[:, WINDOW:WINDOW + BLOCK]
-    len_sym_t = jnp.asarray(DEFLATE_LENGTH_SYM_TABLE)
-    dist_lo_t = jnp.asarray(DEFLATE_DIST_SYM_LO)
-    dist_hi_t = jnp.asarray(DEFLATE_DIST_SYM_HI)
-
     is_match = is_token & (mlen > 0)
-    lit_sym = jnp.where(is_match, jnp.take(len_sym_t, jnp.clip(mlen, 0, 258)),
-                        data_block)
-    md = jnp.maximum(mdist, 1)
-    dsym = jnp.where(md <= 256, jnp.take(dist_lo_t, md - 1),
-                     jnp.take(dist_hi_t, (md - 1) >> 7))
+    lsym, _, _ = bitpack.length_symbol(jnp.clip(mlen, 0, 258))
+    lit_sym = jnp.where(is_match, lsym, data_block)
+    dsym, _, _ = bitpack.dist_symbol(jnp.maximum(mdist, 1))
 
     NB = blocks.shape[0]
     bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 0)
@@ -110,13 +119,12 @@ def _stage1(blocks: jax.Array, span_off: jax.Array, span_len: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("total_words",))
-def _stage2(blocks, is_token, mlen, mdist, lit_len, lit_code, dist_len,
-            dist_code, eob_val, eob_n, body_off, btype, block_len,
+def _stage2(blocks, is_token, mlen, mdist, lit_cl, dist_cl,
+            eob_val, eob_n, body_off, btype, block_len,
             chunk1_off, total_words: int):
     data_block = blocks[:, WINDOW:WINDOW + BLOCK]
     vals, nbits = bitpack.token_slots(
-        data_block, is_token, mlen, mdist, lit_len, lit_code, dist_len,
-        dist_code)
+        data_block, is_token, mlen, mdist, lit_cl, dist_cl)
     return bitpack.assemble_stream(
         vals, nbits, eob_val, eob_n, body_off, btype, data_block, block_len,
         chunk1_off, total_words)
@@ -146,8 +154,8 @@ def compress(data: bytes, cfg=None) -> bytes:
     mlen, mdist, is_token, lit_hist, dist_hist, ntokens = _stage1(
         blocks, span_off, jnp.int32(n), block_len, k, use_pallas)
 
-    lit_hist_np = fetch(lit_hist).astype(np.uint32)
-    dist_hist_np = fetch(dist_hist).astype(np.uint32)
+    lit_hist_np, dist_hist_np = (a.astype(np.uint32)
+                                 for a in fetch_many(lit_hist, dist_hist))
     lit_hist_np[:, 256] = 0
 
     plan = oracle.deflate_plan(lit_hist_np, dist_hist_np,
@@ -158,12 +166,13 @@ def compress(data: bytes, cfg=None) -> bytes:
     eob_val = plan["lit_code"][:, 256].astype(np.uint32)
     eob_n = plan["lit_len"][:, 256].astype(np.int32)
 
+    lit_cl = (plan["lit_code"].astype(np.int32)
+              | (plan["lit_len"].astype(np.int32) << 16))
+    dist_cl = (plan["dist_code"].astype(np.int32)
+               | (plan["dist_len"].astype(np.int32) << 16))
     words = _stage2(
         blocks, is_token, mlen, mdist,
-        jnp.asarray(plan["lit_len"].astype(np.int32)),
-        jnp.asarray(plan["lit_code"].astype(np.int32)),
-        jnp.asarray(plan["dist_len"].astype(np.int32)),
-        jnp.asarray(plan["dist_code"].astype(np.int32)),
+        jnp.asarray(lit_cl), jnp.asarray(dist_cl),
         jnp.asarray(eob_val), jnp.asarray(eob_n),
         jnp.asarray(plan["body_off"].astype(np.int32)),
         jnp.asarray(plan["btype"]),

@@ -29,3 +29,18 @@ def fetch(x) -> np.ndarray:
 
 def fetch_tree(tree):
     return jax.tree_util.tree_map(fetch, tree)
+
+
+_consume_many = {}
+
+
+def fetch_many(*xs):
+    """One consume dispatch + transfers for several arrays (saves the
+    per-array sync round-trips of repeated fetch())."""
+    key = tuple((x.shape, str(x.dtype)) for x in xs)
+    if key not in _consume_many:
+        _consume_many[key] = jax.jit(
+            lambda *a: tuple(v + jnp.zeros((), v.dtype) for v in a))
+    ys = _consume_many[key](*xs)
+    jax.block_until_ready(ys)
+    return [np.asarray(jax.device_get(y)) for y in ys]

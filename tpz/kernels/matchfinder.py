@@ -215,6 +215,27 @@ def _match_bytes_u32(x: jax.Array) -> jax.Array:
             + b2.astype(jnp.int32) + b3.astype(jnp.int32))
 
 
+def screen_candidates(data: jax.Array, span_off: jax.Array,
+                      span_len: jax.Array, k: int, window: int, block: int,
+                      max_match: int):
+    """Common prefix of find_matches: hash, per-position caps, sorted-space
+    candidate screening. Returns (best_j, best_screen, words, cap_at) —
+    all [NB, M] (block region at columns [window, window+block))."""
+    NB, M = data.shape
+    words = words_at(data)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+    gpos = span_off[:, None] + (idx - window)
+    insertable = (gpos >= 0) & (gpos + MIN_MATCH <= span_len)
+    h = hash3(words)
+    block_end_rel = jnp.minimum(
+        jnp.full_like(idx, block + window),
+        window + (span_len - span_off[:, None]))
+    cap_at = jnp.clip(block_end_rel - idx, 0, max_match)
+    cap_at = jnp.where(idx >= window, cap_at, 0)
+    bj, bs = best_candidate_sorted(h, insertable, words, cap_at, k, window)
+    return bj, bs, words, cap_at
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "window", "block", "max_match"))
 def find_matches(data: jax.Array, span_off: jax.Array, span_len: jax.Array,
@@ -233,23 +254,8 @@ def find_matches(data: jax.Array, span_off: jax.Array, span_len: jax.Array,
     position best_match (before parsing).
     """
     NB, M = data.shape
-    words = words_at(data)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
-    # Global position of each cell; cells before span start (block 0 halo)
-    # or at/after span end are not insertable.
-    gpos = span_off[:, None] + (idx - window)
-    insertable = (gpos >= 0) & (gpos + MIN_MATCH <= span_len)
-    h = hash3(words)
-
-    # Per-position cap = min(MAX_MATCH, block_end - p); <= 0 outside the
-    # parse region (halo and pad columns never produce matches).
-    block_end_rel = jnp.minimum(
-        jnp.full_like(idx, block + window),
-        window + (span_len - span_off[:, None]))
-    cap_at = jnp.clip(block_end_rel - idx, 0, max_match)
-    cap_at = jnp.where(idx >= window, cap_at, 0)
-
-    bj, bs = best_candidate_sorted(h, insertable, words, cap_at, k, window)
+    bj, bs, words, cap_at = screen_candidates(data, span_off, span_len, k,
+                                              window, block, max_match)
 
     p = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1) + window
     best_j = bj[:, window:window + block]

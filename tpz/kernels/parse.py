@@ -68,6 +68,118 @@ def _parse_pallas(step: jax.Array, interpret: bool = False) -> jax.Array:
     return out.reshape(NB, N)
 
 
+def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
+                        words: jax.Array, block_len: jax.Array,
+                        window: int, max_match: int = 258,
+                        too_far: int = 4096, interpret: bool = False):
+    """Fused greedy parse + winner match extension (the SURVEY.md §7
+    hard-part-1 endgame): the chain walk visits ~1 position per token, and
+    only visited positions need full extension — so the byte-compare loop
+    runs inside the walk on VMEM-resident 4-byte words instead of paying
+    rank-array sorts + 20 gathers per position in XLA-land.
+
+    screen/best_j: [NB, N] int32 (clamped 8-byte screen; winner M-index or
+    -1); words: [NB, M] int32 (u32 4-byte windows, bitcast); block_len:
+    [NB, 1] int32. Returns (reach [NB, N] int32, mlen [NB, N] int32) —
+    mlen is the spec-v1 match length at token positions (0 = literal),
+    identical to find_matches+greedy_parse output at those positions.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB, N = screen.shape
+    M = words.shape[1]
+    assert N % 128 == 0 and M % 128 == 0
+    r_n, r_m = N // 128, M // 128
+    s3 = screen.reshape(NB, r_n, 128)
+    j3 = best_j.reshape(NB, r_n, 128)
+    w3 = words.reshape(NB, r_m, 128)
+
+    def kernel(blen_ref, s_ref, j_ref, w_ref, reach_ref, mlen_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        reach_ref[...] = jnp.zeros_like(reach_ref)
+        mlen_ref[...] = jnp.zeros_like(mlen_ref)
+        blen = blen_ref[pl.program_id(0), 0]
+
+        def rd(ref, pos):
+            row = ref[0, pl.ds(pos >> 7, 1), :]
+            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
+
+        def wr(ref, pos, val):
+            sel = lane == (pos & 127)
+            row = ref[0, pl.ds(pos >> 7, 1), :]
+            ref[0, pl.ds(pos >> 7, 1), :] = jnp.where(sel, val, row)
+
+        def lzbytes(x):
+            b0 = (x & 0xFF) == 0
+            b1 = (x & 0xFFFF) == 0
+            b2 = (x & 0xFFFFFF) == 0
+            return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
+                    + b2.astype(jnp.int32))
+
+        def cond(p):
+            return p < N
+
+        def body(p):
+            wr(reach_ref, p, jnp.int32(1))
+            s = rd(s_ref, p)
+            j = rd(j_ref, p)
+            cap = jnp.minimum(jnp.int32(max_match), blen - p)
+            screen_cap = jnp.minimum(jnp.int32(8), cap)
+
+            def extend(_):
+                def econd(k):
+                    return k < cap
+
+                def ebody(k):
+                    w1 = rd(w_ref, p + window + k)
+                    w2 = rd(w_ref, j + k)
+                    x = w1 ^ w2
+                    adv = jnp.where(x == 0, 4, lzbytes(x))
+                    k2 = jnp.minimum(k + adv, cap)
+                    # stop on mismatch: return a sentinel >= cap by adding
+                    # cap when x != 0 (loop cond then fails); encode via
+                    # negative trick instead: jump out by setting k = cap
+                    # + (k2 - cap) ... we carry (k, done) instead.
+                    return jnp.where(x == 0, k2, k2 + jnp.int32(1 << 20))
+
+                k = jax.lax.while_loop(lambda k: (k < cap),
+                                       ebody, s)
+                return jnp.minimum(k & jnp.int32((1 << 20) - 1), cap)
+
+            ln = jax.lax.cond((s >= 3) & (s >= screen_cap), extend,
+                              lambda _: s, 0)
+            ln = jnp.where(s < 3, 0, ln)
+            dist = p + jnp.int32(window) - j
+            ln = jnp.where((ln == 3) & (dist > too_far), 0, ln)
+            ln = jnp.where(j < 0, 0, ln)
+
+            @pl.when(ln >= 3)
+            def _():
+                wr(mlen_ref, p, ln)
+
+            return p + jnp.maximum(ln, 1)
+
+        jax.lax.while_loop(cond, body, jnp.int32(0))
+
+    reach, mlen = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [NB,1] array
+            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, r_m, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32)),
+        interpret=interpret,
+    )(block_len, s3, j3, w3)
+    return reach.reshape(NB, N), mlen.reshape(NB, N)
+
+
 def _parse_doubling(step: jax.Array) -> jax.Array:
     NB, block = step.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1)
