@@ -70,11 +70,28 @@ def _bitlen16(p):
 @functools.partial(jax.jit, static_argnames=("k", "window", "use_pallas", "np_"))
 def _stage1(blocks, span_off, span_len, block_len, k: int, window: int,
             use_pallas: bool, np_: int):
-    mlen, mdist = find_matches(blocks, span_off, span_len, k=k,
-                               window=window, block=BLOCK,
-                               max_match=MAX_MATCH)
-    is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
-                                                use_pallas=use_pallas)
+    NB = blocks.shape[0]
+    if use_pallas:
+        from tpz.kernels.matchfinder import screen_candidates
+        from tpz.kernels.parse import parse_extend_pallas
+
+        bj, bs, words, _ = screen_candidates(
+            blocks, span_off, span_len, k, window, BLOCK, MAX_MATCH)
+        words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
+        reach, mlen = parse_extend_pallas(
+            bs[:, window:window + BLOCK], bj[:, window:window + BLOCK],
+            words_i32, block_len[:, None], window, max_match=MAX_MATCH)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
+        is_token = (reach > 0) & (pos < block_len[:, None])
+        mdist = jnp.where(mlen > 0,
+                          pos + window - bj[:, window:window + BLOCK], 0)
+        ntokens = jnp.sum(is_token.astype(jnp.int32), axis=1)
+    else:
+        mlen, mdist = find_matches(blocks, span_off, span_len, k=k,
+                                   window=window, block=BLOCK,
+                                   max_match=MAX_MATCH)
+        is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
+                                                    use_pallas=False)
     data_block = blocks[:, window:window + BLOCK]
     is_match = is_token & (mlen > 0)
     csym = jnp.where(is_match, 256 + mlen - 3, data_block)
