@@ -85,3 +85,10 @@ def test_codec_stream_actions():
     assert gzip_codec.decompress(out1 + out2) == b"part one part two tail"
     with pytest.raises(CompressionError):
         s.write(b"more")
+
+
+def test_api_compress_many_gzip():
+    datas = [corpus.text(50_000), b"", corpus.random_bytes(10_000)]
+    blobs = api.compress_many(datas, "gzip", backend="oracle")
+    for d, b in zip(datas, blobs):
+        assert stdgzip.decompress(b) == d

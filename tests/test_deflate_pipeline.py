@@ -56,3 +56,20 @@ def test_pipeline_block_boundary_sizes():
         data = corpus.text(n, seed=n)
         ours = pipeline_compress(data)
         assert ours == oracle.deflate_encode(data), f"n={n}"
+
+
+def test_compress_many_matches_individual():
+    from tpz.kernels import deflate_pipeline
+
+    datas = [
+        corpus.text(100_000),
+        b"",
+        corpus.random_bytes(70_000),
+        b"tiny",
+        corpus.repetitive(130_000),
+    ]
+    batch = deflate_pipeline.compress_many(datas)
+    for d, blob in zip(datas, batch):
+        assert blob == oracle.deflate_encode(d)
+        if d:
+            assert zlib.decompress(blob, -15) == d

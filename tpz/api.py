@@ -75,6 +75,20 @@ def decompress(data: bytes, format: str = "gzip") -> bytes:
     return _FORMATS[format][1](data)
 
 
+def compress_many(datas, format: str = "gzip", level: int = 6,
+                  backend: str = "auto") -> list[bytes]:
+    """Batch compression: one device invocation covers every buffer for
+    DEFLATE-family formats (the production serving shape); other formats
+    fall back to a per-buffer loop."""
+    _load()
+    if format in ("deflate", "gzip"):
+        from tpz.codecs import deflate as _d, gzip_codec as _g
+
+        fn = _g.compress_many if format == "gzip" else _d.compress_many
+        return fn(list(datas), level=level, backend=backend)
+    return [compress(d, format, level=level, backend=backend) for d in datas]
+
+
 class CodecStream:
     """Streaming facade with the crate's Action semantics.
 

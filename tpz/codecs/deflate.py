@@ -71,3 +71,21 @@ def decompress_prefix(data: bytes) -> tuple[bytes, int]:
     """Decode a deflate stream that may be followed by more data (framing
     trailers). Returns (plaintext, consumed_bytes)."""
     return oracle.inflate(data)
+
+
+def compress_many(datas, level: int = 6, backend: str = "auto",
+                  config: DeflateConfig | None = None) -> list[bytes]:
+    """Batch encode: one device invocation for many independent streams
+    (amortizes per-call dispatch; see deflate_pipeline.compress_many)."""
+    cfg = config or DeflateConfig(level=level)
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import deflate_pipeline
+
+            if deflate_pipeline.usable():
+                return deflate_pipeline.compress_many(list(datas), cfg)
+            raise RuntimeError("device pipeline not usable")
+        except Exception:
+            if backend == "tpu":
+                raise
+    return [oracle.deflate_encode(d, cfg.params_array()) for d in datas]

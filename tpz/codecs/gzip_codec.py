@@ -91,3 +91,17 @@ def decompress(data: bytes) -> bytes:
     if not out and len(data) == 0:
         raise UnexpectedEof("empty gzip input")
     return bytes(out)
+
+
+def compress_many(datas, level: int = 6, backend: str = "auto",
+                  mtime: int = 0) -> list[bytes]:
+    """Batched gzip: device-batched DEFLATE bodies + per-buffer framing."""
+    bodies = deflate.compress_many(datas, level=level, backend=backend)
+    out = []
+    xfl = 2 if level >= 7 else (4 if level <= 1 else 0)
+    header = GZIP_MAGIC + bytes([GZIP_CM_DEFLATE, 0]) + struct.pack(
+        "<I", mtime) + bytes([xfl, GZIP_OS_UNIX])
+    for d, body in zip(datas, bodies):
+        trailer = struct.pack("<II", _crc32(d), len(d) & 0xFFFFFFFF)
+        out.append(header + body + trailer)
+    return out

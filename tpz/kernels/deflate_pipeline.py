@@ -132,57 +132,105 @@ def _stage2(blocks, is_token, mlen, mdist, lit_cl, dist_cl,
 
 def compress(data: bytes, cfg=None) -> bytes:
     """Device-pipeline raw DEFLATE encode (greedy/TPU profile)."""
+    return compress_many([data], cfg)[0]
+
+
+def compress_many(datas, cfg=None):
+    """Batch-encode many independent buffers in ONE stage1/stage2 pair.
+
+    Each buffer is its own DEFLATE stream (window reset between buffers);
+    all buffers' blocks share the device batch, so the per-invocation
+    relay/program-swap cost (~seconds on this environment's axon tunnel)
+    amortizes over the whole set — the production serving shape
+    (SURVEY.md §2.2 DP row: independent streams are the scaling unit).
+    Cross-buffer halo contamination is impossible: candidate insertability
+    and per-position caps are derived from each block's own span bounds.
+    """
     from tpz import oracle
 
-    n = len(data)
     k = 16 if cfg is None else cfg.max_chain
-    if n == 0:
-        return oracle.deflate_encode(b"")
-    if n > MAX_SPAN:
-        raise ValueError("span too large for single-batch device encode")
+    results = [None] * len(datas)
+    idxs = [i for i, d in enumerate(datas) if len(d) > 0]
+    for i, d in enumerate(datas):
+        if len(d) == 0:
+            results[i] = oracle.deflate_encode(b"")
+    if not idxs:
+        return results
+    if sum(len(datas[i]) for i in idxs) > MAX_SPAN:
+        raise ValueError("batch too large for int32 bit offsets")
 
-    nb = (n + BLOCK - 1) // BLOCK
-    arr = np.frombuffer(memoryview(data), dtype=np.uint8)
-    span = np.zeros(WINDOW + nb * BLOCK + FWD_PAD, dtype=np.uint8)
-    span[WINDOW:WINDOW + n] = arr
+    nbs = [(len(datas[i]) + BLOCK - 1) // BLOCK for i in idxs]
+    NB = sum(nbs)
+    span = np.zeros(WINDOW + NB * BLOCK + FWD_PAD, dtype=np.uint8)
+    span_off_np = np.empty(NB, np.int32)
+    span_len_np = np.empty(NB, np.int32)
+    block_len_np = np.empty(NB, np.int32)
+    b0 = 0
+    pos = WINDOW
+    for i, nb_i in zip(idxs, nbs):
+        d = datas[i]
+        span[pos:pos + len(d)] = np.frombuffer(memoryview(d), np.uint8)
+        span_off_np[b0:b0 + nb_i] = np.arange(nb_i) * BLOCK
+        span_len_np[b0:b0 + nb_i] = len(d)
+        block_len_np[b0:b0 + nb_i] = np.minimum(
+            len(d) - np.arange(nb_i) * BLOCK, BLOCK)
+        pos += nb_i * BLOCK
+        b0 += nb_i
+
     blocks = _make_blocks(jnp.asarray(span))
-    span_off = jnp.asarray((np.arange(nb) * BLOCK).astype(np.int32))
-    block_len_np = np.minimum(n - np.arange(nb) * BLOCK, BLOCK).astype(np.int32)
     block_len = jnp.asarray(block_len_np)
-
     use_pallas = jax.default_backend() == "tpu"
     mlen, mdist, is_token, lit_hist, dist_hist, ntokens = _stage1(
-        blocks, span_off, jnp.int32(n), block_len, k, use_pallas)
+        blocks, jnp.asarray(span_off_np), jnp.asarray(span_len_np),
+        block_len, k, use_pallas)
 
     lit_hist_np, dist_hist_np = (a.astype(np.uint32)
                                  for a in fetch_many(lit_hist, dist_hist))
     lit_hist_np[:, 256] = 0
 
-    plan = oracle.deflate_plan(lit_hist_np, dist_hist_np,
-                               block_len_np.astype(np.int64))
-    total_bits = plan["total_bits"]
-    total_words = (total_bits + 31) // 32 or 1
+    # Per-buffer host planning; each buffer's words get a word-aligned
+    # region of one global output array so a single scatter serves all.
+    plans = []
+    word_base = []
+    total_words = 0
+    b0 = 0
+    for i, nb_i in zip(idxs, nbs):
+        plan = oracle.deflate_plan(
+            lit_hist_np[b0:b0 + nb_i], dist_hist_np[b0:b0 + nb_i],
+            block_len_np[b0:b0 + nb_i].astype(np.int64))
+        plans.append(plan)
+        word_base.append(total_words)
+        total_words += (plan["total_bits"] + 31) // 32
+        b0 += nb_i
+    total_words = max(total_words, 1)
 
-    eob_val = plan["lit_code"][:, 256].astype(np.uint32)
-    eob_n = plan["lit_len"][:, 256].astype(np.int32)
+    def cat(key, dtype):
+        return np.concatenate([p[key].astype(dtype) for p in plans], axis=0)
 
-    lit_cl = (plan["lit_code"].astype(np.int32)
-              | (plan["lit_len"].astype(np.int32) << 16))
-    dist_cl = (plan["dist_code"].astype(np.int32)
-               | (plan["dist_len"].astype(np.int32) << 16))
+    body_off = np.concatenate([
+        (p["body_off"] + 32 * wb).astype(np.int32)
+        for p, wb in zip(plans, word_base)])
+    chunk1_off = np.concatenate([
+        np.where(p["chunk1_off"] < 0, np.int64(-(1 << 30)),
+                 p["chunk1_off"] + 32 * wb).astype(np.int32)
+        for p, wb in zip(plans, word_base)])
+    lit_cl = (cat("lit_code", np.int32) | (cat("lit_len", np.int32) << 16))
+    dist_cl = (cat("dist_code", np.int32) | (cat("dist_len", np.int32) << 16))
+    eob_val = np.concatenate([p["lit_code"][:, 256] for p in plans]).astype(np.uint32)
+    eob_n = np.concatenate([p["lit_len"][:, 256] for p in plans]).astype(np.int32)
+    btype = cat("btype", np.int32)
+
     words = _stage2(
         blocks, is_token, mlen, mdist,
         jnp.asarray(lit_cl), jnp.asarray(dist_cl),
         jnp.asarray(eob_val), jnp.asarray(eob_n),
-        jnp.asarray(plan["body_off"].astype(np.int32)),
-        jnp.asarray(plan["btype"]),
-        block_len,
-        jnp.asarray(plan["chunk1_off"].astype(np.int32)),
-        total_words,
-    )
-    body = fetch(words).view(np.uint8)  # little-endian u32 -> LSB-first bytes
+        jnp.asarray(body_off), jnp.asarray(btype), block_len,
+        jnp.asarray(chunk1_off), total_words)
+    body = fetch(words).view(np.uint8)  # little-endian u32 words -> bytes
 
-    total_bytes = (total_bits + 7) // 8
-    out = plan["header"][:total_bytes].copy()
-    out |= body[:total_bytes]
-    return out.tobytes()
+    for i, plan, wb in zip(idxs, plans, word_base):
+        nbytes = (plan["total_bits"] + 7) // 8
+        out = plan["header"][:nbytes].copy()
+        out |= body[4 * wb:4 * wb + nbytes]
+        results[i] = out.tobytes()
+    return results

@@ -215,21 +215,35 @@ def _match_bytes_u32(x: jax.Array) -> jax.Array:
             + b2.astype(jnp.int32) + b3.astype(jnp.int32))
 
 
+def _span_len_col(span_len, NB):
+    """span_len may be a scalar (single span) or [NB] (per-block span
+    lengths, for multi-buffer batches). Returns a broadcastable column."""
+    sl = jnp.asarray(span_len)
+    if sl.ndim == 0:
+        return sl[None, None]
+    return sl[:, None]
+
+
 def screen_candidates(data: jax.Array, span_off: jax.Array,
                       span_len: jax.Array, k: int, window: int, block: int,
                       max_match: int):
     """Common prefix of find_matches: hash, per-position caps, sorted-space
     candidate screening. Returns (best_j, best_screen, words, cap_at) —
-    all [NB, M] (block region at columns [window, window+block))."""
+    all [NB, M] (block region at columns [window, window+block)).
+
+    span_off: [NB] block offset within its span; span_len: scalar or [NB]
+    (per-block span length — blocks from different input buffers can share
+    one batch; cross-span halos are neutralized by the insertable mask)."""
     NB, M = data.shape
+    slc = _span_len_col(span_len, NB)
     words = words_at(data)
     idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
     gpos = span_off[:, None] + (idx - window)
-    insertable = (gpos >= 0) & (gpos + MIN_MATCH <= span_len)
+    insertable = (gpos >= 0) & (gpos + MIN_MATCH <= slc)
     h = hash3(words)
     block_end_rel = jnp.minimum(
         jnp.full_like(idx, block + window),
-        window + (span_len - span_off[:, None]))
+        window + (slc - span_off[:, None]))
     cap_at = jnp.clip(block_end_rel - idx, 0, max_match)
     cap_at = jnp.where(idx >= window, cap_at, 0)
     bj, bs = best_candidate_sorted(h, insertable, words, cap_at, k, window)
