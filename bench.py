@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    size = int(os.environ.get("TPZ_BENCH_BYTES", 4 << 20))
+    size = int(os.environ.get("TPZ_BENCH_BYTES", 16 << 20))
     iters = int(os.environ.get("TPZ_BENCH_ITERS", 3))
     from tpz.kernels import deflate_pipeline
     from tpz.utils import corpus

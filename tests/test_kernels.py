@@ -57,7 +57,7 @@ def test_device_tokens_match_oracle_tokens():
     """Stage-1 token stream == oracle LzssTokenize for the same spec."""
     if not oracle.available():
         pytest.skip("oracle not built")
-    from tpz.kernels.deflate_pipeline import BLOCK, _make_blocks, _stage1
+    from tpz.kernels.deflate_pipeline import BLOCK, _make_words, _stage1
     from tpz.kernels.matchfinder import FWD_PAD, WINDOW
 
     data = corpus.mixed(100_000, seed=42)
@@ -65,12 +65,12 @@ def test_device_tokens_match_oracle_tokens():
     nb = (n + BLOCK - 1) // BLOCK
     span = np.zeros(WINDOW + nb * BLOCK + FWD_PAD, dtype=np.uint8)
     span[WINDOW:WINDOW + n] = np.frombuffer(data, np.uint8)
-    blocks = _make_blocks(jnp.asarray(span))
+    words = _make_words(jnp.asarray(span))
     span_off = jnp.asarray((np.arange(nb) * BLOCK).astype(np.int32))
     block_len = jnp.asarray(
         np.minimum(n - np.arange(nb) * BLOCK, BLOCK).astype(np.int32))
     mlen, mdist, is_token, _, _, ntokens = _stage1(
-        blocks, span_off, jnp.int32(n), block_len, 16, False)
+        words, span_off, jnp.int32(n), block_len, 16, False)
     mlen, mdist, is_token = map(np.asarray, (mlen, mdist, is_token))
 
     ref = oracle.lzss_tokenize(data)

@@ -55,39 +55,45 @@ def usable() -> bool:
 
 
 @jax.jit
-def _make_blocks(span_u8: jax.Array):
+def _make_words(span_u8: jax.Array):
     """span_u8: [WINDOW + nb*BLOCK + FWD_PAD] uint8 (leading WINDOW and
     trailing FWD_PAD are zero padding). Builds the haloed [nb, M_TOTAL]
-    int32 block matrix with pure reshapes/slices — no gathers, and the
-    only HBM blow-up is the 1.5x halo overlap (+int32 width).
+    matrix of u32 little-endian 4-byte windows with pure shifts/reshapes —
+    no gathers, no separate int32 byte matrix (byte at p = w & 0xFF), and
+    the 4-byte windows are computed on the 1-D span so they are exact even
+    across row boundaries.
 
     Relies on WINDOW == BLOCK/2 and FWD_PAD <= BLOCK."""
+    d = span_u8.astype(jnp.uint32)
+    w = (d | (jnp.roll(d, -1) << 8) | (jnp.roll(d, -2) << 16)
+         | (jnp.roll(d, -3) << 24))
     nb = (span_u8.shape[0] - WINDOW - FWD_PAD) // BLOCK
-    base = span_u8[WINDOW:WINDOW + nb * BLOCK].reshape(nb, BLOCK)
+    base = w[WINDOW:WINDOW + nb * BLOCK].reshape(nb, BLOCK)
+    # Halo/pad columns re-slice the same 1-D word array, so every word
+    # reflects its true span context (row 0's halo words come from the
+    # span's leading zero padding).
     prev_tail = jnp.concatenate(
-        [jnp.zeros((1, WINDOW), span_u8.dtype), base[:-1, BLOCK - WINDOW:]],
-        axis=0)
+        [w[:WINDOW][None, :], base[:-1, BLOCK - WINDOW:]], axis=0)
     next_head = jnp.concatenate(
-        [base[1:, :FWD_PAD], jnp.zeros((1, FWD_PAD), span_u8.dtype)], axis=0)
-    return jnp.concatenate([prev_tail, base, next_head],
-                           axis=1).astype(jnp.int32)
+        [base[1:, :FWD_PAD], jnp.zeros((1, FWD_PAD), w.dtype)], axis=0)
+    return jnp.concatenate([prev_tail, base, next_head], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
-def _stage1(blocks: jax.Array, span_off: jax.Array, span_len: jax.Array,
+def _stage1(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
             block_len: jax.Array, k: int, use_pallas: bool = False):
-    """blocks: [NB, M_TOTAL] int32 haloed data."""
-    NB = blocks.shape[0]
+    """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF)."""
+    NB = words.shape[0]
     if use_pallas:
         # Fused path: screening in XLA, then parse+extension in one Pallas
         # walk — skips the rank-array sorts and per-position LCP gathers
         # entirely (only ~1 in 5 positions is a token, and only tokens
         # need extension).
-        from tpz.kernels.matchfinder import screen_candidates
+        from tpz.kernels.matchfinder import screen_candidates_w
         from tpz.kernels.parse import parse_extend_pallas
 
-        bj, bs, words, _ = screen_candidates(
-            blocks, span_off, span_len, k, WINDOW, BLOCK, 258)
+        bj, bs, _, _ = screen_candidates_w(
+            words, span_off, span_len, k, WINDOW, BLOCK, 258)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         reach, mlen = parse_extend_pallas(
             bs[:, WINDOW:WINDOW + BLOCK], bj[:, WINDOW:WINDOW + BLOCK],
@@ -99,17 +105,18 @@ def _stage1(blocks: jax.Array, span_off: jax.Array, span_len: jax.Array,
         cum = jnp.cumsum(is_token.astype(jnp.int32), axis=1)
         ntokens = cum[:, -1]
     else:
-        mlen, mdist = find_matches(blocks, span_off, span_len, k=k)
+        data = (words & jnp.uint32(0xFF)).astype(jnp.int32)
+        mlen, mdist = find_matches(data, span_off, span_len, k=k)
         is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
                                                     use_pallas=False)
 
-    data_block = blocks[:, WINDOW:WINDOW + BLOCK]
+    data_block = (words[:, WINDOW:WINDOW + BLOCK]
+                  & jnp.uint32(0xFF)).astype(jnp.int32)
     is_match = is_token & (mlen > 0)
     lsym, _, _ = bitpack.length_symbol(jnp.clip(mlen, 0, 258))
     lit_sym = jnp.where(is_match, lsym, data_block)
     dsym, _, _ = bitpack.dist_symbol(jnp.maximum(mdist, 1))
 
-    NB = blocks.shape[0]
     bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 0)
     lit_hist = jnp.zeros((NB, 288), jnp.int32).at[
         bidx, jnp.clip(lit_sym, 0, 287)].add(is_token.astype(jnp.int32))
@@ -119,10 +126,11 @@ def _stage1(blocks: jax.Array, span_off: jax.Array, span_len: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("total_words",))
-def _stage2(blocks, is_token, mlen, mdist, lit_cl, dist_cl,
+def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
             eob_val, eob_n, body_off, btype, block_len,
             chunk1_off, total_words: int):
-    data_block = blocks[:, WINDOW:WINDOW + BLOCK]
+    data_block = (words[:, WINDOW:WINDOW + BLOCK]
+                  & jnp.uint32(0xFF)).astype(jnp.int32)
     vals, nbits = bitpack.token_slots(
         data_block, is_token, mlen, mdist, lit_cl, dist_cl)
     return bitpack.assemble_stream(
@@ -177,11 +185,11 @@ def compress_many(datas, cfg=None):
         pos += nb_i * BLOCK
         b0 += nb_i
 
-    blocks = _make_blocks(jnp.asarray(span))
+    words = _make_words(jnp.asarray(span))
     block_len = jnp.asarray(block_len_np)
     use_pallas = jax.default_backend() == "tpu"
     mlen, mdist, is_token, lit_hist, dist_hist, ntokens = _stage1(
-        blocks, jnp.asarray(span_off_np), jnp.asarray(span_len_np),
+        words, jnp.asarray(span_off_np), jnp.asarray(span_len_np),
         block_len, k, use_pallas)
 
     lit_hist_np, dist_hist_np = (a.astype(np.uint32)
@@ -220,13 +228,13 @@ def compress_many(datas, cfg=None):
     eob_n = np.concatenate([p["lit_len"][:, 256] for p in plans]).astype(np.int32)
     btype = cat("btype", np.int32)
 
-    words = _stage2(
-        blocks, is_token, mlen, mdist,
+    out_words = _stage2(
+        words, is_token, mlen, mdist,
         jnp.asarray(lit_cl), jnp.asarray(dist_cl),
         jnp.asarray(eob_val), jnp.asarray(eob_n),
         jnp.asarray(body_off), jnp.asarray(btype), block_len,
         jnp.asarray(chunk1_off), total_words)
-    body = fetch(words).view(np.uint8)  # little-endian u32 words -> bytes
+    body = fetch(out_words).view(np.uint8)  # little-endian u32 -> bytes
 
     for i, plan, wb in zip(idxs, plans, word_base):
         nbytes = (plan["total_bits"] + 7) // 8

@@ -227,16 +227,25 @@ def _span_len_col(span_len, NB):
 def screen_candidates(data: jax.Array, span_off: jax.Array,
                       span_len: jax.Array, k: int, window: int, block: int,
                       max_match: int):
+    """Compatibility wrapper: computes 4-byte windows from byte data, then
+    delegates to screen_candidates_w."""
+    return screen_candidates_w(words_at(data), span_off, span_len, k,
+                               window, block, max_match)
+
+
+def screen_candidates_w(words: jax.Array, span_off: jax.Array,
+                        span_len: jax.Array, k: int, window: int, block: int,
+                        max_match: int):
     """Common prefix of find_matches: hash, per-position caps, sorted-space
-    candidate screening. Returns (best_j, best_screen, words, cap_at) —
-    all [NB, M] (block region at columns [window, window+block)).
+    candidate screening, taking precomputed u32 4-byte windows (byte value
+    at p = words[p] & 0xFF). Returns (best_j, best_screen, words, cap_at)
+    — all [NB, M] (block region at columns [window, window+block)).
 
     span_off: [NB] block offset within its span; span_len: scalar or [NB]
     (per-block span length — blocks from different input buffers can share
     one batch; cross-span halos are neutralized by the insertable mask)."""
-    NB, M = data.shape
+    NB, M = words.shape
     slc = _span_len_col(span_len, NB)
-    words = words_at(data)
     idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
     gpos = span_off[:, None] + (idx - window)
     insertable = (gpos >= 0) & (gpos + MIN_MATCH <= slc)
