@@ -24,8 +24,8 @@ struct DeflateParams {
       p.lzss.max_chain = 4;
       p.lzss.lazy = false;
     } else if (level <= 6) {  // default / TPU-parity
-      p.lzss.max_chain = 16;
-      p.lzss.lazy = false;
+      p.lzss.max_chain = 32;  // K=32 is speed-neutral in the sorted-space
+      p.lzss.lazy = false;    // screen (measured) and ~1% better ratio
     } else {  // max (host only)
       p.lzss.max_chain = 64;
       p.lzss.lazy = true;

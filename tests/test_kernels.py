@@ -70,7 +70,7 @@ def test_device_tokens_match_oracle_tokens():
     block_len = jnp.asarray(
         np.minimum(n - np.arange(nb) * BLOCK, BLOCK).astype(np.int32))
     mlen, mdist, is_token, _, _, ntokens = _stage1(
-        words, span_off, jnp.int32(n), block_len, 16, False)
+        words, span_off, jnp.int32(n), block_len, 32, False)
     mlen, mdist, is_token = map(np.asarray, (mlen, mdist, is_token))
 
     ref = oracle.lzss_tokenize(data)
@@ -123,3 +123,48 @@ def test_parse_extend_pallas_matches_xla_path():
     for b in range(n_blocks):
         for p in np.nonzero(is_tok[b])[0]:
             assert mlen[b, p] == ml_ref[b, p], (b, p, mlen[b, p], ml_ref[b, p])
+
+
+def test_parse_extend_pallas_lazy_matches_oracle_tokens():
+    """Fused kernel with lazy=True (interpret) == oracle lazy profile."""
+    from tpz.kernels import matchfinder as mf
+    from tpz.kernels.parse import parse_extend_pallas
+
+    if not oracle.available():
+        pytest.skip("oracle not built")
+    window, block, n_blocks = 512, 1024, 3
+    n = n_blocks * block
+    raw = corpus.mixed(n, seed=123)
+    data = np.frombuffer(raw, np.uint8)
+    span = np.zeros(window + n + 512, np.uint8)
+    span[window:window + n] = data
+    m = window + block + 512
+    idx = np.arange(n_blocks)[:, None] * block + np.arange(m)[None, :]
+    blocks = jnp.asarray(span[idx].astype(np.int32))
+    span_off = jnp.asarray((np.arange(n_blocks) * block).astype(np.int32))
+    block_len = jnp.asarray(np.full(n_blocks, block, np.int32))
+
+    bj, bs, words, _ = mf.screen_candidates(
+        blocks, span_off, jnp.int32(n), 8, window, block, 258)
+    words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
+    reach, mlen = parse_extend_pallas(
+        np.asarray(bs)[:, window:window + block],
+        np.asarray(bj)[:, window:window + block],
+        words_i32, block_len[:, None], window, lazy=True, interpret=True)
+    reach, mlen = np.asarray(reach), np.asarray(mlen)
+    bj_np = np.asarray(bj)
+
+    ref = oracle.lzss_tokenize(
+        raw, oracle.params_array(window=window, max_chain=8,
+                                 block_size=block, lazy=True))
+    dev_tokens = []
+    for b in range(n_blocks):
+        for p in np.nonzero(reach[b] > 0)[0]:
+            pos = b * block + int(p)
+            ln = int(mlen[b, p])
+            if ln >= 3:
+                dist = int(p) + window - int(bj_np[b, window + p])
+                dev_tokens.append((pos, ln, 0, dist))
+            else:
+                dev_tokens.append((pos, 0, int(data[pos]), 0))
+    assert dev_tokens == [tuple(t) for t in ref.tolist()]

@@ -80,7 +80,7 @@ def test_tokens_path_matches_bytes_path():
     data = corpus.mixed(100_000)
     toks = oracle.lzss_tokenize(
         data, oracle.params_array(window=1 << 13, max_match=256,
-                                  block_size=32768))
+                                  block_size=32768, max_chain=16))
     via_tokens = oracle.lzhuf_encode_tokens(toks, 13)
     via_bytes = oracle.lzhuf_encode(data, 13)
     assert via_tokens == via_bytes

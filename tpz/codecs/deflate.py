@@ -25,7 +25,7 @@ class DeflateConfig:
     # Derived profile knobs (see cpp/deflate.h DeflateParams::Profile).
     @property
     def max_chain(self) -> int:
-        return 4 if self.level <= 0 else (16 if self.level <= 6 else 64)
+        return 4 if self.level <= 0 else (32 if self.level <= 6 else 64)
 
     @property
     def lazy(self) -> bool:

@@ -79,9 +79,10 @@ def _make_words(span_u8: jax.Array):
     return jnp.concatenate([prev_tail, base, next_head], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas", "lazy"))
 def _stage1(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
-            block_len: jax.Array, k: int, use_pallas: bool = False):
+            block_len: jax.Array, k: int, use_pallas: bool = False,
+            lazy: bool = False):
     """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF)."""
     NB = words.shape[0]
     if use_pallas:
@@ -97,7 +98,7 @@ def _stage1(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         reach, mlen = parse_extend_pallas(
             bs[:, WINDOW:WINDOW + BLOCK], bj[:, WINDOW:WINDOW + BLOCK],
-            words_i32, block_len[:, None], WINDOW)
+            words_i32, block_len[:, None], WINDOW, lazy=lazy)
         pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
         is_token = (reach > 0) & (pos < block_len[:, None])
         mdist = jnp.where(mlen > 0,
@@ -138,6 +139,13 @@ def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
         chunk1_off, total_words)
 
 
+def oracle_lazy_encode(data: bytes, k: int) -> bytes:
+    from tpz import oracle
+
+    return oracle.deflate_encode(
+        data, oracle.params_array(max_chain=k, lazy=True))
+
+
 def compress(data: bytes, cfg=None) -> bytes:
     """Device-pipeline raw DEFLATE encode (greedy/TPU profile)."""
     return compress_many([data], cfg)[0]
@@ -156,7 +164,13 @@ def compress_many(datas, cfg=None):
     """
     from tpz import oracle
 
-    k = 16 if cfg is None else cfg.max_chain
+    k = 32 if cfg is None else cfg.max_chain
+    lazy = False if cfg is None else cfg.lazy
+    use_pallas = jax.default_backend() == "tpu"
+    if lazy and not use_pallas:
+        # the portable XLA parse is greedy-only; the lazy profile needs the
+        # fused Pallas walk — fall back to the oracle off-TPU
+        return [oracle_lazy_encode(d, k) for d in datas]
     results = [None] * len(datas)
     idxs = [i for i, d in enumerate(datas) if len(d) > 0]
     for i, d in enumerate(datas):
@@ -187,10 +201,9 @@ def compress_many(datas, cfg=None):
 
     words = _make_words(jnp.asarray(span))
     block_len = jnp.asarray(block_len_np)
-    use_pallas = jax.default_backend() == "tpu"
     mlen, mdist, is_token, lit_hist, dist_hist, ntokens = _stage1(
         words, jnp.asarray(span_off_np), jnp.asarray(span_len_np),
-        block_len, k, use_pallas)
+        block_len, k, use_pallas, lazy)
 
     lit_hist_np, dist_hist_np = (a.astype(np.uint32)
                                  for a in fetch_many(lit_hist, dist_hist))

@@ -71,7 +71,8 @@ def _parse_pallas(step: jax.Array, interpret: bool = False) -> jax.Array:
 def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
                         words: jax.Array, block_len: jax.Array,
                         window: int, max_match: int = 258,
-                        too_far: int = 4096, interpret: bool = False):
+                        too_far: int = 4096, lazy: bool = False,
+                        interpret: bool = False):
     """Fused greedy parse + winner match extension (the SURVEY.md §7
     hard-part-1 endgame): the chain walk visits ~1 position per token, and
     only visited positions need full extension — so the byte-compare loop
@@ -120,31 +121,25 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
         def cond(p):
             return p < N
 
-        def body(p):
-            wr(reach_ref, p, jnp.int32(1))
+        def match_len_at(p):
+            """Spec-v1 best match length at p (0 = literal), mirroring
+            cpp/lzss.cc best_match incl. the too-far rule."""
             s = rd(s_ref, p)
             j = rd(j_ref, p)
             cap = jnp.minimum(jnp.int32(max_match), blen - p)
             screen_cap = jnp.minimum(jnp.int32(8), cap)
 
             def extend(_):
-                def econd(k):
-                    return k < cap
-
                 def ebody(k):
                     w1 = rd(w_ref, p + window + k)
                     w2 = rd(w_ref, j + k)
                     x = w1 ^ w2
                     adv = jnp.where(x == 0, 4, lzbytes(x))
                     k2 = jnp.minimum(k + adv, cap)
-                    # stop on mismatch: return a sentinel >= cap by adding
-                    # cap when x != 0 (loop cond then fails); encode via
-                    # negative trick instead: jump out by setting k = cap
-                    # + (k2 - cap) ... we carry (k, done) instead.
+                    # mismatch: push k past cap (sentinel bit) to exit
                     return jnp.where(x == 0, k2, k2 + jnp.int32(1 << 20))
 
-                k = jax.lax.while_loop(lambda k: (k < cap),
-                                       ebody, s)
+                k = jax.lax.while_loop(lambda k: (k < cap), ebody, s)
                 return jnp.minimum(k & jnp.int32((1 << 20) - 1), cap)
 
             ln = jax.lax.cond((s >= 3) & (s >= screen_cap), extend,
@@ -152,7 +147,18 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
             ln = jnp.where(s < 3, 0, ln)
             dist = p + jnp.int32(window) - j
             ln = jnp.where((ln == 3) & (dist > too_far), 0, ln)
-            ln = jnp.where(j < 0, 0, ln)
+            return jnp.where(j < 0, 0, ln)
+
+        def body(p):
+            wr(reach_ref, p, jnp.int32(1))
+            ln = match_len_at(p)
+            if lazy:
+                # one-step lazy (cpp/lzss.cc lazy profile): if the match
+                # starting at p+1 is strictly longer, emit a literal at p.
+                ln2 = jax.lax.cond(
+                    (ln > 0) & (p + 1 < blen),
+                    lambda _: match_len_at(p + 1), lambda _: jnp.int32(0), 0)
+                ln = jnp.where(ln2 > ln, 0, ln)
 
             @pl.when(ln >= 3)
             def _():

@@ -161,7 +161,7 @@ def params_array(
     window: int = 32768,
     min_match: int = 3,
     max_match: int = 258,
-    max_chain: int = 16,
+    max_chain: int = 32,
     hash_bits: int = 15,
     block_size: int = 65536,
     lazy: bool = False,
