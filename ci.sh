@@ -14,6 +14,9 @@ echo "== sanitizer pass =="
 make test-asan
 
 echo "== CLI selftest =="
-python -m tpz selftest
+# oracle-only here: the device path would JIT-compile fresh shapes for the
+# tiny selftest inputs (minutes over the remote-compile relay); bench.py is
+# the TPU-path gate.
+TPZ_FORCE_ORACLE=1 python -m tpz selftest
 
 echo "CI OK"

@@ -21,17 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from tpz.constants import (
-    DEFLATE_DIST_BASE,
-    DEFLATE_DIST_EXTRA,
-    DEFLATE_DIST_SYM_HI,
-    DEFLATE_DIST_SYM_LO,
-    DEFLATE_LENGTH_BASE,
-    DEFLATE_LENGTH_EXTRA,
-    DEFLATE_LENGTH_SYM_TABLE,
-)
 from tpz.kernels.matchfinder import BLOCK
 
 STORED_CHUNK = 32768  # must match cpp/deflate.cc kStoredChunk

@@ -26,13 +26,7 @@ import numpy as np
 
 from tpz.kernels import bitpack
 from tpz.kernels.device_quirks import fetch, fetch_many
-from tpz.kernels.matchfinder import (
-    BLOCK,
-    FWD_PAD,
-    M_TOTAL,
-    WINDOW,
-    find_matches,
-)
+from tpz.kernels.matchfinder import BLOCK, FWD_PAD, WINDOW, find_matches
 from tpz.kernels.parse import greedy_parse
 
 MAX_SPAN = 1 << 28  # single-batch limit for int32 bit offsets

@@ -19,8 +19,6 @@ bijective base-2 code.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
