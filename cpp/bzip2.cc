@@ -195,8 +195,8 @@ void EncodeBlockPostBwt(const std::vector<uint8_t>& last_in, uint32_t orig,
         lens[t][s] = lens[t][s] == 0 ? 2 : 15;
   }
 
-  std::vector<std::vector<uint16_t>> codes(
-      n_tables, std::vector<uint16_t>(alpha, 0));
+  std::vector<std::vector<uint32_t>> codes(
+      n_tables, std::vector<uint32_t>(alpha, 0));
 
   // Iterated refinement: assign each group to the cheapest table, then
   // rebuild each table from its groups' frequencies.

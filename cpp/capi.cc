@@ -73,7 +73,7 @@ int tpz_huff_lengths(const uint32_t* freqs, int32_t nsyms, int32_t limit,
   return PackageMergeLengths(freqs, nsyms, limit, lengths) ? 0 : 1;
 }
 void tpz_huff_canonical(const uint8_t* lengths, int32_t nsyms,
-                        uint16_t* codes) {
+                        uint32_t* codes) {
   CanonicalCodes(lengths, nsyms, codes);
 }
 

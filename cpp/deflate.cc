@@ -64,11 +64,11 @@ struct BlockPlan {
   uint64_t extra_bits_total = 0;
   uint8_t lit_len[288] = {0};
   uint8_t dist_len[32] = {0};
-  uint16_t lit_code[288];
-  uint16_t dist_code[32];
+  uint32_t lit_code[288];
+  uint32_t dist_code[32];
   int nlit = 257, ndist = 1, ncl = 4;
   uint8_t cl_len[19] = {0};
-  uint16_t cl_code[19];
+  uint32_t cl_code[19];
   std::vector<ClToken> cl_tokens;
   uint64_t dyn_body_bits = 0, dyn_header_bits = 0, fixed_body_bits = 0;
 };
@@ -188,8 +188,8 @@ void EmitBlockHeader(const BlockPlan& bp, int btype, bool bfinal, Writer* bw) {
 struct FixedCodes {
   uint8_t fl_len[288];
   uint8_t fd_len[32];
-  uint16_t fl_code[288];
-  uint16_t fd_code[32];
+  uint32_t fl_code[288];
+  uint32_t fd_code[32];
   FixedCodes() {
     std::memcpy(fl_len, kFixedLitLenLengths, 288);
     std::memcpy(fd_len, kFixedDistLengths, 30);
@@ -205,8 +205,8 @@ const FixedCodes& GetFixedCodes() {
 }
 
 void EmitSymbols(const Token* tokens, size_t ntokens, const uint8_t* lit_len,
-                 const uint16_t* lit_code, const uint8_t* dist_len,
-                 const uint16_t* dist_code, BitWriterLSB* bw) {
+                 const uint32_t* lit_code, const uint8_t* dist_len,
+                 const uint32_t* dist_code, BitWriterLSB* bw) {
   for (size_t t = 0; t < ntokens; ++t) {
     const Token& tok = tokens[t];
     if (tok.len == 0) {
@@ -364,9 +364,9 @@ int DeflatePlan(const uint32_t* lit_freq, const uint32_t* dist_freq,
     chunk1_bit_offset[b] = -1;
     AbsBitWriter aw(header_stream, header_cap, pos);
     const uint8_t* ll;
-    const uint16_t* lc;
+    const uint32_t* lc;
     const uint8_t* dl;
-    const uint16_t* dc;
+    const uint32_t* dc;
     if (btype == 0) {
       size_t remaining = (size_t)block_lens[b];
       size_t off = 0;

@@ -80,7 +80,7 @@ bool PackageMergeLengths(const uint32_t* freqs, int nsyms, int limit,
   return true;
 }
 
-void CanonicalCodes(const uint8_t* lengths, int nsyms, uint16_t* codes) {
+void CanonicalCodes(const uint8_t* lengths, int nsyms, uint32_t* codes) {
   int max_len = 0;
   int count[33] = {0};
   for (int i = 0; i < nsyms; ++i) {
@@ -95,7 +95,7 @@ void CanonicalCodes(const uint8_t* lengths, int nsyms, uint16_t* codes) {
     next_code[len] = code;
   }
   for (int i = 0; i < nsyms; ++i)
-    codes[i] = lengths[i] ? (uint16_t)next_code[lengths[i]]++ : 0;
+    codes[i] = lengths[i] ? next_code[lengths[i]]++ : 0;
 }
 
 bool BuildDecodeTable(const uint8_t* lengths, int nsyms, bool lsb_stream,
@@ -116,7 +116,7 @@ bool BuildDecodeTable(const uint8_t* lengths, int nsyms, bool lsb_stream,
   if (kraft > (int64_t)1 << 32) return false;  // over-subscribed
   t->complete = kraft == (int64_t)1 << 32;
 
-  std::vector<uint16_t> codes(nsyms);
+  std::vector<uint32_t> codes(nsyms);
   CanonicalCodes(lengths, nsyms, codes.data());
   t->entries.assign((size_t)1 << max_len, 0);
   for (int i = 0; i < nsyms; ++i) {

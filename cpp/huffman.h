@@ -22,8 +22,10 @@ bool PackageMergeLengths(const uint32_t* freqs, int nsyms, int limit,
 
 // Canonical code assignment (RFC 1951 §3.2.2): codes in increasing order of
 // (length, symbol). codes[i] is the MSB-first code value of length
-// lengths[i]; 0 for unused symbols.
-void CanonicalCodes(const uint8_t* lengths, int nsyms, uint16_t* codes);
+// lengths[i]; 0 for unused symbols. 32-bit: bzip2 allows lengths up to 20
+// (a uint16 code type silently truncated 17+-bit codes — real bug found by
+// the 16 MiB fuzz pass, see tests/test_bzip2.py::test_large_block).
+void CanonicalCodes(const uint8_t* lengths, int nsyms, uint32_t* codes);
 
 // Single-level decode table yielding packed (symbol << 5) | code_length.
 // Invalid entries have length 0.

@@ -100,7 +100,7 @@ void WriteTLensT(const uint8_t* lens, Writer* bw) {
 // C-table lengths via the T-Huffman code.
 template <typename Writer>
 void WriteCLensT(const uint8_t* clen, const uint8_t* tlen,
-                 const uint16_t* tcode, Writer* bw) {
+                 const uint32_t* tcode, Writer* bw) {
   int n = kNC;
   while (n > 0 && clen[n - 1] == 0) --n;
   if (n == 0) {
@@ -281,9 +281,9 @@ namespace {
 
 struct LzhufTables {
   std::vector<uint8_t> clen, plen;
-  std::vector<uint16_t> ccode, pcode;
+  std::vector<uint32_t> ccode, pcode;
   uint8_t tlen[kNT];
-  uint16_t tcode[kNT];
+  uint32_t tcode[kNT];
   int cused = 0, clast = 0, pused = 0, plast = 0, tused = 0, tlast = 0;
 };
 
@@ -448,9 +448,13 @@ int LzhufPlan(const uint32_t* c_freq, const uint32_t* p_freq,
               (T.plen[c] + (c > 1 ? c - 1 : 0));
     aw.set_pos(aw.pos() + body);
     std::memcpy(c_len_out + (size_t)b * kNC, T.clen.data(), kNC);
-    std::memcpy(c_code_out + (size_t)b * kNC, T.ccode.data(), kNC * 2);
     std::memcpy(p_len_out + (size_t)b * 20, T.plen.data(), m.np);
-    std::memcpy(p_code_out + (size_t)b * 20, T.pcode.data(), m.np * 2);
+    // codes are 32-bit internally (bzip2 needs >16-bit codes); lzhuf codes
+    // are <= 16 bits, narrow element-wise for the u16 ABI
+    for (int sym = 0; sym < kNC; ++sym)
+      c_code_out[(size_t)b * kNC + sym] = (uint16_t)T.ccode[sym];
+    for (int c = 0; c < m.np; ++c)
+      p_code_out[(size_t)b * 20 + c] = (uint16_t)T.pcode[c];
   }
   *total_bits_out = (int64_t)aw.pos();
   return 0;

@@ -89,3 +89,14 @@ def test_negative_corrupt_crc():
     comp[len(comp) // 2] ^= 0xFF
     with pytest.raises(CompressionError):
         bzip2.decompress(bytes(comp))
+
+
+def test_large_block():
+    """Full-size 900k blocks: regression for the uint16 canonical-code
+    truncation (17-bit codes corrupted the decode tables; found by a 16 MiB
+    round-trip — smaller blocks never produce length-17 codes)."""
+    data = corpus.mixed(2 << 20, seed=161)
+    comp = bzip2.compress(data, backend="oracle")
+    assert bzip2.decompress(comp) == data
+    assert stdbz2.decompress(comp) == data
+    assert bzip2.decompress(stdbz2.compress(data, 9)) == data

@@ -71,7 +71,7 @@ def canonical_codes_np(lengths: np.ndarray) -> np.ndarray:
     """RFC 1951 §3.2.2 canonical code assignment (MSB-first code values)."""
     lengths = np.asarray(lengths, dtype=np.int32)
     max_len = int(lengths.max(initial=0))
-    codes = np.zeros(len(lengths), dtype=np.uint16)
+    codes = np.zeros(len(lengths), dtype=np.uint32)
     if max_len == 0:
         return codes
     count = np.bincount(lengths, minlength=max_len + 1)

@@ -49,7 +49,7 @@ def lib() -> ctypes.CDLL:
         L.tpz_huff_lengths.restype = ctypes.c_int
         L.tpz_huff_lengths.argtypes = [u32p, ctypes.c_int32, ctypes.c_int32, u8p]
         L.tpz_huff_canonical.restype = None
-        L.tpz_huff_canonical.argtypes = [u8p, ctypes.c_int32, u16p]
+        L.tpz_huff_canonical.argtypes = [u8p, ctypes.c_int32, u32p]
         L.tpz_lzss_tokenize.restype = ctypes.c_int
         L.tpz_lzss_tokenize.argtypes = [u8p, ctypes.c_size_t, i32p, i32p, szp]
         L.tpz_deflate_encode.restype = ctypes.c_int
@@ -151,9 +151,9 @@ def huff_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
 
 def huff_canonical(lengths: np.ndarray) -> np.ndarray:
     ln = np.ascontiguousarray(lengths, dtype=np.uint8)
-    out = np.zeros(ln.size, dtype=np.uint16)
+    out = np.zeros(ln.size, dtype=np.uint32)
     lib().tpz_huff_canonical(
-        _ptr(ln, ctypes.c_uint8), ln.size, _ptr(out, ctypes.c_uint16))
+        _ptr(ln, ctypes.c_uint8), ln.size, _ptr(out, ctypes.c_uint32))
     return out
 
 
