@@ -234,3 +234,80 @@ extern "C" uint32_t tpz_bwt_ref(const uint8_t* in, size_t n,
                                 uint8_t* last_out) {
   return tpz::BwtEncodeRef(in, n, last_out);
 }
+
+// ------------------------------------------------------ threaded batch APIs
+// The reference crate is strictly single-threaded; the native runtime here
+// may use host threads (SURVEY.md §2.2: independent streams are the
+// parallel unit). Flat-blob + offsets interface for ctypes.
+#include <atomic>
+#include <thread>
+
+extern "C" int tpz_inflate_many(const uint8_t* blob, const int64_t* offs,
+                                const int64_t* lens, int32_t n,
+                                uint8_t* out_blob, const int64_t* out_offs,
+                                int64_t* out_lens /* cap in, actual out */,
+                                int32_t n_threads) {
+  std::atomic<int32_t> next(0);
+  std::atomic<int> status(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n || status.load() != 0) return;
+      std::vector<uint8_t> v;
+      size_t consumed = 0;
+      int st = Inflate(blob + offs[i], (size_t)lens[i], &v, &consumed);
+      if (st != 0) {
+        status.store(st);
+        return;
+      }
+      if ((int64_t)v.size() > out_lens[i]) {
+        out_lens[i] = (int64_t)v.size();
+        status.store(4);
+        return;
+      }
+      if (!v.empty()) std::memcpy(out_blob + out_offs[i], v.data(), v.size());
+      out_lens[i] = (int64_t)v.size();
+    }
+  };
+  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+  return status.load();
+}
+
+extern "C" int tpz_deflate_encode_many(const uint8_t* blob,
+                                       const int64_t* offs,
+                                       const int64_t* lens, int32_t n,
+                                       const int32_t* params9,
+                                       uint8_t* out_blob,
+                                       const int64_t* out_offs,
+                                       int64_t* out_lens, int32_t n_threads) {
+  LzssParams lp = ParamsFromArray(params9);
+  std::atomic<int32_t> next(0);
+  std::atomic<int> status(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n || status.load() != 0) return;
+      DeflateParams dp;
+      dp.lzss = lp;
+      BitWriterLSB bw;
+      DeflateEncode(blob + offs[i], (size_t)lens[i], dp, &bw);
+      if ((int64_t)bw.bytes().size() > out_lens[i]) {
+        out_lens[i] = (int64_t)bw.bytes().size();
+        status.store(4);
+        return;
+      }
+      if (!bw.bytes().empty())
+        std::memcpy(out_blob + out_offs[i], bw.bytes().data(),
+                    bw.bytes().size());
+      out_lens[i] = (int64_t)bw.bytes().size();
+    }
+  };
+  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+  return status.load();
+}

@@ -556,9 +556,24 @@ int Inflate(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
       uint32_t d = kDistBase[ds] + br.Read(kDistExtra[ds]);
       if (br.Overrun()) return kStatusUnexpectedEof;
       if (d > out->size()) return kStatusDataError;
+      // Bulk match copy: resize once, then memcpy for the non-overlapping
+      // case; overlapping copies double the copyable span each pass.
       size_t from = out->size() - d;
-      for (uint32_t k = 0; k < len; ++k)  // overlapping copies are legal
-        out->push_back((*out)[from + k]);
+      size_t oldsz = out->size();
+      out->resize(oldsz + len);
+      uint8_t* dst = out->data() + oldsz;
+      const uint8_t* src = out->data() + from;
+      if (d >= len) {
+        std::memcpy(dst, src, len);
+      } else {
+        size_t done = d;
+        std::memcpy(dst, src, d);
+        while (done < len) {
+          size_t chunk = std::min(done, len - done);
+          std::memcpy(dst + done, dst, chunk);
+          done += chunk;
+        }
+      }
     }
   }
   br.AlignByte();

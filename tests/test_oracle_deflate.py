@@ -149,3 +149,13 @@ def test_huff_canonical_rfc_example():
     codes = oracle.huff_canonical(lens)
     assert list(codes) == [0b010, 0b011, 0b100, 0b101, 0b110, 0b00, 0b1110,
                            0b1111]
+
+
+def test_threaded_batch_apis():
+    """tpz_inflate_many / tpz_deflate_encode_many (native host threads)."""
+    datas = [corpus.mixed(200_000, seed=i) for i in range(6)] + [b"", b"x"]
+    comps = oracle.deflate_encode_many(datas)
+    for c, d in zip(comps, datas):
+        assert c == oracle.deflate_encode(d)  # thread == serial, per stream
+    outs = oracle.inflate_many(comps)
+    assert outs == datas

@@ -88,4 +88,4 @@ def compress_many(datas, level: int = 6, backend: str = "auto",
         except Exception:
             if backend == "tpu":
                 raise
-    return [oracle.deflate_encode(d, cfg.params_array()) for d in datas]
+    return oracle.deflate_encode_many(list(datas), cfg.params_array())

@@ -90,6 +90,14 @@ def lib() -> ctypes.CDLL:
         L.tpz_lzhuf_plan.argtypes = [
             u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
             u8p, u16p, u8p, u16p, u8p, ctypes.c_size_t]
+        L.tpz_inflate_many.restype = ctypes.c_int
+        L.tpz_inflate_many.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int32, u8p, i64p, i64p,
+            ctypes.c_int32]
+        L.tpz_deflate_encode_many.restype = ctypes.c_int
+        L.tpz_deflate_encode_many.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int32, i32p, u8p, i64p, i64p,
+            ctypes.c_int32]
         L.tpz_deflate_plan.restype = ctypes.c_int
         L.tpz_deflate_plan.argtypes = [
             u32p, u32p, i64p, ctypes.c_int32, i32p, i64p, i64p, i64p,
@@ -220,6 +228,72 @@ def deflate_encode_block(
         ntok, int(bfinal), _ptr(out, ctypes.c_uint8), ctypes.byref(n))
     raise_for_status(st, "deflate_encode_block")
     return out[: n.value].tobytes()
+
+
+def _flat_blobs(datas):
+    offs = np.zeros(len(datas), dtype=np.int64)
+    lens = np.array([len(d) for d in datas], dtype=np.int64)
+    offs[1:] = np.cumsum(lens)[:-1]
+    blob = np.frombuffer(b"".join(bytes(d) for d in datas), dtype=np.uint8) \
+        if datas else np.zeros(0, np.uint8)
+    return blob, offs, lens
+
+
+def inflate_many(streams, caps=None, n_threads: int | None = None):
+    """Threaded raw-DEFLATE decode of independent streams (the native
+    runtime may thread even though the reference crate is single-threaded;
+    SURVEY.md §2.2)."""
+    import os as _os
+
+    if not streams:
+        return []
+    n = len(streams)
+    nt = n_threads or min(n, _os.cpu_count() or 1)
+    blob, offs, lens = _flat_blobs(streams)
+    caps = caps or [max(4096, 80 * len(s) + 1024) for s in streams]
+    for _ in range(8):
+        out_lens = np.array(caps, dtype=np.int64)
+        out_offs = np.zeros(n, dtype=np.int64)
+        out_offs[1:] = np.cumsum(out_lens)[:-1]
+        out_blob = np.zeros(int(out_lens.sum()), dtype=np.uint8)
+        st = lib().tpz_inflate_many(
+            _u8ptr(blob), _ptr(offs, ctypes.c_int64),
+            _ptr(lens, ctypes.c_int64), n, _ptr(out_blob, ctypes.c_uint8),
+            _ptr(out_offs, ctypes.c_int64), _ptr(out_lens, ctypes.c_int64),
+            nt)
+        if st == STATUS_BUFFER_TOO_SMALL:
+            caps = [max(c, int(l)) for c, l in zip(caps, out_lens)]
+            continue
+        raise_for_status(st, "inflate_many")
+        return [out_blob[out_offs[i]:out_offs[i] + out_lens[i]].tobytes()
+                for i in range(n)]
+    raise_for_status(STATUS_BUFFER_TOO_SMALL, "inflate_many: output cap")
+
+
+def deflate_encode_many(datas, params: np.ndarray | None = None,
+                        n_threads: int | None = None):
+    """Threaded raw-DEFLATE encode of independent buffers."""
+    import os as _os
+
+    if not datas:
+        return []
+    n = len(datas)
+    nt = n_threads or min(n, _os.cpu_count() or 1)
+    p = np.ascontiguousarray(
+        params if params is not None else params_array(), dtype=np.int32)
+    blob, offs, lens = _flat_blobs(datas)
+    out_lens = np.array([len(d) + (len(d) >> 3) + 1024 for d in datas],
+                        dtype=np.int64)
+    out_offs = np.zeros(n, dtype=np.int64)
+    out_offs[1:] = np.cumsum(out_lens)[:-1]
+    out_blob = np.zeros(int(out_lens.sum()), dtype=np.uint8)
+    st = lib().tpz_deflate_encode_many(
+        _u8ptr(blob), _ptr(offs, ctypes.c_int64), _ptr(lens, ctypes.c_int64),
+        n, _ptr(p, ctypes.c_int32), _ptr(out_blob, ctypes.c_uint8),
+        _ptr(out_offs, ctypes.c_int64), _ptr(out_lens, ctypes.c_int64), nt)
+    raise_for_status(st, "deflate_encode_many")
+    return [out_blob[out_offs[i]:out_offs[i] + out_lens[i]].tobytes()
+            for i in range(n)]
 
 
 def deflate_plan(lit_freq: np.ndarray, dist_freq: np.ndarray,
