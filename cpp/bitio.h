@@ -74,6 +74,14 @@ class BitWriterMSB {
   uint64_t BitLength() const { return 8 * out_.size() + cnt_; }
   std::vector<uint8_t>& bytes() { return out_; }
 
+  // Append this writer's whole bit stream onto another MSB writer
+  // (bit-granular splice; used to join independently encoded bzip2
+  // blocks, which are not byte-aligned in the stream).
+  void AppendTo(BitWriterMSB* dst) const {
+    for (uint8_t b : out_) dst->Write(b, 8);
+    if (cnt_ > 0) dst->Write((uint32_t)buf_, cnt_);
+  }
+
  private:
   std::vector<uint8_t> out_;
   uint64_t buf_ = 0;

@@ -1,7 +1,9 @@
 #include "bzip2.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cstring>
+#include <thread>
 
 #include "bitio.h"
 #include "generated_constants.h"
@@ -309,31 +311,63 @@ void Bzip2Encode(const uint8_t* in, size_t n, int level,
   std::vector<Rle1Unit> units;
   Rle1Units(in, n, &units);
 
-  uint32_t combined = 0;
-  size_t u = 0;
-  size_t src_pos = 0;
-  while (u < units.size()) {
-    std::vector<uint8_t> block;
-    block.reserve(std::min(limit, n + 16));
-    size_t src_len = 0;
-    while (u < units.size() && block.size() + units[u].out_len <= limit) {
-      const Rle1Unit& un = units[u];
-      if (un.out_len == 1) {
-        block.push_back(un.byte);
-      } else {
-        for (int k = 0; k < 4; ++k) block.push_back(un.byte);
-        block.push_back(un.count);
+  // Collect RLE1 blocks, then encode them in parallel (blocks are
+  // independent by format — the same property the TPU pipeline shards on)
+  // and splice the resulting bit streams in order.
+  struct BlockJob {
+    std::vector<uint8_t> data;
+    uint32_t crc;
+    BitWriterMSB bits;
+  };
+  std::vector<BlockJob> jobs;
+  {
+    size_t u = 0, src_pos = 0;
+    while (u < units.size()) {
+      BlockJob job;
+      job.data.reserve(std::min(limit, n + 16));
+      size_t src_len = 0;
+      while (u < units.size() && job.data.size() + units[u].out_len <= limit) {
+        const Rle1Unit& un = units[u];
+        if (un.out_len == 1) {
+          job.data.push_back(un.byte);
+        } else {
+          for (int k = 0; k < 4; ++k) job.data.push_back(un.byte);
+          job.data.push_back(un.count);
+        }
+        src_len += un.src_len;
+        ++u;
       }
-      src_len += un.src_len;
-      ++u;
+      job.crc = Crc32Msb(in + src_pos, src_len, 0xFFFFFFFF) ^ 0xFFFFFFFF;
+      src_pos += src_len;
+      jobs.push_back(std::move(job));
     }
-    uint32_t crc =
-        Crc32Msb(in + src_pos, src_len, 0xFFFFFFFF) ^ 0xFFFFFFFF;
-    src_pos += src_len;
-    combined = ((combined << 1) | (combined >> 31)) ^ crc;
-    std::vector<uint8_t> lastcol;
-    uint32_t orig = BwtEncode(block, &lastcol);
-    EncodeBlockPostBwt(lastcol, orig, crc, &bw);
+  }
+  {
+    std::atomic<size_t> next(0);
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= jobs.size()) return;
+        std::vector<uint8_t> lastcol;
+        uint32_t orig = BwtEncode(jobs[i].data, &lastcol);
+        EncodeBlockPostBwt(lastcol, orig, jobs[i].crc, &jobs[i].bits);
+      }
+    };
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > jobs.size()) nt = (unsigned)jobs.size();
+    if (nt <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> ts;
+      for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+      for (auto& t : ts) t.join();
+    }
+  }
+  uint32_t combined = 0;
+  for (auto& job : jobs) {
+    combined = ((combined << 1) | (combined >> 31)) ^ job.crc;
+    job.bits.AppendTo(&bw);
   }
   bw.Write((uint32_t)(kEosMagic >> 24), 24);
   bw.Write((uint32_t)(kEosMagic & 0xffffff), 24);
