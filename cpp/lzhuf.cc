@@ -1,7 +1,9 @@
 #include "lzhuf.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cstring>
+#include <thread>
 
 #include "generated_constants.h"
 #include "huffman.h"
@@ -392,14 +394,25 @@ void EmitHeader(const LzhufTables& T, uint32_t cnt, const LzhufMethod& m,
 void LzhufEncode(const Token* tokens, size_t ntokens, const LzhufMethod& m,
                  BitWriterMSB* bw) {
   if (ntokens == 0) return;  // empty stream: no blocks at all
-  size_t t0 = 0;
-  while (t0 < ntokens) {
-    uint32_t blk = tokens[t0].pos / kParseBlock;
-    size_t t1 = t0;
-    while (t1 < ntokens && tokens[t1].pos / kParseBlock == blk) ++t1;
-    size_t cnt = t1 - t0;
+  // Block ranges (parse-block aligned), encoded in parallel and spliced in
+  // order (blocks are independent; output bytes identical to the serial
+  // loop).
+  struct Range { size_t t0, t1; BitWriterMSB bits; };
+  std::vector<Range> ranges;
+  {
+    size_t t0 = 0;
+    while (t0 < ntokens) {
+      uint32_t blk = tokens[t0].pos / kParseBlock;
+      size_t t1 = t0;
+      while (t1 < ntokens && tokens[t1].pos / kParseBlock == blk) ++t1;
+      ranges.push_back({t0, t1, {}});
+      t0 = t1;
+    }
+  }
+  auto encode_range = [&](Range& r) {
+    size_t cnt = r.t1 - r.t0;
     std::vector<uint32_t> cfreq(kNC, 0), pfreq(m.np, 0);
-    for (size_t t = t0; t < t1; ++t) {
+    for (size_t t = r.t0; t < r.t1; ++t) {
       const Token& tok = tokens[t];
       if (tok.len == 0) {
         ++cfreq[tok.lit];
@@ -409,22 +422,41 @@ void LzhufEncode(const Token* tokens, size_t ntokens, const LzhufMethod& m,
       }
     }
     LzhufTables T = BuildTables(cfreq.data(), pfreq.data(), m);
-    EmitHeader(T, (uint32_t)cnt, m, bw);
-    for (size_t t = t0; t < t1; ++t) {
+    BitWriterMSB* w = &r.bits;
+    EmitHeader(T, (uint32_t)cnt, m, w);
+    for (size_t t = r.t0; t < r.t1; ++t) {
       const Token& tok = tokens[t];
       if (tok.len == 0) {
-        if (T.clen[tok.lit]) bw->WriteHuff(T.ccode[tok.lit], T.clen[tok.lit]);
+        if (T.clen[tok.lit]) w->WriteHuff(T.ccode[tok.lit], T.clen[tok.lit]);
       } else {
         int cs = 256 + tok.len - 3;
-        if (T.clen[cs]) bw->WriteHuff(T.ccode[cs], T.clen[cs]);
+        if (T.clen[cs]) w->WriteHuff(T.ccode[cs], T.clen[cs]);
         uint32_t pv = tok.dist - 1;
         int c = BitLength(pv);
-        if (T.plen[c]) bw->WriteHuff(T.pcode[c], T.plen[c]);
-        if (c > 1) bw->Write(pv & ((1u << (c - 1)) - 1), c - 1);
+        if (T.plen[c]) w->WriteHuff(T.pcode[c], T.plen[c]);
+        if (c > 1) w->Write(pv & ((1u << (c - 1)) - 1), c - 1);
       }
     }
-    t0 = t1;
+  };
+  std::atomic<size_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= ranges.size()) return;
+      encode_range(ranges[i]);
+    }
+  };
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > ranges.size()) nt = (unsigned)ranges.size();
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
   }
+  for (auto& r : ranges) r.bits.AppendTo(bw);
 }
 
 int LzhufPlan(const uint32_t* c_freq, const uint32_t* p_freq,
