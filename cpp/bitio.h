@@ -46,6 +46,13 @@ class BitWriterLSB {
   uint64_t BitLength() const { return 8 * out_.size() + cnt_; }
   std::vector<uint8_t>& bytes() { return out_; }
 
+  // Bit-granular splice onto another LSB writer (parallel per-block
+  // DEFLATE emission; dynamic/fixed block bodies are offset-independent).
+  void AppendTo(BitWriterLSB* dst) const {
+    for (uint8_t b : out_) dst->Write(b, 8);
+    if (cnt_ > 0) dst->Write((uint32_t)buf_, cnt_);
+  }
+
  private:
   std::vector<uint8_t> out_;
   uint64_t buf_ = 0;

@@ -1,7 +1,9 @@
 #include "deflate.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cstring>
+#include <thread>
 
 #include "generated_constants.h"
 #include "huffman.h"
@@ -290,13 +292,69 @@ void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
     return;
   }
   const size_t bs = (size_t)params.lzss.block_size;
-  size_t t = 0;
-  for (size_t start = 0; start < n; start += bs) {
-    size_t end = std::min(n, start + bs);
-    size_t t0 = t;
-    while (t < tokens.size() && tokens[t].pos < end) ++t;
-    DeflateEncodeBlock(in + start, end - start, tokens.data() + t0, t - t0,
-                       end == n, bw);
+  // Parallel phase: per-block planning and speculative dynamic/fixed body
+  // emission (offset-independent bits). Serial phase: block-type choice
+  // (stored cost depends on the absolute bit position) + ordered splice;
+  // stored blocks are emitted serially. Byte-identical to the serial loop.
+  struct Job {
+    size_t start, end, t0, t1;
+    BlockPlan bp;
+    BitWriterLSB body;  // header + symbols for the dyn/fixed choice
+    int pre_btype;      // 1 or 2 (cheaper of the two); 0 decided serially
+  };
+  std::vector<Job> jobs;
+  {
+    size_t t = 0;
+    for (size_t start = 0; start < n; start += bs) {
+      size_t end = std::min(n, start + bs);
+      size_t t0 = t;
+      while (t < tokens.size() && tokens[t].pos < end) ++t;
+      jobs.push_back(Job{start, end, t0, t, {}, {}, 1});
+    }
+  }
+  std::atomic<size_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= jobs.size()) return;
+      Job& j = jobs[i];
+      PlanBlock(tokens.data() + j.t0, j.t1 - j.t0, &j.bp);
+      uint64_t dyn_cost = 3 + j.bp.dyn_header_bits + j.bp.dyn_body_bits;
+      uint64_t fixed_cost = 3 + j.bp.fixed_body_bits;
+      j.pre_btype = fixed_cost <= dyn_cost ? 1 : 2;
+      bool bfinal = i + 1 == jobs.size();
+      EmitBlockHeader(j.bp, j.pre_btype, bfinal, &j.body);
+      if (j.pre_btype == 1) {
+        const FixedCodes& f = GetFixedCodes();
+        EmitSymbols(tokens.data() + j.t0, j.t1 - j.t0, f.fl_len, f.fl_code,
+                    f.fd_len, f.fd_code, &j.body);
+      } else {
+        EmitSymbols(tokens.data() + j.t0, j.t1 - j.t0, j.bp.lit_len,
+                    j.bp.lit_code, j.bp.dist_len, j.bp.dist_code, &j.body);
+      }
+    }
+  };
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > jobs.size()) nt = (unsigned)jobs.size();
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (unsigned t2 = 0; t2 < nt; ++t2) ts.emplace_back(worker);
+    for (auto& t2 : ts) t2.join();
+  }
+  for (size_t i = 0; i < jobs.size(); ++i) {
+    Job& j = jobs[i];
+    uint64_t cost;
+    int btype = ChooseBtype(j.bp, bw->BitLength(), j.end - j.start, &cost);
+    if (btype == 0) {
+      EmitStored(in + j.start, j.end - j.start, i + 1 == jobs.size(), bw);
+    } else {
+      // btype matches pre_btype: ChooseBtype picks stored only when it
+      // beats BOTH, else the same dyn/fixed comparison as the worker.
+      j.body.AppendTo(bw);
+    }
   }
   bw->AlignByte();
 }
