@@ -610,7 +610,11 @@ int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
 
 }  // namespace
 
-int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
+namespace {
+
+// Serial single-pass decode (the reference path, and the fallback when the
+// parallel splitter hits a false-positive magic).
+int Bzip2DecodeSerial(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
   size_t stream_start = 0;
   bool decoded_any = false;
   while (stream_start < n) {
@@ -646,6 +650,128 @@ int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
     decoded_any = true;
   }
   return decoded_any ? kStatusOk : kStatusUnexpectedEof;
+}
+
+// Find candidate bit offsets of the 48-bit block magic (lbzip2-style
+// splitter). A false positive (2^-48 per bit) is caught by the per-block
+// decode/CRC and falls back to the serial path.
+void FindBlockMagics(const uint8_t* in, size_t n,
+                     std::vector<uint64_t>* bit_offs) {
+  if (n < 10) return;
+  uint64_t window = 0;
+  const uint64_t mask = (1ull << 48) - 1;
+  for (size_t i = 0; i < n; ++i) {
+    uint64_t byte = in[i];
+    for (int b = 7; b >= 0; --b) {
+      window = ((window << 1) | ((byte >> b) & 1)) & mask;
+      uint64_t bitpos = 8ull * i + (7 - b) + 1;
+      if (bitpos >= 48 && window == kBlockMagic)
+        bit_offs->push_back(bitpos - 48);
+    }
+  }
+}
+
+// Decode one block whose body starts right AFTER the 48-bit magic at
+// bit_off. Reads via a byte-shifted view so BitReaderMSB can start there.
+int DecodeBlockAt(const uint8_t* in, size_t n, uint64_t body_bit,
+                  std::vector<uint8_t>* out, uint32_t* crc) {
+  size_t byte0 = (size_t)(body_bit >> 3);
+  int skip = (int)(body_bit & 7);
+  BitReaderMSB br(in + byte0, n - byte0);
+  if (skip) br.Read(skip);
+  return DecodeBlockBody(&br, out, crc);
+}
+
+}  // namespace
+
+int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  // Parallel path: single stream, big enough to matter, multiple blocks.
+  if (hw >= 2 && n > (1u << 20)) {
+    do {
+      if (n < 10 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h') break;
+      std::vector<uint64_t> magics;
+      FindBlockMagics(in, n, &magics);
+      if (magics.size() < 2) break;
+      // Require the first magic right after the 4-byte header and the EOS
+      // magic findable at the end; multi-stream inputs fall back.
+      if (magics.front() != 32) break;
+      struct BJob {
+        uint64_t body_bit;
+        std::vector<uint8_t> bytes;
+        uint32_t crc = 0;
+        int status = 0;
+      };
+      std::vector<BJob> jobsv(magics.size());
+      for (size_t i = 0; i < magics.size(); ++i)
+        jobsv[i].body_bit = magics[i] + 48;
+      std::atomic<size_t> next(0);
+      std::atomic<int> bad(0);
+      auto worker = [&]() {
+        for (;;) {
+          size_t i = next.fetch_add(1);
+          if (i >= jobsv.size()) return;
+          BJob& j = jobsv[i];
+          j.status = DecodeBlockAt(in, n, j.body_bit, &j.bytes, &j.crc);
+          if (j.status != 0) bad.store(1);
+          else {
+            uint32_t actual =
+                Crc32Msb(j.bytes.data(), j.bytes.size(), 0xFFFFFFFF) ^
+                0xFFFFFFFF;
+            if (actual != j.crc) {
+              j.status = kStatusDataError;
+              bad.store(1);
+            }
+          }
+        }
+      };
+      unsigned nt = std::min<size_t>(hw, jobsv.size());
+      std::vector<std::thread> ts;
+      for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+      for (auto& t : ts) t.join();
+      if (bad.load()) break;  // false-positive magic or corrupt: fall back
+      // Combined CRC + EOS check still validated serially from the jobs.
+      uint32_t combined = 0;
+      for (auto& j : jobsv)
+        combined = ((combined << 1) | (combined >> 31)) ^ j.crc;
+      // Verify the EOS trailer: locate it after the last block. The last
+      // block's end is unknown without re-walking, so scan for the EOS
+      // magic after the last block's START (it cannot appear inside a
+      // valid final block's remaining bits by the same 2^-48 argument —
+      // and a mismatch of the combined CRC falls back anyway).
+      uint64_t eos_bit = 0;
+      bool found = false;
+      {
+        uint64_t window = 0;
+        const uint64_t mask = (1ull << 48) - 1;
+        size_t start_byte = (size_t)(jobsv.back().body_bit >> 3);
+        for (size_t i = start_byte; i < n && !found; ++i) {
+          uint64_t byte = in[i];
+          for (int b = 7; b >= 0; --b) {
+            window = ((window << 1) | ((byte >> b) & 1)) & mask;
+            uint64_t bitpos = 8ull * i + (7 - b) + 1;
+            if (bitpos >= 48 && window == kEosMagic) {
+              eos_bit = bitpos;
+              found = true;
+              break;
+            }
+          }
+        }
+      }
+      if (!found) break;
+      size_t byte0 = (size_t)(eos_bit >> 3);
+      int skip = (int)(eos_bit & 7);
+      BitReaderMSB br(in + byte0, n - byte0);
+      if (skip) br.Read(skip);
+      uint32_t expect = br.Read(32);
+      if (br.Overrun() || expect != combined) break;
+      for (auto& j : jobsv)
+        out->insert(out->end(), j.bytes.begin(), j.bytes.end());
+      return kStatusOk;
+    } while (false);
+    out->clear();
+  }
+  return Bzip2DecodeSerial(in, n, out);
 }
 
 }  // namespace tpz
