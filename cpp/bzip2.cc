@@ -428,12 +428,29 @@ int Bzip2Assemble(const uint8_t* bwt_last, const int64_t* block_off,
   bw.Write('Z', 8);
   bw.Write('h', 8);
   bw.Write('0' + level, 8);
+  std::vector<BitWriterMSB> block_bits(nblocks);
+  {
+    std::atomic<int32_t> next(0);
+    auto worker = [&]() {
+      for (;;) {
+        int32_t b = next.fetch_add(1);
+        if (b >= nblocks) return;
+        std::vector<uint8_t> last(bwt_last + block_off[b],
+                                  bwt_last + block_off[b] + block_len[b]);
+        EncodeBlockPostBwt(last, orig_ptrs[b], block_crc[b], &block_bits[b]);
+      }
+    };
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if ((int)nt > nblocks) nt = (unsigned)nblocks;
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
   uint32_t combined = 0;
   for (int b = 0; b < nblocks; ++b) {
-    std::vector<uint8_t> last(bwt_last + block_off[b],
-                              bwt_last + block_off[b] + block_len[b]);
     combined = ((combined << 1) | (combined >> 31)) ^ block_crc[b];
-    EncodeBlockPostBwt(last, orig_ptrs[b], block_crc[b], &bw);
+    block_bits[b].AppendTo(&bw);
   }
   bw.Write((uint32_t)(kEosMagic >> 24), 24);
   bw.Write((uint32_t)(kEosMagic & 0xffffff), 24);

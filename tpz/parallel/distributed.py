@@ -100,6 +100,10 @@ def compress_sharded(
     if manifest_path and os.path.exists(manifest_path):
         manifest = json.load(open(manifest_path))
 
+    # Collect this process's pending spans, then encode them in ONE batched
+    # call (device: a single stage1/stage2 invocation covers every span;
+    # host: the threaded batch path).
+    pending = []
     for i, off, ln in spans:
         if i % process_count != process_index and work_dir is None:
             raise ValueError("multi-process mode requires work_dir")
@@ -114,14 +118,19 @@ def compress_sharded(
                 continue  # resume: span already done
         if fail_spans and i in fail_spans:
             continue  # injected fault: this span's host "died"
-        blob = api.compress(data[off:off + ln], format, level=level,
-                            backend=backend)
-        results[i] = blob
-        if span_file:
-            with open(span_file, "wb") as f:
-                f.write(blob)
-            manifest[str(i)] = asdict(SpanResult(
-                i, off, ln, len(blob), _zlib.crc32(blob)))
+        pending.append((i, off, ln))
+    if pending:
+        blobs = api.compress_many(
+            [data[off:off + ln] for _, off, ln in pending], format,
+            level=level, backend=backend)
+        for (i, off, ln), blob in zip(pending, blobs):
+            results[i] = blob
+            if work_dir:
+                with open(os.path.join(work_dir, f"span_{i}.bin"), "wb") as f:
+                    f.write(blob)
+                manifest[str(i)] = asdict(SpanResult(
+                    i, off, ln, len(blob), _zlib.crc32(blob)))
+        if work_dir:
             with open(manifest_path, "w") as f:
                 json.dump(manifest, f)
 
