@@ -84,6 +84,10 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
     [NB, 1] int32. Returns (reach [NB, N] int32, mlen [NB, N] int32) —
     mlen is the spec-v1 match length at token positions (0 = literal),
     identical to find_matches+greedy_parse output at those positions.
+
+    Screen and winner travel as one packed word ((j+1) << 4 | screen+1)
+    and the outputs share one packed word (len+1 at visited positions) so
+    the walk pays a single dynamic-row read and a single RMW per step.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -92,14 +96,13 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
     M = words.shape[1]
     assert N % 128 == 0 and M % 128 == 0
     r_n, r_m = N // 128, M // 128
-    s3 = screen.reshape(NB, r_n, 128)
-    j3 = best_j.reshape(NB, r_n, 128)
+    packed = ((best_j + 1) << 4) | jnp.clip(screen + 1, 0, 9)
+    p3 = packed.reshape(NB, r_n, 128)
     w3 = words.reshape(NB, r_m, 128)
 
-    def kernel(blen_ref, s_ref, j_ref, w_ref, reach_ref, mlen_ref):
+    def kernel(blen_ref, p_ref, w_ref, out_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        reach_ref[...] = jnp.zeros_like(reach_ref)
-        mlen_ref[...] = jnp.zeros_like(mlen_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
         blen = blen_ref[pl.program_id(0), 0]
 
         def rd(ref, pos):
@@ -124,8 +127,9 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
         def match_len_at(p):
             """Spec-v1 best match length at p (0 = literal), mirroring
             cpp/lzss.cc best_match incl. the too-far rule."""
-            s = rd(s_ref, p)
-            j = rd(j_ref, p)
+            pk = rd(p_ref, p)
+            s = (pk & 15) - 1
+            j = (pk >> 4) - 1
             cap = jnp.minimum(jnp.int32(max_match), blen - p)
             screen_cap = jnp.minimum(jnp.int32(8), cap)
 
@@ -150,7 +154,6 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
             return jnp.where(j < 0, 0, ln)
 
         def body(p):
-            wr(reach_ref, p, jnp.int32(1))
             ln = match_len_at(p)
             if lazy:
                 # one-step lazy (cpp/lzss.cc lazy profile): if the match
@@ -159,31 +162,25 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
                     (ln > 0) & (p + 1 < blen),
                     lambda _: match_len_at(p + 1), lambda _: jnp.int32(0), 0)
                 ln = jnp.where(ln2 > ln, 0, ln)
-
-            @pl.when(ln >= 3)
-            def _():
-                wr(mlen_ref, p, ln)
-
+            wr(out_ref, p, ln + 1)  # visited marker: len+1 (1 = literal)
             return p + jnp.maximum(ln, 1)
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
 
-    reach, mlen = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [NB,1] array
             pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, r_m, 128), lambda b: (b, 0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
-                   pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32)),
+        out_specs=pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32),
         interpret=interpret,
-    )(block_len, s3, j3, w3)
-    return reach.reshape(NB, N), mlen.reshape(NB, N)
+    )(block_len, p3, w3)
+    out = out.reshape(NB, N)
+    return out, jnp.maximum(out - 1, 0)
 
 
 def _parse_doubling(step: jax.Array) -> jax.Array:
