@@ -248,7 +248,8 @@ extern "C" int tpz_inflate_many(const uint8_t* blob, const int64_t* offs,
                                 int64_t* out_lens /* cap in, actual out */,
                                 int32_t n_threads) {
   std::atomic<int32_t> next(0);
-  std::atomic<int> status(0);
+  std::atomic<int> status(0);        // hard decode errors: abort all workers
+  std::atomic<bool> too_small(false);  // soft: keep sizing remaining streams
   auto worker = [&]() {
     for (;;) {
       int32_t i = next.fetch_add(1);
@@ -261,9 +262,11 @@ extern "C" int tpz_inflate_many(const uint8_t* blob, const int64_t* offs,
         return;
       }
       if ((int64_t)v.size() > out_lens[i]) {
+        // Report the required size but keep going so ONE retry pass can
+        // right-size every stream (not just those before the first failure).
         out_lens[i] = (int64_t)v.size();
-        status.store(4);
-        return;
+        too_small.store(true);
+        continue;
       }
       if (!v.empty()) std::memcpy(out_blob + out_offs[i], v.data(), v.size());
       out_lens[i] = (int64_t)v.size();
@@ -273,7 +276,69 @@ extern "C" int tpz_inflate_many(const uint8_t* blob, const int64_t* offs,
   std::vector<std::thread> ts;
   for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
   for (auto& t : ts) t.join();
-  return status.load();
+  int st = status.load();
+  if (st == 0 && too_small.load()) return 4;
+  return st;
+}
+
+// ----------------------------------------------------- standalone LZSS codec
+// Tagged-byte serialization used by tpz/codecs/lzss.py: per 8 tokens one
+// flag byte (bit i set => token i is a Reference), literals as 1 raw byte,
+// references as len-min_match (1 byte) + dist (2 bytes LE).
+extern "C" int tpz_lzss_pack(const int32_t* tokens, size_t ntokens,
+                             int32_t min_match, uint8_t* out,
+                             size_t* out_len) {
+  std::vector<uint8_t> v;
+  v.reserve(ntokens * 2);
+  size_t flag_at = 0;
+  for (size_t i = 0; i < ntokens; ++i) {
+    if (i % 8 == 0) {
+      flag_at = v.size();
+      v.push_back(0);
+    }
+    int32_t len = tokens[4 * i + 1];
+    if (len) {
+      v[flag_at] |= (uint8_t)(1u << (i % 8));
+      uint32_t dist = (uint32_t)tokens[4 * i + 3];
+      v.push_back((uint8_t)(len - min_match));
+      v.push_back((uint8_t)(dist & 0xFF));
+      v.push_back((uint8_t)(dist >> 8));
+    } else {
+      v.push_back((uint8_t)tokens[4 * i + 2]);
+    }
+  }
+  return CopyOut(v, out, out_len);
+}
+
+extern "C" int tpz_lzss_unpack(const uint8_t* in, size_t in_len,
+                               int64_t orig_size, int32_t min_match,
+                               uint8_t* out, size_t* out_len) {
+  if ((int64_t)*out_len < orig_size) {
+    *out_len = (size_t)orig_size;
+    return 4;
+  }
+  size_t i = 0, n = (size_t)orig_size, produced = 0;
+  while (produced < n) {
+    if (i >= in_len) return 2;  // UnexpectedEof
+    uint8_t flags = in[i++];
+    for (int b = 0; b < 8 && produced < n; ++b) {
+      if (flags & (1u << b)) {
+        if (i + 3 > in_len) return 2;
+        size_t len = (size_t)in[i] + (size_t)min_match;
+        uint32_t dist = (uint32_t)in[i + 1] | ((uint32_t)in[i + 2] << 8);
+        i += 3;
+        if (dist == 0 || (size_t)dist > produced) return 1;  // DataError
+        if (produced + len > n) return 1;  // ref crosses declared size
+        for (size_t k = 0; k < len; ++k, ++produced)
+          out[produced] = out[produced - dist];
+      } else {
+        if (i >= in_len) return 2;
+        out[produced++] = in[i++];
+      }
+    }
+  }
+  *out_len = produced;
+  return 0;
 }
 
 extern "C" int tpz_deflate_encode_many(const uint8_t* blob,

@@ -84,3 +84,13 @@ def test_tokens_path_matches_bytes_path():
     via_tokens = oracle.lzhuf_encode_tokens(toks, 13)
     via_bytes = oracle.lzhuf_encode(data, 13)
     assert via_tokens == via_bytes
+
+
+@pytest.mark.parametrize("method", ["lh4", "lh5", "lh6", "lh7"])
+def test_empty_container_roundtrip(method):
+    """ADVICE r1: compress(b'') emits a 15-byte header-only container that
+    must decompress back to b'' (the length check was off by one)."""
+    from tpz.codecs import lzhuf
+
+    blob = lzhuf.compress(b"", method)
+    assert lzhuf.decompress(blob, method) == b""

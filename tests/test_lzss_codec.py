@@ -41,3 +41,25 @@ def test_truncated():
     comp = compress(corpus.text(10_000))
     with pytest.raises(CompressionError):
         decompress(comp[: len(comp) // 2])
+
+
+def test_final_ref_crossing_size_raises():
+    """ADVICE r1: a corrupt final reference token that would run past the
+    declared size must raise DataError, not return an over-long buffer."""
+    # 8-byte size header declaring 4 bytes, then: flag byte 0b10 (token 1 is
+    # a ref), literal 'a', ref len=3+2=5 dist=1 -> output would be 6 > 4.
+    stream = (4).to_bytes(8, "little") + bytes([0b10, ord("a"), 2, 1, 0])
+    with pytest.raises(CompressionError):
+        decompress(stream)
+
+
+def test_large_roundtrip_fast():
+    """10 MB round-trip stays native (no per-byte Python loops)."""
+    import time
+
+    data = (corpus.text(65536) + corpus.repetitive(65536)) * 40
+    t0 = time.time()
+    comp = compress(data)
+    out = decompress(comp)
+    assert out == data
+    assert time.time() - t0 < 10.0  # generous; Python-loop path took minutes

@@ -35,10 +35,11 @@ def raw_compress(data: bytes, method: str = "lh5", max_chain: int = 16,
 
             if lzhuf_pipeline.usable():
                 return lzhuf_pipeline.compress(data, method, max_chain)
-        except ImportError:
-            pass
-        if backend == "tpu":
-            raise RuntimeError("tpu backend requested but unusable")
+            if backend == "tpu":
+                raise RuntimeError("tpu backend requested but unusable")
+        except Exception:
+            if backend == "tpu":
+                raise
     return oracle.lzhuf_encode(data, bits, max_chain)
 
 
@@ -54,7 +55,7 @@ def compress(data: bytes, method: str = "lh5", level: int = 6,
 
 
 def decompress(data: bytes, method: str | None = None) -> bytes:
-    if len(data) < 16:
+    if len(data) < 15:  # 4 magic + 3 method + 8 size; body may be empty
         raise UnexpectedEof("lzhuf container too short")
     if data[:4] != _MAGIC:
         raise DataError("bad lzhuf container magic")

@@ -51,26 +51,10 @@ def compress(data: bytes, level: int = 6, backend: str = "auto",
     _ = level, backend
     cfg = config or LzssConfig()
     toks = tokenize(data, cfg)
-    out = bytearray()
-    group_flags = 0
-    group = bytearray()
-    nbits = 0
-    for pos, ln, lit, dist in toks.tolist():
-        if ln:
-            group_flags |= 1 << nbits
-            group += bytes([ln - cfg.min_match]) + int(dist).to_bytes(2, "little")
-        else:
-            group.append(lit)
-        nbits += 1
-        if nbits == 8:
-            out.append(group_flags)
-            out += group
-            group_flags, nbits = 0, 0
-            group.clear()
-    if nbits:
-        out.append(group_flags)
-        out += group
-    return len(data).to_bytes(8, "little") + bytes(out)
+    # Serialization is native (cpp/capi.cc tpz_lzss_pack) — Python never
+    # touches per-token data (SURVEY.md §2.1 checklist).
+    body = oracle.lzss_pack(toks, cfg.min_match)
+    return len(data).to_bytes(8, "little") + body
 
 
 def decompress(data: bytes, config: LzssConfig | None = None) -> bytes:
@@ -78,29 +62,7 @@ def decompress(data: bytes, config: LzssConfig | None = None) -> bytes:
     if len(data) < 8:
         raise UnexpectedEof("lzss stream too short")
     n = int.from_bytes(data[:8], "little")
-    out = bytearray()
-    i = 8
-    while len(out) < n:
-        if i >= len(data):
-            raise UnexpectedEof("lzss stream truncated")
-        flags = data[i]
-        i += 1
-        for b in range(8):
-            if len(out) >= n:
-                break
-            if flags & (1 << b):
-                if i + 3 > len(data):
-                    raise UnexpectedEof("lzss reference truncated")
-                ln = data[i] + cfg.min_match
-                dist = int.from_bytes(data[i + 1 : i + 3], "little")
-                i += 3
-                if dist == 0 or dist > len(out):
-                    raise DataError("lzss reference out of range")
-                for _ in range(ln):
-                    out.append(out[-dist])
-            else:
-                if i >= len(data):
-                    raise UnexpectedEof("lzss literal truncated")
-                out.append(data[i])
-                i += 1
-    return bytes(out)
+    # Native parse + match expansion (cpp/capi.cc tpz_lzss_unpack); raises
+    # DataError on out-of-range refs or refs crossing the declared size,
+    # UnexpectedEof on truncation.
+    return oracle.lzss_unpack(data[8:], n, cfg.min_match)

@@ -29,7 +29,10 @@ from tpz.kernels.device_quirks import fetch, fetch_many
 from tpz.kernels.matchfinder import BLOCK, FWD_PAD, WINDOW, find_matches
 from tpz.kernels.parse import greedy_parse
 
-MAX_SPAN = 1 << 28  # single-batch limit for int32 bit offsets
+# Single-batch limit for int32 bit offsets: worst case (incompressible ->
+# stored blocks) costs just over 8 bits/byte, so bound at 9 bits/byte to
+# keep 32*total_words + 31 inside int32 (ADVICE r1: 1<<28 was ~0.4% over).
+MAX_SPAN = (2**31 - 1) // 9
 
 
 def usable() -> bool:
@@ -218,6 +221,8 @@ def compress_many(datas, cfg=None):
         total_words += (plan["total_bits"] + 31) // 32
         b0 += nb_i
     total_words = max(total_words, 1)
+    if 32 * total_words + 31 > 2**31 - 1:  # belt-and-suspenders vs MAX_SPAN
+        raise ValueError("planned output exceeds int32 bit offsets")
 
     def cat(key, dtype):
         return np.concatenate([p[key].astype(dtype) for p in plans], axis=0)

@@ -102,6 +102,12 @@ def lib() -> ctypes.CDLL:
         L.tpz_deflate_plan.argtypes = [
             u32p, u32p, i64p, ctypes.c_int32, i32p, i64p, i64p, i64p,
             u8p, u16p, u8p, u16p, u8p, ctypes.c_size_t]
+        L.tpz_lzss_pack.restype = ctypes.c_int
+        L.tpz_lzss_pack.argtypes = [
+            i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
+        L.tpz_lzss_unpack.restype = ctypes.c_int
+        L.tpz_lzss_unpack.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int64, ctypes.c_int32, u8p, szp]
         _LIB = L
     return _LIB
 
@@ -196,6 +202,34 @@ def lzss_tokenize(data, params: np.ndarray | None = None) -> np.ndarray:
         _ptr(toks, ctypes.c_int32), ctypes.byref(n))
     raise_for_status(st, "lzss_tokenize")
     return toks[: n.value].copy()
+
+
+def lzss_pack(tokens: np.ndarray, min_match: int = 3) -> bytes:
+    """Serialize [N,4] tokens to the standalone-LZSS tagged-byte stream
+    (tpz/codecs/lzss.py format) natively — no per-token Python loop."""
+    toks = np.ascontiguousarray(tokens, dtype=np.int32)
+    ntok = toks.shape[0] if toks.ndim == 2 else 0
+    cap = max(16, 4 * ntok + 16)
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_lzss_pack(
+        _ptr(toks, ctypes.c_int32), ntok, min_match,
+        _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "lzss_pack")
+    return out[: n.value].tobytes()
+
+
+def lzss_unpack(data, orig_size: int, min_match: int = 3) -> bytes:
+    """Decode the standalone-LZSS tagged-byte stream natively."""
+    a = _u8(data)
+    cap = max(16, orig_size)
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_lzss_unpack(
+        _u8ptr(a), a.size, orig_size, min_match,
+        _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "lzss_unpack")
+    return out[: n.value].tobytes()
 
 
 def deflate_encode(data, params: np.ndarray | None = None) -> bytes:
