@@ -126,6 +126,18 @@ int tpz_deflate_encode_block(const uint8_t* block_data, size_t block_len,
   return CopyOut(bw.bytes(), out, out_len);
 }
 
+// Action::Flush segment: all blocks BFINAL=0 + sync-flush empty stored
+// block; concatenable into one stream (see DeflateEncode final_stream).
+int tpz_deflate_encode_flush(const uint8_t* in, size_t n,
+                             const int32_t* params9, uint8_t* out,
+                             size_t* out_len) {
+  DeflateParams dp;
+  dp.lzss = ParamsFromArray(params9);
+  BitWriterLSB bw;
+  DeflateEncode(in, n, dp, &bw, /*final_stream=*/false);
+  return CopyOut(bw.bytes(), out, out_len);
+}
+
 int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
                 size_t* consumed) {
   std::vector<uint8_t> v;

@@ -282,13 +282,28 @@ void DeflateEncodeBlock(const uint8_t* block_data, size_t block_len,
   }
 }
 
+namespace {
+// Z_SYNC_FLUSH marker: empty stored block, BFINAL=0, ends byte-aligned.
+void EmitSyncFlush(BitWriterLSB* bw) {
+  bw->Write(0, 1);
+  bw->Write(0, 2);
+  bw->AlignByte();
+  bw->Write(0x0000, 16);
+  bw->Write(0xFFFF, 16);
+}
+}  // namespace
+
 void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
-                   BitWriterLSB* bw) {
+                   BitWriterLSB* bw, bool final_stream) {
   std::vector<Token> tokens;
   LzssTokenize(in, n, params.lzss, &tokens);
   if (n == 0) {
-    DeflateEncodeBlock(in, 0, nullptr, 0, true, bw);
-    bw->AlignByte();
+    if (final_stream) {
+      DeflateEncodeBlock(in, 0, nullptr, 0, true, bw);
+      bw->AlignByte();
+    } else {
+      EmitSyncFlush(bw);
+    }
     return;
   }
   const size_t bs = (size_t)params.lzss.block_size;
@@ -322,7 +337,7 @@ void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
       uint64_t dyn_cost = 3 + j.bp.dyn_header_bits + j.bp.dyn_body_bits;
       uint64_t fixed_cost = 3 + j.bp.fixed_body_bits;
       j.pre_btype = fixed_cost <= dyn_cost ? 1 : 2;
-      bool bfinal = i + 1 == jobs.size();
+      bool bfinal = final_stream && i + 1 == jobs.size();
       EmitBlockHeader(j.bp, j.pre_btype, bfinal, &j.body);
       if (j.pre_btype == 1) {
         const FixedCodes& f = GetFixedCodes();
@@ -349,14 +364,18 @@ void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
     uint64_t cost;
     int btype = ChooseBtype(j.bp, bw->BitLength(), j.end - j.start, &cost);
     if (btype == 0) {
-      EmitStored(in + j.start, j.end - j.start, i + 1 == jobs.size(), bw);
+      EmitStored(in + j.start, j.end - j.start,
+                 final_stream && i + 1 == jobs.size(), bw);
     } else {
       // btype matches pre_btype: ChooseBtype picks stored only when it
       // beats BOTH, else the same dyn/fixed comparison as the worker.
       j.body.AppendTo(bw);
     }
   }
-  bw->AlignByte();
+  if (final_stream)
+    bw->AlignByte();
+  else
+    EmitSyncFlush(bw);
 }
 
 // ---------------------------------------------------------------------------

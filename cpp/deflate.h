@@ -35,9 +35,13 @@ struct DeflateParams {
 };
 
 // Raw DEFLATE encode of in[0..n) into `bw` (whole stream, BFINAL on last
-// block). Returns compressed token/bit stats via optional out params.
+// block). With final_stream=false (Action::Flush semantics, reference
+// src/action.rs [HIGH] SURVEY.md §2.1): no block carries BFINAL and a
+// Z_SYNC_FLUSH-style empty stored block (BFINAL=0, BTYPE=00, LEN=0) is
+// appended so the segment ends byte-aligned; concatenating flush segments
+// plus one final segment forms a single valid RFC 1951 stream.
 void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
-                   BitWriterLSB* bw);
+                   BitWriterLSB* bw, bool final_stream = true);
 
 // Raw DEFLATE decode. Appends to *out. Returns a status code from
 // common.h-style enum: 0 ok, 1 data error, 2 unexpected eof.

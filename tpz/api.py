@@ -89,18 +89,32 @@ def compress_many(datas, format: str = "gzip", level: int = 6,
     return [compress(d, format, level=level, backend=backend) for d in datas]
 
 
+# Formats whose streams may be concatenated and decoded as one logical
+# stream by our decoder (gzip multi-member per RFC 1952 §2.2; bzip2
+# multi-stream like the `bzip2` tool).
+_CONCAT_OK = frozenset({"gzip", "bzip2"})
+# DEFLATE-family formats with true in-stream Flush (Z_SYNC_FLUSH-style
+# empty stored block; one header, one trailer, one stream).
+_DEFLATE_FAMILY = frozenset({"deflate", "zlib", "gzip"})
+
+
 class CodecStream:
-    """Streaming facade with the crate's Action semantics.
+    """Streaming encode facade with the crate's Action semantics
+    (reference src/action.rs Action::{Run, Flush, Finish} [HIGH]
+    SURVEY.md §2.1).
 
     write(b) buffers input (Action::Run); flush() forces a byte-aligned
-    block boundary (Action::Flush) and returns compressed bytes so far;
-    finish() terminates the stream (Action::Finish).
+    segment boundary (Action::Flush) and returns the compressed bytes for
+    the buffered data; finish() terminates the stream (Action::Finish).
 
-    The TPU design is block-batched, so Flush/Finish map to whole-buffer
-    encodes of the accumulated data; each flush segment becomes an
-    independent member/stream concatenated at the container level (valid
-    for gzip multi-member and for raw deflate consumers that tolerate
-    concatenated final blocks, which includes our own decoder).
+    For the DEFLATE family (deflate/zlib/gzip) flush is a true in-stream
+    flush: each segment's blocks carry BFINAL=0 and end with a
+    Z_SYNC_FLUSH empty stored block, the container header is emitted
+    exactly once and the checksum trailer covers ALL plaintext — the
+    concatenated output is a single valid stream. bzip2 flush emits an
+    independent stream per segment (valid multi-stream concatenation).
+    Formats whose containers cannot be concatenated (lzss, lh4-lh7)
+    raise DataError on flush; Run/Finish work for every format.
     """
 
     def __init__(self, format: str = "gzip", level: int = 6,
@@ -113,30 +127,93 @@ class CodecStream:
         self._backend = backend
         self._buf = bytearray()
         self._finished = False
+        self._header_emitted = False
+        self._total = 0
+        self._crc_state = 0xFFFFFFFF  # gzip running CRC-32 (pre-xor state)
+        self._adler_state = 1  # zlib running Adler-32
 
     def write(self, data: bytes) -> None:
         if self._finished:
             raise DataError("stream already finished")
         self._buf += data
 
-    def _encode_segment(self) -> bytes:
-        out = compress(bytes(self._buf), self._format, self._level,
-                       self._backend)
-        self._buf.clear()
-        return out
+    def _deflate_header(self) -> bytes:
+        if self._header_emitted:
+            return b""
+        self._header_emitted = True
+        if self._format == "gzip":
+            from tpz.codecs import gzip_codec
+
+            return gzip_codec.header_bytes(self._level)
+        if self._format == "zlib":
+            from tpz.codecs import zlib_codec
+
+            return zlib_codec.header_bytes(self._level)
+        return b""
+
+    def _account(self, data: bytes) -> None:
+        from tpz import oracle
+
+        self._total += len(data)
+        if self._format == "gzip":
+            self._crc_state = oracle.crc32_reflected(data, self._crc_state)
+        elif self._format == "zlib":
+            self._adler_state = oracle.adler32(data, self._adler_state)
 
     def flush(self) -> bytes:
         if self._finished:
             raise DataError("stream already finished")
-        if not self._buf:
-            return b""
-        return self._encode_segment()
+        if self._format in _DEFLATE_FAMILY:
+            from tpz.codecs import deflate as _deflate
+
+            if not self._buf:
+                return b""
+            data = bytes(self._buf)
+            self._buf.clear()
+            self._account(data)
+            return self._deflate_header() + _deflate.compress_flush(
+                data, self._level)
+        if self._format in _CONCAT_OK:
+            if not self._buf:
+                return b""
+            data = bytes(self._buf)
+            self._buf.clear()
+            return compress(data, self._format, self._level, self._backend)
+        raise DataError(
+            f"format {self._format!r} has no concatenable stream form; "
+            f"Action::Flush is not supported (use Run/Finish)")
 
     def finish(self) -> bytes:
+        import struct
+
         if self._finished:
             raise DataError("stream already finished")
         self._finished = True
-        return self._encode_segment()
+        data = bytes(self._buf)
+        self._buf.clear()
+        if self._format in _DEFLATE_FAMILY:
+            from tpz.codecs import deflate as _deflate
+
+            self._account(data)
+            if not self._header_emitted:
+                # No flush ever happened: whole-buffer fast path (device-
+                # batched for large inputs) — bytes identical to compress().
+                return compress(data, self._format, self._level,
+                                self._backend)
+            # Final segment continues the flushed stream: its last block
+            # carries BFINAL, then the container trailer over ALL data.
+            body = _deflate.compress(data, self._level,
+                                     backend=self._backend)
+            if self._format == "gzip":
+                trailer = struct.pack(
+                    "<II", self._crc_state ^ 0xFFFFFFFF,
+                    self._total & 0xFFFFFFFF)
+            elif self._format == "zlib":
+                trailer = struct.pack(">I", self._adler_state)
+            else:
+                trailer = b""
+            return body + trailer
+        return compress(data, self._format, self._level, self._backend)
 
     def drive(self, data: bytes, action: Action) -> bytes:
         """Crate-style single entry point: feed bytes + an Action."""
@@ -146,3 +223,96 @@ class CodecStream:
         if action is Action.FLUSH:
             return self.flush()
         return self.finish()
+
+
+class DecodeStream:
+    """Streaming decode facade (parity: the crate's DecodeExt iterator
+    adapters, [HIGH] SURVEY.md §2.1 — decode-side Action symmetry).
+
+    write(b) feeds compressed bytes and returns any plaintext that became
+    decodable (member granularity for gzip, stream granularity
+    otherwise); finish() returns the remaining plaintext and raises
+    UnexpectedEof if the stream is incomplete, DataError on trailing
+    garbage after a completed single-stream format.
+    """
+
+    def __init__(self, format: str = "gzip") -> None:
+        _load()
+        if format not in _FORMATS:
+            raise ValueError(f"unknown format {format!r}")
+        self._format = format
+        self._buf = bytearray()
+        self._finished = False
+        self._done_single = False  # single-stream formats: stream complete
+
+    def _drain(self, final: bool) -> bytes:
+        from tpz.errors import UnexpectedEof
+
+        out = bytearray()
+        if self._format == "gzip":
+            from tpz.codecs import gzip_codec
+
+            off = 0
+            buf = bytes(self._buf)
+            while off < len(buf):
+                try:
+                    plain, off = gzip_codec.decompress_member_prefix(buf, off)
+                except UnexpectedEof:
+                    if final:
+                        raise
+                    break
+                out += plain
+            del self._buf[:off]
+            return bytes(out)
+        if self._format in ("zlib", "deflate"):
+            if self._done_single:
+                if self._buf and final:
+                    raise DataError(
+                        f"trailing garbage after {self._format} stream")
+                return b""
+            if self._format == "zlib":
+                from tpz.codecs import zlib_codec as _c
+
+                prefix = _c.decompress_prefix
+            else:
+                from tpz.codecs import deflate as _c
+
+                prefix = _c.decompress_prefix
+            try:
+                plain, consumed = prefix(bytes(self._buf))
+            except UnexpectedEof:
+                if final:
+                    raise
+                return b""
+            del self._buf[:consumed]
+            self._done_single = True
+            if self._buf and final:
+                raise DataError(
+                    f"trailing garbage after {self._format} stream")
+            return plain
+        # Whole-buffer formats (bzip2 multi-stream, lzss, lh4-lh7): emit
+        # when the accumulated input parses completely.
+        try:
+            plain = decompress(bytes(self._buf), self._format)
+        except UnexpectedEof:
+            if final:
+                raise
+            return b""
+        self._buf.clear()
+        return plain
+
+    def write(self, data: bytes) -> bytes:
+        if self._finished:
+            raise DataError("decode stream already finished")
+        self._buf += data
+        if not self._buf:
+            return b""
+        return self._drain(final=False)
+
+    def finish(self) -> bytes:
+        if self._finished:
+            raise DataError("decode stream already finished")
+        self._finished = True
+        if not self._buf:
+            return b""
+        return self._drain(final=True)

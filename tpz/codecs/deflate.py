@@ -59,6 +59,15 @@ def compress(data: bytes, level: int = 6, backend: str = "auto",
     return oracle.deflate_encode(data, cfg.params_array())
 
 
+def compress_flush(data: bytes, level: int = 6,
+                   config: DeflateConfig | None = None) -> bytes:
+    """Encode an Action::Flush segment (no BFINAL anywhere + sync-flush
+    empty stored block). Segments produced by this, followed by one
+    `compress` segment, concatenate into a single valid stream."""
+    cfg = config or DeflateConfig(level=level)
+    return oracle.deflate_encode_flush(data, cfg.params_array())
+
+
 def decompress(data: bytes) -> bytes:
     plain, consumed = oracle.inflate(data)
     if consumed != len(data):

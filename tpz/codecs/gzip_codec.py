@@ -25,14 +25,17 @@ def _crc32(data: bytes) -> int:
     return crc32(data, "reflected")
 
 
+def header_bytes(level: int = 6, mtime: int = 0) -> bytes:
+    xfl = 2 if level >= 7 else (4 if level <= 1 else 0)
+    return GZIP_MAGIC + bytes([GZIP_CM_DEFLATE, 0]) + struct.pack(
+        "<I", mtime) + bytes([xfl, GZIP_OS_UNIX])
+
+
 def compress(data: bytes, level: int = 6, backend: str = "auto",
              mtime: int = 0) -> bytes:
-    xfl = 2 if level >= 7 else (4 if level <= 1 else 0)
-    header = GZIP_MAGIC + bytes([GZIP_CM_DEFLATE, 0]) + struct.pack(
-        "<I", mtime) + bytes([xfl, GZIP_OS_UNIX])
     body = deflate.compress(data, level=level, backend=backend)
     trailer = struct.pack("<II", _crc32(data), len(data) & 0xFFFFFFFF)
-    return header + body + trailer
+    return header_bytes(level, mtime) + body + trailer
 
 
 def _parse_header(data: bytes, off: int) -> int:
@@ -72,22 +75,29 @@ def _parse_header(data: bytes, off: int) -> int:
     return pos
 
 
+def decompress_member_prefix(data: bytes, off: int = 0) -> tuple[bytes, int]:
+    """Decode one gzip member starting at `off`; returns (plaintext,
+    offset just past the member's trailer). Used by the streaming decode
+    facade (member granularity)."""
+    pos = _parse_header(data, off)
+    plain, consumed = deflate.decompress_prefix(data[pos:])
+    tpos = pos + consumed
+    if len(data) - tpos < 8:
+        raise UnexpectedEof("gzip trailer truncated")
+    crc, isize = struct.unpack_from("<II", data, tpos)
+    if crc != _crc32(plain):
+        raise DataError("gzip CRC mismatch")
+    if isize != len(plain) & 0xFFFFFFFF:
+        raise DataError("gzip ISIZE mismatch")
+    return plain, tpos + 8
+
+
 def decompress(data: bytes) -> bytes:
     out = bytearray()
     off = 0
     while off < len(data):
-        pos = _parse_header(data, off)
-        plain, consumed = deflate.decompress_prefix(data[pos:])
-        tpos = pos + consumed
-        if len(data) - tpos < 8:
-            raise UnexpectedEof("gzip trailer truncated")
-        crc, isize = struct.unpack_from("<II", data, tpos)
-        if crc != _crc32(plain):
-            raise DataError(f"gzip CRC mismatch")
-        if isize != len(plain) & 0xFFFFFFFF:
-            raise DataError("gzip ISIZE mismatch")
+        plain, off = decompress_member_prefix(data, off)
         out += plain
-        off = tpos + 8
     if not out and len(data) == 0:
         raise UnexpectedEof("empty gzip input")
     return bytes(out)
@@ -98,9 +108,7 @@ def compress_many(datas, level: int = 6, backend: str = "auto",
     """Batched gzip: device-batched DEFLATE bodies + per-buffer framing."""
     bodies = deflate.compress_many(datas, level=level, backend=backend)
     out = []
-    xfl = 2 if level >= 7 else (4 if level <= 1 else 0)
-    header = GZIP_MAGIC + bytes([GZIP_CM_DEFLATE, 0]) + struct.pack(
-        "<I", mtime) + bytes([xfl, GZIP_OS_UNIX])
+    header = header_bytes(level, mtime)
     for d, body in zip(datas, bodies):
         trailer = struct.pack("<II", _crc32(d), len(d) & 0xFFFFFFFF)
         out.append(header + body + trailer)

@@ -14,7 +14,7 @@ from tpz.constants import ZLIB_CINFO_32K, ZLIB_CM_DEFLATE
 from tpz.errors import DataError, UnexpectedEof
 
 
-def compress(data: bytes, level: int = 6, backend: str = "auto") -> bytes:
+def header_bytes(level: int = 6) -> bytes:
     cmf = ZLIB_CM_DEFLATE | (ZLIB_CINFO_32K << 4)
     # FLEVEL advisory bits: 0 fastest .. 3 max.
     flevel = 0 if level <= 1 else (1 if level <= 5 else (2 if level == 6 else 3))
@@ -22,16 +22,22 @@ def compress(data: bytes, level: int = 6, backend: str = "auto") -> bytes:
     rem = (cmf * 256 + flg) % 31
     if rem:
         flg += 31 - rem
+    return bytes([cmf, flg])
+
+
+def compress(data: bytes, level: int = 6, backend: str = "auto") -> bytes:
     body = deflate.compress(data, level=level, backend=backend)
     adler = oracle.adler32(data) if oracle.available() else None
     if adler is None:
         from tpz.kernels.checksums import adler32 as _a32
 
         adler = _a32(data)
-    return bytes([cmf, flg]) + body + struct.pack(">I", adler)
+    return header_bytes(level) + body + struct.pack(">I", adler)
 
 
-def decompress(data: bytes) -> bytes:
+def decompress_prefix(data: bytes) -> tuple[bytes, int]:
+    """Decode one zlib stream that may be followed by more data.
+    Returns (plaintext, consumed_bytes incl. header and trailer)."""
     if len(data) < 6:
         raise UnexpectedEof("zlib stream too short")
     cmf, flg = data[0], data[1]
@@ -53,4 +59,12 @@ def decompress(data: bytes) -> bytes:
         actual = _a32(plain)
     if actual != expect:
         raise DataError(f"adler32 mismatch: {actual:#x} != {expect:#x}")
+    return plain, 2 + consumed + 4
+
+
+def decompress(data: bytes) -> bytes:
+    plain, consumed = decompress_prefix(data)
+    if consumed != len(data):  # RFC 1950 streams are exactly one member
+        raise DataError(f"trailing garbage after zlib stream "
+                        f"({len(data) - consumed} bytes)")
     return plain

@@ -102,6 +102,9 @@ def lib() -> ctypes.CDLL:
         L.tpz_deflate_plan.argtypes = [
             u32p, u32p, i64p, ctypes.c_int32, i32p, i64p, i64p, i64p,
             u8p, u16p, u8p, u16p, u8p, ctypes.c_size_t]
+        L.tpz_deflate_encode_flush.restype = ctypes.c_int
+        L.tpz_deflate_encode_flush.argtypes = [
+            u8p, ctypes.c_size_t, i32p, u8p, szp]
         L.tpz_lzss_pack.restype = ctypes.c_int
         L.tpz_lzss_pack.argtypes = [
             i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
@@ -243,6 +246,22 @@ def deflate_encode(data, params: np.ndarray | None = None) -> bytes:
         _u8ptr(a), a.size, _ptr(p, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
         ctypes.byref(n))
     raise_for_status(st, "deflate_encode")
+    return out[: n.value].tobytes()
+
+
+def deflate_encode_flush(data, params: np.ndarray | None = None) -> bytes:
+    """Action::Flush segment: every block BFINAL=0 plus a Z_SYNC_FLUSH
+    empty stored block, so segments concatenate into one valid stream."""
+    a = _u8(data)
+    p = params if params is not None else params_array()
+    p = np.ascontiguousarray(p, dtype=np.int32)
+    cap = a.size + (a.size >> 3) + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_deflate_encode_flush(
+        _u8ptr(a), a.size, _ptr(p, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
+        ctypes.byref(n))
+    raise_for_status(st, "deflate_encode_flush")
     return out[: n.value].tobytes()
 
 
