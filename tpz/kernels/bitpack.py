@@ -104,7 +104,8 @@ def token_slots(data_block, is_token, mlen, mdist, lit_cl, dist_cl):
 
 
 def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
-                    data_block, block_len, chunk1_off, total_words):
+                    data_block, block_len, chunk1_off, total_words,
+                    header=None, out_buf=None):
     """Pack all blocks' body bits into one u32 word array.
 
     vals/nbits: [NB, 2*BLOCK] token slots (fixed/dynamic path)
@@ -114,6 +115,14 @@ def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
     data_block: [NB, BLOCK] bytes; block_len: [NB]
     chunk1_off: [NB] absolute bit offset of stored chunk 1 data (or -1)
     total_words: static int — output size in u32 words
+    header: optional (hvals u32, hnbits i32, hoffs i32) [NB, H] slot
+    arrays at explicit absolute offsets (device-plan header bits) — merged
+    into the same scatter so the fused pipeline emits the complete stream
+    out_buf: optional zeroed uint32 buffer of total_words + 2 elements;
+    when given, total_words is taken from its shape (passing capacity as
+    an array shape keeps it out of the static-arg cache key — jax 0.9.0's
+    jit fastpath mis-dispatches when several static variants share one
+    input signature)
     """
     NB = vals.shape[0]
     stored = (btype == 0)[:, None]
@@ -152,7 +161,15 @@ def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
     nb_ = jnp.concatenate(
         [nb_, jnp.where(btype == 0, 0, eob_n)[:, None]], axis=1)
 
+    if header is not None:
+        hv, hn, ho = header
+        off = jnp.concatenate([off, ho], axis=1)
+        val = jnp.concatenate([val, hv.astype(jnp.uint32)], axis=1)
+        nb_ = jnp.concatenate([nb_, hn], axis=1)
+
     # --- scatter-add into words ---
+    if out_buf is not None:
+        total_words = out_buf.shape[0] - 2
     flat_off = off.reshape(-1)
     flat_val = val.reshape(-1)
     flat_n = nb_.reshape(-1)
@@ -163,7 +180,8 @@ def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
     lo = jnp.where(flat_n > 0, v << sh, 0)
     hi = jnp.where((flat_n > 0) & (sh > 0), v >> (jnp.uint32(32) - sh), 0)
     w0 = jnp.where(flat_n > 0, w0, total_words)  # park dead slots
-    words = jnp.zeros((total_words + 2,), jnp.uint32)
+    words = (out_buf if out_buf is not None
+             else jnp.zeros((total_words + 2,), jnp.uint32))
     words = words.at[w0].add(lo, mode="drop")
     words = words.at[w0 + 1].add(hi, mode="drop")
     return words[:total_words]

@@ -76,10 +76,9 @@ def _make_words(span_u8: jax.Array):
     return jnp.concatenate([prev_tail, base, next_head], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_pallas", "lazy"))
-def _stage1(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
-            block_len: jax.Array, k: int, use_pallas: bool = False,
-            lazy: bool = False):
+def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
+                 block_len: jax.Array, k: int, use_pallas: bool = False,
+                 lazy: bool = False):
     """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF)."""
     NB = words.shape[0]
     if use_pallas:
@@ -123,6 +122,10 @@ def _stage1(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     return mlen, mdist, is_token, lit_hist, dist_hist, ntokens
 
 
+_stage1 = functools.partial(jax.jit, static_argnames=("k", "use_pallas",
+                                                      "lazy"))(_stage1_core)
+
+
 @functools.partial(jax.jit, static_argnames=("total_words",))
 def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
             eob_val, eob_n, body_off, btype, block_len,
@@ -134,6 +137,61 @@ def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
     return bitpack.assemble_stream(
         vals, nbits, eob_val, eob_n, body_off, btype, data_block, block_len,
         chunk1_off, total_words)
+
+
+def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
+                     out_buf, tables, k: int, use_pallas: bool, lazy: bool):
+    """The whole encode as ONE program (VERDICT r1 #1/#7): stage1 ->
+    on-device planning (tpz/kernels/deflate_plan_device.py) -> stage2,
+    with header bits emitted by the same scatter. No host round-trip, no
+    program swap between stages; the only d2h is the final fetch.
+
+    Output words are allocated at the static worst case (out_buf, just
+    over 9 bits/byte; the capacity rides as an array shape, not a static,
+    to dodge the jax 0.9.0 fastpath mis-dispatch across static variants);
+    end_pos[NB] reports each block's exact end bit so the host can slice
+    per-buffer bytes."""
+    from tpz.kernels.deflate_plan_device import plan_device
+
+    words = _make_words(span)
+    mlen, mdist, is_token, lit_hist, dist_hist, _ = _stage1_core(
+        words, span_off, span_len, block_len, k, use_pallas, lazy)
+    lit_hist = lit_hist.at[:, 256].set(0)
+    plan = plan_device(lit_hist, dist_hist, block_len, buf_start, bfinal,
+                       tables)
+    data_block = (words[:, WINDOW:WINDOW + BLOCK]
+                  & jnp.uint32(0xFF)).astype(jnp.int32)
+    vals, nbits = bitpack.token_slots(
+        data_block, is_token, mlen, mdist, plan["lit_cl"], plan["dist_cl"])
+    out = bitpack.assemble_stream(
+        vals, nbits, plan["eob_val"], plan["eob_n"], plan["body_off"],
+        plan["btype"], data_block, block_len, plan["chunk1_off"], None,
+        header=(plan["hdr_vals"], plan["hdr_nbits"], plan["hdr_offs"]),
+        out_buf=out_buf)
+    return out, plan["end_pos"]
+
+
+_fused_jit = jax.jit(_fused_encode_fn,
+                     static_argnames=("k", "use_pallas", "lazy"))
+_plan_tables_dev = None
+
+
+def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
+                  out_buf, k: int, use_pallas: bool, lazy: bool):
+    """Dispatch wrapper: passes the planner's lookup tables as REAL
+    arguments. jax 0.9.0 drops hoisted trace constants when a jitted
+    function accumulates multiple input signatures ("Computation compiled
+    for N inputs but called with M"), so nothing inside the fused program
+    may close over non-scalar constants."""
+    global _plan_tables_dev
+    if _plan_tables_dev is None:
+        from tpz.kernels.deflate_plan_device import plan_tables
+
+        _plan_tables_dev = {kk: jnp.asarray(v)
+                            for kk, v in plan_tables().items()}
+    return _fused_jit(span, span_off, span_len, block_len, buf_start,
+                      bfinal, out_buf, _plan_tables_dev, k=k,
+                      use_pallas=use_pallas, lazy=lazy)
 
 
 def oracle_lazy_encode(data: bytes, k: int) -> bytes:
@@ -196,61 +254,40 @@ def compress_many(datas, cfg=None):
         pos += nb_i * BLOCK
         b0 += nb_i
 
-    words = _make_words(jnp.asarray(span))
-    block_len = jnp.asarray(block_len_np)
-    mlen, mdist, is_token, lit_hist, dist_hist, ntokens = _stage1(
-        words, jnp.asarray(span_off_np), jnp.asarray(span_len_np),
-        block_len, k, use_pallas, lazy)
-
-    lit_hist_np, dist_hist_np = (a.astype(np.uint32)
-                                 for a in fetch_many(lit_hist, dist_hist))
-    lit_hist_np[:, 256] = 0
-
-    # Per-buffer host planning; each buffer's words get a word-aligned
-    # region of one global output array so a single scatter serves all.
-    plans = []
-    word_base = []
-    total_words = 0
+    # Per-buffer flags: each buffer's first block starts a word-aligned
+    # output region; its last block carries BFINAL.
+    buf_start_np = np.zeros(NB, bool)
+    bfinal_np = np.zeros(NB, bool)
     b0 = 0
-    for i, nb_i in zip(idxs, nbs):
-        plan = oracle.deflate_plan(
-            lit_hist_np[b0:b0 + nb_i], dist_hist_np[b0:b0 + nb_i],
-            block_len_np[b0:b0 + nb_i].astype(np.int64))
-        plans.append(plan)
-        word_base.append(total_words)
-        total_words += (plan["total_bits"] + 31) // 32
+    for nb_i in nbs:
+        buf_start_np[b0] = True
+        bfinal_np[b0 + nb_i - 1] = True
         b0 += nb_i
-    total_words = max(total_words, 1)
-    if 32 * total_words + 31 > 2**31 - 1:  # belt-and-suspenders vs MAX_SPAN
-        raise ValueError("planned output exceeds int32 bit offsets")
 
-    def cat(key, dtype):
-        return np.concatenate([p[key].astype(dtype) for p in plans], axis=0)
+    # Static worst-case output size: stored blocks cost < 8.01 bits/byte
+    # + 69 bits/chunk + per-buffer word alignment; 9 bits/byte dominates.
+    # Rounded up to 64k words to bound compile variants (TPU compiles are
+    # expensive over the relay).
+    total_len = sum(len(datas[i]) for i in idxs)
+    cap_words = (9 * total_len + 31) // 32 + 3 * NB + 16
+    cap_words = (cap_words + (1 << 16) - 1) >> 16 << 16
 
-    body_off = np.concatenate([
-        (p["body_off"] + 32 * wb).astype(np.int32)
-        for p, wb in zip(plans, word_base)])
-    chunk1_off = np.concatenate([
-        np.where(p["chunk1_off"] < 0, np.int64(-(1 << 30)),
-                 p["chunk1_off"] + 32 * wb).astype(np.int32)
-        for p, wb in zip(plans, word_base)])
-    lit_cl = (cat("lit_code", np.int32) | (cat("lit_len", np.int32) << 16))
-    dist_cl = (cat("dist_code", np.int32) | (cat("dist_len", np.int32) << 16))
-    eob_val = np.concatenate([p["lit_code"][:, 256] for p in plans]).astype(np.uint32)
-    eob_n = np.concatenate([p["lit_len"][:, 256] for p in plans]).astype(np.int32)
-    btype = cat("btype", np.int32)
+    out_words, end_pos = _fused_encode(
+        jnp.asarray(span), jnp.asarray(span_off_np),
+        jnp.asarray(span_len_np), jnp.asarray(block_len_np),
+        jnp.asarray(buf_start_np), jnp.asarray(bfinal_np),
+        jnp.zeros((cap_words + 2,), jnp.uint32),
+        k, use_pallas, lazy)
+    body, end_pos_np = fetch_many(out_words, end_pos)
+    body = np.asarray(body).view(np.uint8)  # little-endian u32 -> bytes
+    end_pos_np = np.asarray(end_pos_np)
 
-    out_words = _stage2(
-        words, is_token, mlen, mdist,
-        jnp.asarray(lit_cl), jnp.asarray(dist_cl),
-        jnp.asarray(eob_val), jnp.asarray(eob_n),
-        jnp.asarray(body_off), jnp.asarray(btype), block_len,
-        jnp.asarray(chunk1_off), total_words)
-    body = fetch(out_words).view(np.uint8)  # little-endian u32 -> bytes
-
-    for i, plan, wb in zip(idxs, plans, word_base):
-        nbytes = (plan["total_bits"] + 7) // 8
-        out = plan["header"][:nbytes].copy()
-        out |= body[4 * wb:4 * wb + nbytes]
-        results[i] = out.tobytes()
+    b0 = 0
+    start_bit = 0
+    for i, nb_i in zip(idxs, nbs):
+        end_bit = int(end_pos_np[b0 + nb_i - 1])
+        nbytes = (end_bit - start_bit + 7) // 8
+        results[i] = body[start_bit // 8 : start_bit // 8 + nbytes].tobytes()
+        start_bit = (end_bit + 31) // 32 * 32
+        b0 += nb_i
     return results

@@ -52,6 +52,28 @@ STORED_CHUNK = 32768
 _PAD = jnp.int32(1 << 29)
 
 
+def plan_tables() -> dict:
+    """Constant lookup tables used by the planner, as numpy arrays.
+
+    Passed into the fused program as explicit arguments: jax 0.9.0 drops
+    hoisted trace constants when re-executing a cached multi-signature jit
+    ("Computation compiled for N inputs but called with M"), so nothing in
+    plan_device may close over non-scalar constants."""
+    from tpz.kernels.huffman import canonical_codes_np
+
+    fixed_ll = np.asarray(C.DEFLATE_FIXED_LITLEN_LENGTHS, np.int32)
+    fixed_dl = np.asarray(C.DEFLATE_FIXED_DIST_LENGTHS, np.int32)
+    return {
+        "len_extra": np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32),
+        "dist_extra": np.asarray(C.DEFLATE_DIST_EXTRA, np.int32),
+        "cl_order": np.asarray(C.DEFLATE_CL_ORDER, np.int32),
+        "fixed_ll": fixed_ll,
+        "fixed_dl": fixed_dl,
+        "fixed_lc": canonical_codes_np(fixed_ll).astype(np.int32),
+        "fixed_dc": canonical_codes_np(fixed_dl).astype(np.int32),
+    }
+
+
 def _sort1(x):
     return jax.lax.sort(x, dimension=1)
 
@@ -202,18 +224,21 @@ def cl_tokens(joint: jax.Array, L: jax.Array):
     return emit, sym, extra_bits, extra_val
 
 
-def plan_from_freqs(lit_hist: jax.Array, dist_hist: jax.Array):
+def plan_from_freqs(lit_hist: jax.Array, dist_hist: jax.Array,
+                    tables: dict | None = None):
     """Device twin of cpp PlanFromFreqs. lit_hist [NB, 288] (EOB NOT
     counted; forced to 1 here), dist_hist [NB, 30]. Returns a dict of
     per-block planning arrays (lengths, codes bit-reversed, CL machinery,
-    bit costs)."""
+    bit costs). `tables` = plan_tables() entries (see its docstring)."""
+    if tables is None:
+        tables = plan_tables()
     NB = lit_hist.shape[0]
     lit_hist = jnp.asarray(lit_hist, jnp.int32)
     lit_freq = lit_hist.at[:, 256].set(1)
     dist_freq = jnp.asarray(dist_hist, jnp.int32)
 
-    len_extra = jnp.asarray(C.DEFLATE_LENGTH_EXTRA, jnp.int32)   # [29]
-    dist_extra = jnp.asarray(C.DEFLATE_DIST_EXTRA, jnp.int32)    # [30]
+    len_extra = jnp.asarray(tables["len_extra"], jnp.int32)      # [29]
+    dist_extra = jnp.asarray(tables["dist_extra"], jnp.int32)    # [30]
     extra_total = (
         jnp.sum(lit_freq[:, 257:286] * len_extra[None, :], axis=1)
         + jnp.sum(dist_freq * dist_extra[None, :], axis=1))
@@ -248,8 +273,9 @@ def plan_from_freqs(lit_hist: jax.Array, dist_hist: jax.Array):
     cl_len = package_merge_lengths(cl_freq, MAX_CL_BITS)
     cl_code = canonical_codes(cl_len, MAX_CL_BITS)
 
-    cl_order = jnp.asarray(C.DEFLATE_CL_ORDER, jnp.int32)
-    cl_len_ord = cl_len[:, cl_order]                             # [NB, 19]
+    cl_order = jnp.asarray(tables["cl_order"], jnp.int32)
+    cl_len_ord = jnp.take_along_axis(
+        cl_len, jnp.broadcast_to(cl_order[None, :], (NB, NCL)), axis=1)
     oi = jnp.arange(NCL, dtype=jnp.int32)
     ncl = jnp.maximum(
         jnp.max(jnp.where((cl_len_ord > 0) & (oi >= 4)[None, :],
@@ -260,8 +286,8 @@ def plan_from_freqs(lit_hist: jax.Array, dist_hist: jax.Array):
     dyn_header = (14 + 3 * ncl
                   + jnp.sum(jnp.where(emit, cl_len_at + cl_eb, 0), axis=1))
 
-    fixed_ll = jnp.asarray(C.DEFLATE_FIXED_LITLEN_LENGTHS, jnp.int32)
-    fixed_dl = jnp.asarray(C.DEFLATE_FIXED_DIST_LENGTHS, jnp.int32)
+    fixed_ll = jnp.asarray(tables["fixed_ll"], jnp.int32)
+    fixed_dl = jnp.asarray(tables["fixed_dl"], jnp.int32)
     dyn_body = (jnp.sum(lit_freq * lit_len, axis=1)
                 + jnp.sum(dist_freq * dist_len, axis=1) + extra_total)
     fixed_body = (jnp.sum(lit_freq * fixed_ll[None, :], axis=1)
@@ -408,16 +434,16 @@ def header_slots(plan: dict, sched: dict, block_len: jax.Array,
     return vals, nbits, offs
 
 
-def body_tables(plan: dict, btype: jax.Array):
+def body_tables(plan: dict, btype: jax.Array, tables: dict | None = None):
     """Final per-block stage2 tables: packed (bit-reversed code) |
     (len << 16) for litlen [NB,288] and dist [NB,30]; EOB code/len [NB].
     Fixed blocks use the RFC fixed code; stored blocks zero."""
-    fixed_ll = jnp.asarray(C.DEFLATE_FIXED_LITLEN_LENGTHS, jnp.int32)
-    fixed_dl = jnp.asarray(C.DEFLATE_FIXED_DIST_LENGTHS, jnp.int32)
-    fixed_lc = canonical_codes(
-        jnp.broadcast_to(fixed_ll, (1, NLIT)), MAX_BITS)[0]
-    fixed_dc = canonical_codes(
-        jnp.broadcast_to(fixed_dl, (1, NDIST)), MAX_BITS)[0]
+    if tables is None:
+        tables = plan_tables()
+    fixed_ll = jnp.asarray(tables["fixed_ll"], jnp.int32)
+    fixed_dl = jnp.asarray(tables["fixed_dl"], jnp.int32)
+    fixed_lc = jnp.asarray(tables["fixed_lc"], jnp.int32)
+    fixed_dc = jnp.asarray(tables["fixed_dc"], jnp.int32)
 
     dynb = (btype == 2)[:, None]
     fixb = (btype == 1)[:, None]
@@ -440,21 +466,24 @@ def body_tables(plan: dict, btype: jax.Array):
 
 def plan_device(lit_hist: jax.Array, dist_hist: jax.Array,
                 block_len: jax.Array, buf_start: jax.Array,
-                bfinal: jax.Array):
+                bfinal: jax.Array, tables: dict | None = None):
     """Full device plan: histograms -> everything stage2 needs.
 
     Returns dict: btype, body_off, chunk1_off, end_pos, lit_cl, dist_cl,
     eob_val, eob_n, header (vals, nbits, offs)."""
+    if tables is None:
+        tables = plan_tables()
     block_len = jnp.asarray(block_len, jnp.int32)
     buf_start = jnp.asarray(buf_start, bool)
     bfinal = jnp.asarray(bfinal, bool)
-    plan = plan_from_freqs(lit_hist, dist_hist)
+    plan = plan_from_freqs(lit_hist, dist_hist, tables)
     sched = choose_btypes(
         plan["dyn_header_bits"] + plan["dyn_body_bits"],
         plan["fixed_body_bits"], block_len, buf_start,
         plan["dyn_header_bits"])
     hv, hn, ho = header_slots(plan, sched, block_len, bfinal)
-    lit_cl, dist_cl, eob_val, eob_n = body_tables(plan, sched["btype"])
+    lit_cl, dist_cl, eob_val, eob_n = body_tables(plan, sched["btype"],
+                                                  tables)
     return {
         "btype": sched["btype"], "body_off": sched["body_off"],
         "chunk1_off": sched["chunk1_off"], "end_pos": sched["end_pos"],
