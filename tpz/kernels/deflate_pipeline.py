@@ -157,8 +157,10 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
     mlen, mdist, is_token, lit_hist, dist_hist, _ = _stage1_core(
         words, span_off, span_len, block_len, k, use_pallas, lazy)
     lit_hist = lit_hist.at[:, 256].set(0)
+    # block_len == 0 marks padding blocks (sharded layouts; the batch path
+    # never produces them — empty buffers are filtered host-side).
     plan = plan_device(lit_hist, dist_hist, block_len, buf_start, bfinal,
-                       tables)
+                       tables, live=block_len > 0)
     data_block = (words[:, WINDOW:WINDOW + BLOCK]
                   & jnp.uint32(0xFF)).astype(jnp.int32)
     vals, nbits = bitpack.token_slots(
@@ -278,9 +280,14 @@ def compress_many(datas, cfg=None):
         jnp.asarray(buf_start_np), jnp.asarray(bfinal_np),
         jnp.zeros((cap_words + 2,), jnp.uint32),
         k, use_pallas, lazy)
-    body, end_pos_np = fetch_many(out_words, end_pos)
-    body = np.asarray(body).view(np.uint8)  # little-endian u32 -> bytes
-    end_pos_np = np.asarray(end_pos_np)
+    # Two-phase fetch: the tiny end_pos first, then only the live prefix
+    # of the padded output (d2h over the relay runs ~22 MB/s — fetching
+    # the 9-bits/byte worst case would triple the transfer). The prefix
+    # length is quantized to bound slice-program variants.
+    end_pos_np = np.asarray(fetch(end_pos))
+    used_words = (int(end_pos_np[-1]) + 31) // 32
+    q = min((used_words + (1 << 16) - 1) >> 16 << 16, cap_words)
+    body = np.asarray(fetch(out_words[:q])).view(np.uint8)
 
     b0 = 0
     start_bit = 0

@@ -318,17 +318,22 @@ def _stored_cost_parts(start, block_len):
     return cost0 + cost1, pad0, c0, c1
 
 
-def choose_btypes(dyn_cost_wo3, fixed_body, block_len, buf_start, dyn_header):
+def choose_btypes(dyn_cost_wo3, fixed_body, block_len, buf_start, dyn_header,
+                  live=None):
     """lax.scan over blocks: block types, absolute offsets, block starts.
 
     dyn_cost_wo3 = dyn_header_bits + dyn_body_bits; fixed_body =
     fixed_body_bits; buf_start [NB] bool marks blocks that begin a new
-    output buffer (word-aligned region). Returns dict with btype [NB],
-    start [NB], body_off [NB], chunk1_off [NB] (-big when absent) and
-    end_pos [NB] (bit position after each block)."""
+    output buffer (word-aligned region); live [NB] bool (False = padding
+    block that must emit nothing — sharded layouts pad trailing blocks).
+    Returns dict with btype [NB], start [NB], body_off [NB], chunk1_off
+    [NB] (-big when absent) and end_pos [NB] (bit position after each
+    block)."""
+    if live is None:
+        live = jnp.ones(block_len.shape, bool)
 
     def step(pos, x):
-        dynw, fixb, blen, bstart, dynh = x
+        dynw, fixb, blen, bstart, dynh, lv = x
         pos = jnp.where(bstart, (pos + 31) & ~jnp.int32(31), pos)
         start = pos
         dyn_cost = 3 + dynw
@@ -346,22 +351,26 @@ def choose_btypes(dyn_cost_wo3, fixed_body, block_len, buf_start, dyn_header):
             use_stored & (c1 > 0),
             start + 3 + pad0 + 32 + 8 * c0 + 3 + 5 + 32,
             jnp.int32(-(1 << 30)))
-        end = start + cost
+        btype = jnp.where(lv, btype, 0)  # padding blocks emit nothing
+        end = start + jnp.where(lv, cost, 0)
         return end, (btype, start, body_off, chunk1_off, end)
 
     _, (btype, start, body_off, chunk1_off, end_pos) = jax.lax.scan(
         step, jnp.int32(0),
-        (dyn_cost_wo3, fixed_body, block_len, buf_start, dyn_header))
+        (dyn_cost_wo3, fixed_body, block_len, buf_start, dyn_header, live))
     return {"btype": btype, "start": start, "body_off": body_off,
             "chunk1_off": chunk1_off, "end_pos": end_pos}
 
 
 def header_slots(plan: dict, sched: dict, block_len: jax.Array,
-                 bfinal: jax.Array):
+                 bfinal: jax.Array, live=None):
     """Build the header-bit slot arrays [NB, H] (vals u32, nbits i32,
     offs i32) replicating EmitBlockHeader / EmitStored header bits at
-    absolute offsets. H = 2 + 19 + JOINT + 2 (stored chunk slots)."""
+    absolute offsets. H = 2 + 19 + JOINT + 2 (stored chunk slots).
+    Padding blocks (live False) emit zero bits."""
     NB = block_len.shape[0]
+    if live is None:
+        live = jnp.ones((NB,), bool)
     btype = sched["btype"]
     start = sched["start"]
     stored = btype == 0
@@ -431,6 +440,7 @@ def header_slots(plan: dict, sched: dict, block_len: jax.Array,
     offs = jnp.concatenate(
         [s0_off[:, None], sA_off[:, None], sB_off[:, None], sC_off[:, None],
          dyn_off], axis=1)
+    nbits = jnp.where(live[:, None], nbits, 0)
     return vals, nbits, offs
 
 
@@ -466,11 +476,14 @@ def body_tables(plan: dict, btype: jax.Array, tables: dict | None = None):
 
 def plan_device(lit_hist: jax.Array, dist_hist: jax.Array,
                 block_len: jax.Array, buf_start: jax.Array,
-                bfinal: jax.Array, tables: dict | None = None):
+                bfinal: jax.Array, tables: dict | None = None,
+                live=None):
     """Full device plan: histograms -> everything stage2 needs.
 
-    Returns dict: btype, body_off, chunk1_off, end_pos, lit_cl, dist_cl,
-    eob_val, eob_n, header (vals, nbits, offs)."""
+    live [NB] bool: False marks padding blocks (sharded layouts) that
+    must contribute zero output bits. Returns dict: btype, body_off,
+    chunk1_off, end_pos, lit_cl, dist_cl, eob_val, eob_n, header
+    (vals, nbits, offs)."""
     if tables is None:
         tables = plan_tables()
     block_len = jnp.asarray(block_len, jnp.int32)
@@ -480,8 +493,8 @@ def plan_device(lit_hist: jax.Array, dist_hist: jax.Array,
     sched = choose_btypes(
         plan["dyn_header_bits"] + plan["dyn_body_bits"],
         plan["fixed_body_bits"], block_len, buf_start,
-        plan["dyn_header_bits"])
-    hv, hn, ho = header_slots(plan, sched, block_len, bfinal)
+        plan["dyn_header_bits"], live)
+    hv, hn, ho = header_slots(plan, sched, block_len, bfinal, live)
     lit_cl, dist_cl, eob_val, eob_n = body_tables(plan, sched["btype"],
                                                   tables)
     return {

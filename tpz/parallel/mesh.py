@@ -89,6 +89,129 @@ def sharded_encode_step(mesh: Mesh, k: int = 4, window: int = 512,
     return step
 
 
+def sharded_compress(data: bytes, mesh: Mesh, k: int = 32,
+                     level: int = 6) -> bytes:
+    """End-to-end device-sharded gzip encode (SURVEY.md §2.2 DP row,
+    §2.3 pattern 3; VERDICT r1 #5).
+
+    The input is split into per-device spans (whole 64 KiB blocks per
+    shard; the format-sanctioned DP unit is an independent gzip member
+    per shard, window reset at the cut). ONE jit does everything on the
+    mesh: each shard runs the fused encode (same _make_words/_stage1/
+    plan_device/bitpack code as the single-device path — no duplicated
+    halo logic), then the ordered ragged all-gather assembles the raw
+    member streams in stream order. The host only wraps gzip framing
+    around the gathered members.
+
+    Byte-identity: each member's deflate stream equals
+    deflate.compress(span) for the same span (tested on the 8-device CPU
+    mesh in tests/test_parallel.py)."""
+    import struct
+
+    from jax import shard_map
+
+    from tpz import oracle
+    from tpz.codecs.gzip_codec import header_bytes
+    from tpz.kernels import deflate_pipeline as dp
+    from tpz.kernels.deflate_plan_device import plan_tables
+    from tpz.kernels.matchfinder import BLOCK, FWD_PAD, WINDOW
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    n = len(data)
+    if n == 0:
+        from tpz.codecs import gzip_codec
+
+        return gzip_codec.compress(b"")
+    nb_total = (n + BLOCK - 1) // BLOCK
+    nb_per = (nb_total + ndev - 1) // ndev
+    shard_bytes = nb_per * BLOCK
+    use_pallas = jax.default_backend() == "tpu"
+
+    # Host layout: per-shard spans with leading zero window + forward pad.
+    span_rows = np.zeros((ndev, WINDOW + shard_bytes + FWD_PAD), np.uint8)
+    spans = []
+    for d in range(ndev):
+        lo = d * shard_bytes
+        hi = min(n, lo + shard_bytes)
+        chunk = data[lo:hi] if lo < n else b""
+        spans.append(chunk)
+        if chunk:
+            span_rows[d, WINDOW:WINDOW + len(chunk)] = np.frombuffer(
+                chunk, np.uint8)
+    lens = np.array([len(s) for s in spans], np.int64)
+    span_off = np.broadcast_to(
+        (np.arange(nb_per) * BLOCK).astype(np.int32),
+        (ndev, nb_per)).copy()
+    span_len = np.repeat(lens.astype(np.int32)[:, None], nb_per, axis=1)
+    block_len = np.maximum(
+        np.minimum(lens[:, None] - np.arange(nb_per)[None, :] * BLOCK,
+                   BLOCK), 0).astype(np.int32)
+    buf_start = np.zeros((ndev, nb_per), bool)
+    buf_start[:, 0] = True
+    bfinal = np.zeros((ndev, nb_per), bool)
+    last_live = np.maximum((lens + BLOCK - 1) // BLOCK - 1, 0)
+    bfinal[np.arange(ndev), last_live] = True
+
+    cap_words = (9 * shard_bytes + 31) // 32 + 3 * nb_per + 16
+    cap_bytes = 4 * cap_words  # _fused_encode_fn returns [cap_words] u32
+    tables = {kk: jnp.asarray(v) for kk, v in plan_tables().items()}
+
+    def per_shard(span_row, so, sl, bl, bs, bf, tabs):
+        out_buf = jnp.zeros((cap_words + 2,), jnp.uint32)
+        words, end_pos = dp._fused_encode_fn(
+            span_row[0], so[0], sl[0], bl[0], bs[0], bf[0], out_buf, tabs,
+            k=k, use_pallas=use_pallas, lazy=False)
+        size = (end_pos[-1] + 7) // 8  # stream bytes (0 for empty shards)
+        # words -> little-endian bytes (explicit, not bitcast: XLA's byte
+        # order for narrowing bitcasts is implementation-defined).
+        by = jnp.stack([(words >> (8 * i)) & jnp.uint32(0xFF)
+                        for i in range(4)], axis=1).reshape(-1)
+        by = by[:cap_bytes].astype(jnp.uint8)
+        # Ordered ragged all-gather (SURVEY.md §2.3 pattern 3).
+        all_sizes = jax.lax.all_gather(size[None], axis, tiled=True)  # [ndev]
+        offsets = jnp.cumsum(all_sizes) - all_sizes
+        all_pay = jax.lax.all_gather(by[None, :], axis, tiled=True)
+        total_cap = ndev * cap_bytes
+        col = jax.lax.broadcasted_iota(jnp.int32, (ndev, cap_bytes), 1)
+        dst = offsets[:, None] + col
+        live = col < all_sizes[:, None]
+        dst = jnp.where(live, dst, total_cap)
+        gathered = jnp.zeros((total_cap + 1,), jnp.uint8).at[
+            dst.reshape(-1)].add(
+                jnp.where(live, all_pay, 0).reshape(-1), mode="drop")
+        return gathered[:total_cap][None], all_sizes[None]
+
+    step = jax.jit(shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    ))
+    gathered, all_sizes = step(
+        jnp.asarray(span_rows), jnp.asarray(span_off),
+        jnp.asarray(span_len), jnp.asarray(block_len),
+        jnp.asarray(buf_start), jnp.asarray(bfinal), tables)
+    # Every row is the same replicated result; take row 0.
+    sizes = np.asarray(all_sizes)[0]
+    blob = np.asarray(gathered)[0]
+
+    # Host gzip framing: one member per non-empty shard.
+    out = bytearray()
+    hdr = header_bytes(level)
+    off = 0
+    for d in range(ndev):
+        sz = int(sizes[d])
+        if sz == 0:
+            continue
+        body = blob[off:off + sz].tobytes()
+        off += sz
+        crc = (oracle.crc32_reflected(spans[d]) ^ 0xFFFFFFFF)
+        out += hdr + body + struct.pack("<II", crc, len(spans[d]) & 0xFFFFFFFF)
+    return bytes(out)
+
+
 def ragged_all_gather(mesh: Mesh, payload_pad: jax.Array,
                       sizes: jax.Array):
     """Ordered variable-length gather (SURVEY.md §2.3 pattern 3).
