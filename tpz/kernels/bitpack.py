@@ -187,6 +187,107 @@ def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
     return words[:total_words]
 
 
+def assemble_stream_v2(data_block, is_token, mlen, mdist, table320,
+                       body_off, btype, block_len, chunk1_off,
+                       header, out_buf):
+    """Compacted DEFLATE bitpack (round-2 stage2, byte-identical to
+    assemble_stream + token_slots but ~2x cheaper on this chip):
+
+    1. Per-position slot SPECS are closed-form (symbol index into a
+       combined 320-entry table, extra bits/value, live mask) — no code
+       gathers at [NB, 2*BLOCK] geometry.
+    2. One per-block sort compacts live slots to [NB, BLOCK+1] (live
+       slots <= ntokens + nmatches + EOB <= BLOCK + 1), halving both the
+       code-table gather volume and the scatter update count — XLA
+       scatter costs per UPDATE (~0.14 G/s here), dead updates included.
+    3. Codes are gathered only for compacted slots; bit offsets are the
+       compacted exclusive prefix sum (stored chunk-1 slots add the
+       32-bit-header gap recovered from their original column).
+
+    table320: [NB, 320] int32 packed (bit-reversed code | len << 16):
+    cols 0..287 litlen, 288..317 dist, 318/319 zero (raw-byte slots).
+    header: (hvals, hnbits, hoffs) absolute-offset slots, scattered as-is.
+    out_buf: zeroed uint32 [total_words + 2].
+    """
+    NB, B = data_block.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, B), 1)
+    stored = (btype == 0)[:, None]
+    is_match = is_token & (mlen > 0)
+
+    lsym, l_eb, l_ev = length_symbol(jnp.clip(mlen, 0, 258))
+    dsym, d_eb, d_ev = dist_symbol(jnp.maximum(mdist, 1))
+
+    # Slot 0: literal/length code (dyn+fixed) or raw byte (stored).
+    live0 = jnp.where(stored, pos < block_len[:, None], is_token)
+    idx0 = jnp.where(stored, 318, jnp.where(is_match, lsym, data_block))
+    ev0 = jnp.where(stored, data_block.astype(jnp.uint32),
+                    jnp.where(is_match, l_ev, 0))
+    eb0 = jnp.where(stored, 8, jnp.where(is_match, l_eb, 0))
+    # Slot 1: distance code (matches only).
+    live1 = is_match & ~stored
+    idx1 = 288 + jnp.clip(dsym, 0, 29)
+    ev1 = jnp.where(live1, d_ev, 0)
+    eb1 = jnp.where(live1, d_eb, 0)
+
+    live = jnp.stack([live0, live1], axis=2).reshape(NB, 2 * B)
+    idx = jnp.stack([idx0, idx1], axis=2).reshape(NB, 2 * B)
+    extra = jnp.stack([(ev0 << 5) | jnp.asarray(eb0, jnp.uint32),
+                       (ev1.astype(jnp.uint32) << 5)
+                       | jnp.asarray(eb1, jnp.uint32)],
+                      axis=2).reshape(NB, 2 * B)
+    # EOB column (suppressed for stored blocks).
+    live = jnp.concatenate([live, (btype != 0)[:, None]], axis=1)
+    idx = jnp.concatenate([idx, jnp.full((NB, 1), 256, jnp.int32)], axis=1)
+    extra = jnp.concatenate([extra, jnp.zeros((NB, 1), jnp.uint32)], axis=1)
+
+    col = jax.lax.broadcasted_iota(jnp.uint32, (NB, 2 * B + 1), 1)
+    key = ((~live).astype(jnp.uint32) << 18) | col
+    skey, sidx, sextra = jax.lax.sort((key, idx, extra), dimension=1,
+                                      num_keys=1)
+    S = B + 1
+    skey, sidx, sextra = skey[:, :S], sidx[:, :S], sextra[:, :S]
+    slive = (skey >> 18) == 0
+    scol = (skey & jnp.uint32(0x3FFFF)).astype(jnp.int32)
+
+    cl = jnp.take_along_axis(table320, jnp.where(slive, sidx, 318), axis=1)
+    clen = cl >> 16
+    code = (cl & 0xFFFF).astype(jnp.uint32)
+    seb = (sextra & 31).astype(jnp.int32)
+    sev = sextra >> 5
+    nbits = jnp.where(slive, clen + seb, 0)
+    # Shift amount must be uint32: mixing int32 in demotes the value to
+    # int32 (x64 disabled) and the scatter's `v >> (32 - sh)` then
+    # sign-extends values with the top bit set (e.g. NLEN fields).
+    val = jnp.where(slive, code | (sev << clen.astype(jnp.uint32)),
+                    jnp.uint32(0))
+
+    excl = jnp.cumsum(nbits, axis=1) - nbits
+    off = body_off[:, None] + excl
+    # Stored chunk 1: jump over the second chunk's 40-bit header (body_off
+    # is chunk 0's data offset, so the gap is chunk1_off - body_off - 8c0).
+    gap = jnp.where(chunk1_off > 0,
+                    chunk1_off - body_off - 8 * STORED_CHUNK, 0)
+    off = off + jnp.where(stored[:, :1] & ((scol >> 1) >= STORED_CHUNK),
+                          gap[:, None], 0)
+
+    # --- scatter (2 updates per compacted slot + header slots) ---
+    total_words = out_buf.shape[0] - 2
+    hv, hn, ho = header
+    flat_off = jnp.concatenate([off.reshape(-1), ho.reshape(-1)])
+    flat_val = jnp.concatenate([val.reshape(-1),
+                                hv.astype(jnp.uint32).reshape(-1)])
+    flat_n = jnp.concatenate([nbits.reshape(-1), hn.reshape(-1)])
+    w0 = flat_off >> 5
+    sh = (flat_off & 31).astype(jnp.uint32)
+    v = flat_val
+    lo = jnp.where(flat_n > 0, v << sh, 0)
+    hi = jnp.where((flat_n > 0) & (sh > 0), v >> (jnp.uint32(32) - sh), 0)
+    w0 = jnp.where(flat_n > 0, w0, total_words)
+    words = out_buf.at[w0].add(lo, mode="drop")
+    words = words.at[w0 + 1].add(hi, mode="drop")
+    return words[:total_words]
+
+
 def assemble_stream_msb(vals, nbits, body_off, total_words):
     """MSB-first bitpack (BZip2/LZHUF direction, SURVEY.md §1 bit-direction
     row): slots in position order per block, offsets = body_off + exclusive

@@ -163,13 +163,14 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
                        tables, live=block_len > 0)
     data_block = (words[:, WINDOW:WINDOW + BLOCK]
                   & jnp.uint32(0xFF)).astype(jnp.int32)
-    vals, nbits = bitpack.token_slots(
-        data_block, is_token, mlen, mdist, plan["lit_cl"], plan["dist_cl"])
-    out = bitpack.assemble_stream(
-        vals, nbits, plan["eob_val"], plan["eob_n"], plan["body_off"],
-        plan["btype"], data_block, block_len, plan["chunk1_off"], None,
-        header=(plan["hdr_vals"], plan["hdr_nbits"], plan["hdr_offs"]),
-        out_buf=out_buf)
+    NB = data_block.shape[0]
+    table320 = jnp.concatenate(
+        [plan["lit_cl"], plan["dist_cl"], jnp.zeros((NB, 2), jnp.int32)],
+        axis=1)
+    out = bitpack.assemble_stream_v2(
+        data_block, is_token, mlen, mdist, table320, plan["body_off"],
+        plan["btype"], block_len, plan["chunk1_off"],
+        (plan["hdr_vals"], plan["hdr_nbits"], plan["hdr_offs"]), out_buf)
     return out, plan["end_pos"]
 
 
