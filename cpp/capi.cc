@@ -39,7 +39,7 @@ int CopyOut(const std::vector<uint8_t>& v, uint8_t* out, size_t* out_len) {
 
 LzssParams ParamsFromArray(const int32_t* p) {
   // [window, min_match, max_match, max_chain, hash_bits, block_size, lazy,
-  //  too_far_rule, too_far]
+  //  too_far_rule, too_far, max_lazy, n_extend]
   LzssParams lp;
   lp.window = p[0];
   lp.min_match = p[1];
@@ -50,6 +50,10 @@ LzssParams ParamsFromArray(const int32_t* p) {
   lp.lazy = p[6] != 0;
   lp.too_far_rule = p[7] != 0;
   lp.too_far = p[8];
+  lp.max_lazy = p[9];
+  lp.n_extend = p[10];
+  lp.screen_bytes = p[11];
+  lp.suffix_mode = p[12];
   return lp;
 }
 }  // namespace

@@ -1,5 +1,6 @@
 #include "lzss.h"
 
+#include <algorithm>
 #include <atomic>
 #include <cstdlib>
 #include <cstring>
@@ -27,6 +28,194 @@ inline size_t MatchLen(const uint8_t* in, size_t i, size_t j, size_t cap) {
   }
   while (k < cap && in[i + k] == in[j + k]) ++k;
   return k;
+}
+
+// Spec-v2 best match, shared by the sequential and per-block tokenizers
+// (and mirrored by tpz/kernels/matchfinder.py + parse.py): screen all
+// candidates at min(8, cap); fully extend the first n_extend SATURATED
+// candidates (recency order) and keep the strictly longest.
+template <typename PrevFn>
+inline size_t BestMatchCore(const uint8_t* in, size_t n, const LzssParams& p,
+                            size_t i, size_t block_end, int64_t head_j,
+                            PrevFn prev_at, uint32_t* best_dist) {
+  size_t cap = block_end - i;
+  if (cap > (size_t)p.max_match) cap = p.max_match;
+  if (cap < (size_t)p.min_match || i + (size_t)p.min_match > n) return 0;
+  const size_t sb = (size_t)p.screen_bytes;
+  size_t screen_cap = cap < sb ? cap : sb;
+  if (p.n_extend >= 99) screen_cap = cap;  // full extension (reference mode)
+  int64_t j = head_j;
+  size_t best_screen = 0;
+  int64_t best_j = -1;
+  int64_t sats[8];
+  int nsat = 0;
+  int cands = 0;
+  while (j >= 0 && cands < p.max_chain) {
+    size_t dist = i - (size_t)j;
+    if (dist > (size_t)p.window) break;  // chain is recency-ordered
+    ++cands;
+    size_t s = MatchLen(in, i, (size_t)j, screen_cap);
+    if (s > best_screen) {  // strict: ties keep the more recent candidate
+      best_screen = s;
+      best_j = j;
+    }
+    if (s >= screen_cap && nsat < 8) sats[nsat++] = j;
+    j = prev_at(j);
+  }
+  if (best_screen < (size_t)p.min_match) return 0;
+  size_t best_len = best_screen;
+  if (best_screen >= screen_cap) {
+    // Spec v2: fully extend the first n_extend saturated candidates
+    // (recency order); a later one replaces only when strictly longer.
+    // sats[0] == best_j when the screen saturated.
+    best_len = MatchLen(in, i, (size_t)best_j, cap);
+    int t = p.n_extend < nsat ? p.n_extend : nsat;
+    for (int k = 1; k < t && best_len < cap; ++k) {
+      size_t len2 = MatchLen(in, i, (size_t)sats[k], cap);
+      if (len2 > best_len) {
+        best_len = len2;
+        best_j = sats[k];
+      }
+    }
+  }
+  *best_dist = (uint32_t)(i - (size_t)best_j);
+  if (p.too_far_rule && best_len == (size_t)p.min_match &&
+      *best_dist > (uint32_t)p.too_far)
+    return 0;
+  return best_len;
+}
+
+// ------------------------------------------------------------------ spec v3
+// Suffix-space candidates: every insertable position in the block's halo
+// space sorted by its 16-byte prefix (big-endian word order, ties by
+// position). A position's candidates are its max_chain nearest sorted
+// neighbors in each direction (invalid ones consume their slot, exactly
+// like the device's masked vector rolls); winner and runner-up are the
+// top-2 by (screen, recency) and both are fully extended when saturated.
+struct SuffixSpace {
+  std::vector<uint64_t> key[4];   // up to 32-byte BE prefix per local idx
+  int nkeys = 2;
+  std::vector<int32_t> rank;      // local idx -> sorted rank (-1 absent)
+  std::vector<uint32_t> sorted;   // sorted rank -> local idx
+  size_t halo_start = 0;
+};
+
+void BuildSuffixSpace(const uint8_t* in, size_t n, const LzssParams& p,
+                      size_t halo_start, size_t block_end, SuffixSpace* s) {
+  size_t M = block_end - halo_start;
+  s->halo_start = halo_start;
+  s->nkeys = (p.screen_bytes + 7) / 8;
+  if (s->nkeys < 1) s->nkeys = 1;
+  if (s->nkeys > 4) s->nkeys = 4;
+  for (int w = 0; w < s->nkeys; ++w) s->key[w].assign(M, 0);
+  for (size_t k = 0; k < M; ++k) {
+    size_t pos = halo_start + k;
+    uint8_t buf[32] = {0};
+    size_t want = (size_t)s->nkeys * 8;
+    size_t avail = n > pos ? (n - pos < want ? n - pos : want) : 0;
+    std::memcpy(buf, in + pos, avail);
+    for (int w = 0; w < s->nkeys; ++w) {
+      uint64_t a;
+      std::memcpy(&a, buf + 8 * w, 8);
+      s->key[w][k] = __builtin_bswap64(a);
+    }
+  }
+  s->sorted.clear();
+  s->sorted.reserve(M);
+  for (size_t k = 0; k < M; ++k)
+    if (halo_start + k + (size_t)p.min_match <= n)
+      s->sorted.push_back((uint32_t)k);
+  const int nk = s->nkeys;
+  std::sort(s->sorted.begin(), s->sorted.end(),
+            [&](uint32_t x, uint32_t y) {
+              for (int w = 0; w < nk; ++w)
+                if (s->key[w][x] != s->key[w][y])
+                  return s->key[w][x] < s->key[w][y];
+              return x < y;
+            });
+  s->rank.assign(M, -1);
+  for (size_t r = 0; r < s->sorted.size(); ++r)
+    s->rank[s->sorted[r]] = (int32_t)r;
+}
+
+size_t BestMatchSuffix(const uint8_t* in, size_t n, const LzssParams& p,
+                       const SuffixSpace& S, size_t i, size_t block_end,
+                       uint32_t* best_dist) {
+  size_t cap = block_end - i;
+  if (cap > (size_t)p.max_match) cap = p.max_match;
+  if (cap < (size_t)p.min_match || i + (size_t)p.min_match > n) return 0;
+  const size_t sb = (size_t)p.screen_bytes;
+  const size_t screen_cap = cap < sb ? cap : sb;
+  int32_t r0 = S.rank[i - S.halo_start];
+  if (r0 < 0) return 0;
+  int64_t j1 = -1, j2 = -1;
+  size_t s1 = 0, s2 = 0;
+  auto consider = [&](int64_t rr) {
+    if (rr < 0 || rr >= (int64_t)S.sorted.size()) return;
+    size_t j = S.halo_start + S.sorted[(size_t)rr];
+    if (j >= i || i - j > (size_t)p.window) return;
+    size_t s = MatchLen(in, i, j, screen_cap);
+    if (s > s1 || (s == s1 && (int64_t)j > j1)) {
+      s2 = s1;
+      j2 = j1;
+      s1 = s;
+      j1 = (int64_t)j;
+    } else if (s > s2 || (s == s2 && (int64_t)j > j2)) {
+      s2 = s;
+      j2 = (int64_t)j;
+    }
+  };
+  for (int r = 1; r <= p.max_chain; ++r) {
+    consider((int64_t)r0 - r);
+    consider((int64_t)r0 + r);
+  }
+  if (j1 < 0 || s1 < (size_t)p.min_match) return 0;
+  size_t best_len = s1;
+  int64_t best_j = j1;
+  if (s1 >= screen_cap) {
+    best_len = MatchLen(in, i, (size_t)j1, cap);
+    if (p.n_extend >= 2 && j2 >= 0 && s2 >= screen_cap && best_len < cap) {
+      size_t len2 = MatchLen(in, i, (size_t)j2, cap);
+      if (len2 > best_len) {
+        best_len = len2;
+        best_j = j2;
+      }
+    }
+  }
+  *best_dist = (uint32_t)(i - (size_t)best_j);
+  if (p.too_far_rule && best_len == (size_t)p.min_match &&
+      *best_dist > (uint32_t)p.too_far)
+    return 0;
+  return best_len;
+}
+
+void TokenizeBlockSuffixMode(const uint8_t* in, size_t n, const LzssParams& p,
+                             size_t block_start, size_t block_end,
+                             SuffixSpace* space, std::vector<Token>* out) {
+  size_t halo_start =
+      block_start > (size_t)p.window ? block_start - (size_t)p.window : 0;
+  BuildSuffixSpace(in, n, p, halo_start, block_end, space);
+  size_t i = block_start;
+  while (i < block_end) {
+    uint32_t dist = 0;
+    size_t len = BestMatchSuffix(in, n, p, *space, i, block_end, &dist);
+    if (p.lazy && len > 0 && (int)len < p.max_lazy && i + 1 < block_end) {
+      uint32_t dist2 = 0;
+      size_t len2 = BestMatchSuffix(in, n, p, *space, i + 1, block_end, &dist2);
+      if (len2 > len) {
+        out->push_back(Token{(uint32_t)i, 0, in[i], 0});
+        ++i;
+        continue;
+      }
+    }
+    if (len > 0) {
+      out->push_back(Token{(uint32_t)i, (uint16_t)len, 0, dist});
+      i += len;
+    } else {
+      out->push_back(Token{(uint32_t)i, 0, in[i], 0});
+      ++i;
+    }
+  }
 }
 
 }  // namespace
@@ -58,40 +247,11 @@ void LzssTokenizeSeq(const uint8_t* in, size_t n, const LzssParams& p,
     }
   };
 
-  // Screen+winner rule (shared with tpz/kernels/matchfinder.py): each
-  // candidate is scored by its LCP clamped to min(8, cap); the winner is
-  // the best screen with ties to the most recent candidate; only the
-  // winner is fully extended, and only when its screen is saturated.
   auto best_match = [&](size_t i, size_t block_end, uint32_t* best_dist) -> size_t {
-    size_t cap = block_end - i;
-    if (cap > (size_t)p.max_match) cap = p.max_match;
-    if (cap < (size_t)p.min_match || i + (size_t)p.min_match > n) return 0;
-    const size_t screen_cap = cap < 8 ? cap : 8;
     uint32_t h = Hash3(in + i, p.hash_bits);
-    int64_t j = head[h];
-    size_t best_screen = 0;
-    int64_t best_j = -1;
-    int cands = 0;
-    while (j >= 0 && cands < p.max_chain) {
-      size_t dist = i - (size_t)j;
-      if (dist > (size_t)p.window) break;  // chain is recency-ordered
-      ++cands;
-      size_t s = MatchLen(in, i, (size_t)j, screen_cap);
-      if (s > best_screen) {  // strict: ties keep the more recent candidate
-        best_screen = s;
-        best_j = j;
-      }
-      j = prev[(size_t)j];
-    }
-    if (best_screen < (size_t)p.min_match) return 0;
-    size_t best_len = best_screen;
-    if (best_screen >= screen_cap)
-      best_len = MatchLen(in, i, (size_t)best_j, cap);
-    *best_dist = (uint32_t)(i - (size_t)best_j);
-    if (p.too_far_rule && best_len == (size_t)p.min_match &&
-        *best_dist > (uint32_t)p.too_far)
-      return 0;
-    return best_len;
+    return BestMatchCore(in, n, p, i, block_end, head[h],
+                         [&](int64_t j) { return prev[(size_t)j]; },
+                         best_dist);
   };
 
   for (size_t block_start = 0; block_start < n;
@@ -103,7 +263,7 @@ void LzssTokenizeSeq(const uint8_t* in, size_t n, const LzssParams& p,
       ensure_inserted_below(i);
       uint32_t dist = 0;
       size_t len = best_match(i, block_end, &dist);
-      if (p.lazy && len > 0 && i + 1 < block_end) {
+      if (p.lazy && len > 0 && (int)len < p.max_lazy && i + 1 < block_end) {
         ensure_inserted_below(i + 1);
         uint32_t dist2 = 0;
         size_t len2 = best_match(i + 1, block_end, &dist2);
@@ -146,42 +306,17 @@ void TokenizeBlock(const uint8_t* in, size_t n, const LzssParams& p,
     }
   };
   auto best_match = [&](size_t i, uint32_t* best_dist) -> size_t {
-    size_t cap = block_end - i;
-    if (cap > (size_t)p.max_match) cap = p.max_match;
-    if (cap < (size_t)p.min_match || i + (size_t)p.min_match > n) return 0;
-    const size_t screen_cap = cap < 8 ? cap : 8;
     uint32_t h = Hash3(in + i, p.hash_bits);
-    int64_t j = (*head)[h];
-    size_t best_screen = 0;
-    int64_t best_j = -1;
-    int cands = 0;
-    while (j >= 0 && cands < p.max_chain) {
-      size_t dist = i - (size_t)j;
-      if (dist > (size_t)p.window) break;
-      ++cands;
-      size_t s = MatchLen(in, i, (size_t)j, screen_cap);
-      if (s > best_screen) {
-        best_screen = s;
-        best_j = j;
-      }
-      j = prev[(size_t)j - halo_start];
-    }
-    if (best_screen < (size_t)p.min_match) return 0;
-    size_t best_len = best_screen;
-    if (best_screen >= screen_cap)
-      best_len = MatchLen(in, i, (size_t)best_j, cap);
-    *best_dist = (uint32_t)(i - (size_t)best_j);
-    if (p.too_far_rule && best_len == (size_t)p.min_match &&
-        *best_dist > (uint32_t)p.too_far)
-      return 0;
-    return best_len;
+    return BestMatchCore(in, n, p, i, block_end, (*head)[h],
+                         [&](int64_t j) { return prev[(size_t)j - halo_start]; },
+                         best_dist);
   };
   size_t i = block_start;
   while (i < block_end) {
     ensure_inserted_below(i);
     uint32_t dist = 0;
     size_t len = best_match(i, &dist);
-    if (p.lazy && len > 0 && i + 1 < block_end) {
+    if (p.lazy && len > 0 && (int)len < p.max_lazy && i + 1 < block_end) {
       ensure_inserted_below(i + 1);
       uint32_t dist2 = 0;
       size_t len2 = best_match(i + 1, &dist2);
@@ -209,6 +344,32 @@ void LzssTokenize(const uint8_t* in, size_t n, const LzssParams& p,
   size_t nblocks = (n + bs - 1) / bs;
   unsigned hw = std::thread::hardware_concurrency();
   if (hw < 1) hw = 1;
+  if (p.suffix_mode) {
+    // Spec v3 is per-block by construction; thread over blocks.
+    std::vector<std::vector<Token>> block_tokens(nblocks);
+    std::atomic<size_t> next(0);
+    auto worker = [&]() {
+      SuffixSpace space;
+      for (;;) {
+        size_t b = next.fetch_add(1);
+        if (b >= nblocks) return;
+        size_t start = b * bs;
+        size_t end = std::min(n, start + bs);
+        TokenizeBlockSuffixMode(in, n, p, start, end, &space,
+                                &block_tokens[b]);
+      }
+    };
+    unsigned nt = std::min<size_t>(hw, nblocks ? nblocks : 1);
+    if (nt <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> ts;
+      for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+      for (auto& t : ts) t.join();
+    }
+    for (auto& v : block_tokens) out->insert(out->end(), v.begin(), v.end());
+    return;
+  }
   if (n == 0 || nblocks <= 1 || hw <= 1 ||
       std::getenv("TPZ_SEQ_LZSS") != nullptr) {
     LzssTokenizeSeq(in, n, p, out);

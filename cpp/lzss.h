@@ -14,13 +14,16 @@
 //   - screening: each candidate scored by its LCP clamped to min(8, cap)
 //     where cap = min(max_match, block_end - i); the winner is the best
 //     screen, ties to the more recent candidate
-//   - extension: only the winner is extended to its full LCP (capped at
-//     cap), and only when its screen is saturated (== min(8, cap))
+//   - extension (spec v2): when the winner's screen is saturated
+//     (== min(8, cap)), the first n_extend saturated candidates (in
+//     recency order) are extended to their full LCP and the longest wins,
+//     ties to the more recent (zlib's strictly-longer-replaces rule)
 //   - too-far rule: a match of length == min_match with distance > 4096 is
 //     demoted to a literal
-//   - parse: greedy per block (lazy=0, the TPU-parity profile) or one-step
-//     lazy (lazy=1, host-only "max" profile): if the match starting at i+1
-//     is strictly longer than the one at i, emit a literal at i
+//   - parse: greedy per block (lazy=0) or one-step lazy (lazy=1): if the
+//     match starting at i+1 is strictly longer than the one at i, emit a
+//     literal at i; the lazy probe is skipped when len >= max_lazy
+//     (zlib's max_lazy heuristic)
 //   - blocks: the parse restarts at every block boundary (block_size input
 //     bytes); matches never cross a block end but distances may reach back
 //     across blocks (up to window) — this is what makes per-block device
@@ -43,6 +46,17 @@ struct LzssParams {
   bool lazy = false;
   bool too_far_rule = true;
   int too_far = 4096;
+  int max_lazy = 258;     // lazy probe only when current match < max_lazy
+  int n_extend = 1;       // saturated candidates fully extended (<= 8)
+  int screen_bytes = 8;   // screening LCP clamp (8 or 16)
+  // Candidate source: 0 = hash3 chains (K = max_chain most recent).
+  // 1 = suffix-space neighbors ("spec v3"): sort every in-halo position by
+  //     its 16-byte prefix (big-endian word order) breaking ties by
+  //     position; candidates at i are its max_chain nearest sorted
+  //     neighbors in EACH direction that are insertable, in-window
+  //     predecessors. Winner/runner-up are the top-2 by (screen, recency);
+  //     both are fully extended when their screens saturate.
+  int suffix_mode = 0;
 };
 
 // One token: literal (len == 0, lit = byte) or match (len >= min, dist >= 1).

@@ -109,10 +109,8 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
             row = ref[0, pl.ds(pos >> 7, 1), :]
             return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
 
-        def wr(ref, pos, val):
-            sel = lane == (pos & 127)
-            row = ref[0, pl.ds(pos >> 7, 1), :]
-            ref[0, pl.ds(pos >> 7, 1), :] = jnp.where(sel, val, row)
+        def sel(row, pos):
+            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
 
         def lzbytes(x):
             b0 = (x & 0xFF) == 0
@@ -121,13 +119,10 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
             return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
                     + b2.astype(jnp.int32))
 
-        def cond(p):
-            return p < N
-
-        def match_len_at(p):
+        def match_len_from(pk, p):
             """Spec-v1 best match length at p (0 = literal), mirroring
-            cpp/lzss.cc best_match incl. the too-far rule."""
-            pk = rd(p_ref, p)
+            cpp/lzss.cc best_match incl. the too-far rule. pk is the
+            packed screen/winner word at p."""
             s = (pk & 15) - 1
             j = (pk >> 4) - 1
             cap = jnp.minimum(jnp.int32(max_match), blen - p)
@@ -153,19 +148,49 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
             ln = jnp.where((ln == 3) & (dist > too_far), 0, ln)
             return jnp.where(j < 0, 0, ln)
 
-        def body(p):
-            ln = match_len_at(p)
+        # The walk advances monotonically (~5 bytes/token), so consecutive
+        # tokens usually hit the same 128-lane row: cache the current
+        # packed-input row and accumulate the output row in the loop carry,
+        # paying the dynamic-row VMEM access only on row transitions
+        # (~1 in 25 tokens) instead of 2-3 times per token.
+        def cond(c):
+            return c[0] < N
+
+        def body(c):
+            p, r, prow, orow = c
+            r_new = p >> 7
+            changed = r_new != r
+
+            @pl.when(changed)
+            def _():
+                out_ref[0, pl.ds(r, 1), :] = orow
+
+            prow = jax.lax.cond(
+                changed, lambda: p_ref[0, pl.ds(r_new, 1), :],
+                lambda: prow)
+            orow = jnp.where(changed, jnp.zeros_like(orow), orow)
+
+            ln = match_len_from(sel(prow, p), p)
             if lazy:
                 # one-step lazy (cpp/lzss.cc lazy profile): if the match
                 # starting at p+1 is strictly longer, emit a literal at p.
-                ln2 = jax.lax.cond(
-                    (ln > 0) & (p + 1 < blen),
-                    lambda _: match_len_at(p + 1), lambda _: jnp.int32(0), 0)
-                ln = jnp.where(ln2 > ln, 0, ln)
-            wr(out_ref, p, ln + 1)  # visited marker: len+1 (1 = literal)
-            return p + jnp.maximum(ln, 1)
+                def lz():
+                    pk2 = jax.lax.cond(
+                        ((p + 1) >> 7) == r_new,
+                        lambda: sel(prow, p + 1),
+                        lambda: rd(p_ref, p + 1))
+                    return match_len_from(pk2, p + 1)
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+                ln2 = jax.lax.cond((ln > 0) & (p + 1 < blen), lz,
+                                   lambda: jnp.int32(0))
+                ln = jnp.where(ln2 > ln, 0, ln)
+            orow = jnp.where(lane == (p & 127), ln + 1, orow)
+            return p + jnp.maximum(ln, 1), r_new, prow, orow
+
+        init = (jnp.int32(0), jnp.int32(0), p_ref[0, pl.ds(0, 1), :],
+                jnp.zeros((1, 128), jnp.int32))
+        p, r, prow, orow = jax.lax.while_loop(cond, body, init)
+        out_ref[0, pl.ds(r, 1), :] = orow  # flush the final row
 
     out = pl.pallas_call(
         kernel,

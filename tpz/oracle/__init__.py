@@ -184,10 +184,15 @@ def params_array(
     lazy: bool = False,
     too_far_rule: bool = True,
     too_far: int = 4096,
+    max_lazy: int = 258,
+    n_extend: int = 1,
+    screen_bytes: int = 8,
+    suffix_mode: bool = False,
 ) -> np.ndarray:
     return np.array(
         [window, min_match, max_match, max_chain, hash_bits, block_size,
-         int(lazy), int(too_far_rule), too_far],
+         int(lazy), int(too_far_rule), too_far, max_lazy, n_extend,
+         screen_bytes, int(suffix_mode)],
         dtype=np.int32,
     )
 
