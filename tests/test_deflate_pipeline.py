@@ -21,6 +21,13 @@ def pipeline_compress(data):
     return deflate_pipeline.compress(data)
 
 
+def oracle_ref(data):
+    """Oracle with the SAME profile as the pipeline default (spec v3)."""
+    from tpz.codecs.deflate import DeflateConfig
+
+    return oracle.deflate_encode(data, DeflateConfig().params_array())
+
+
 CASES = {
     "text_4k": corpus.text(4096),
     "text_100k": corpus.text(100_000),     # multi-block
@@ -38,7 +45,7 @@ CASES = {
 def test_pipeline_matches_oracle(name):
     data = CASES[name]
     ours = pipeline_compress(data)
-    ref = oracle.deflate_encode(data)
+    ref = oracle_ref(data)
     assert ours == ref, (
         f"{name}: device pipeline diverged from oracle "
         f"(len {len(ours)} vs {len(ref)}; first diff at "
@@ -48,14 +55,14 @@ def test_pipeline_matches_oracle(name):
 
 
 def test_pipeline_empty():
-    assert pipeline_compress(b"") == oracle.deflate_encode(b"")
+    assert pipeline_compress(b"") == oracle.deflate_encode(b"")  # empty: host path
 
 
 def test_pipeline_block_boundary_sizes():
     for n in (65535, 65536, 65537, 131072, 131073):
         data = corpus.text(n, seed=n)
         ours = pipeline_compress(data)
-        assert ours == oracle.deflate_encode(data), f"n={n}"
+        assert ours == oracle_ref(data), f"n={n}"
 
 
 def test_compress_many_matches_individual():
@@ -70,6 +77,6 @@ def test_compress_many_matches_individual():
     ]
     batch = deflate_pipeline.compress_many(datas)
     for d, blob in zip(datas, batch):
-        assert blob == oracle.deflate_encode(d)
+        assert blob == oracle_ref(d) if d else blob == oracle.deflate_encode(b"")
         if d:
             assert zlib.decompress(blob, -15) == d

@@ -66,12 +66,19 @@ def test_lazy_profile_roundtrip():
 
 
 def test_size_vs_zlib():
-    """Sanity: our default profile lands in zlib's ballpark on real-ish data."""
-    data = corpus.text(1 << 16)
-    ours = len(oracle.deflate_encode(data))
+    """North star: default profile <= zlib -6 and level 9 <= zlib -9 on
+    the 4 MiB mix (VERDICT r1 #3: gates tightened from 1.15x to 1.0x)."""
+    from tpz.codecs.deflate import DeflateConfig
+
+    data = corpus.mixed(1 << 22)
     z6 = len(zlib_raw_deflate(data, 6))
-    assert ours < len(data) * 0.6
-    assert ours <= z6 * 1.15, (ours, z6)
+    z9 = len(zlib_raw_deflate(data, 9))
+    ours6 = len(oracle.deflate_encode(
+        data, DeflateConfig(level=6).params_array()))
+    ours9 = len(oracle.deflate_encode(
+        data, DeflateConfig(level=9).params_array()))
+    assert ours6 <= z6, (ours6, z6)
+    assert ours9 <= z9, (ours9, z9)
 
 
 def test_stored_fallback_on_random():

@@ -78,14 +78,41 @@ def _make_words(span_u8: jax.Array):
 
 def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
                  block_len: jax.Array, k: int, use_pallas: bool = False,
-                 lazy: bool = False):
-    """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF)."""
+                 lazy: bool = False, suffix: bool = False,
+                 screen_bytes: int = 16, max_lazy: int = 258):
+    """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF).
+
+    suffix=True runs parse spec v3 (suffix-space candidates, top-2
+    extension, max_lazy — cpp/lzss.cc suffix_mode); False runs the v1
+    hash screen (still used by LZHUF)."""
     NB = words.shape[0]
-    if use_pallas:
-        # Fused path: screening in XLA, then parse+extension in one Pallas
-        # walk — skips the rank-array sorts and per-position LCP gathers
-        # entirely (only ~1 in 5 positions is a token, and only tokens
-        # need extension).
+    if suffix and use_pallas:
+        from tpz.kernels.matchfinder import suffix_screen_w
+        from tpz.kernels.parse import parse_extend_pallas_v3
+
+        j1, s1, j2, s2, _ = suffix_screen_w(
+            words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes)
+        words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
+        sl = slice(WINDOW, WINDOW + BLOCK)
+        reach, mlen, mdist = parse_extend_pallas_v3(
+            s1[:, sl], j1[:, sl], s2[:, sl], j2[:, sl], words_i32,
+            block_len[:, None], WINDOW, 258, screen_bytes,
+            lazy=lazy, max_lazy=max_lazy)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
+        is_token = (reach > 0) & (pos < block_len[:, None])
+        cum = jnp.cumsum(is_token.astype(jnp.int32), axis=1)
+        ntokens = cum[:, -1]
+    elif suffix:
+        from tpz.kernels.matchfinder import find_matches_v3
+
+        mlen, mdist = find_matches_v3(
+            words, span_off, span_len, k, screen_bytes=screen_bytes,
+            lazy=lazy, max_lazy=max_lazy)
+        is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
+                                                    use_pallas=False)
+    elif use_pallas:
+        # v1 fused path: hash screening in XLA, then parse+extension in one
+        # Pallas walk.
         from tpz.kernels.matchfinder import screen_candidates_w
         from tpz.kernels.parse import parse_extend_pallas
 
@@ -122,8 +149,9 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     return mlen, mdist, is_token, lit_hist, dist_hist, ntokens
 
 
-_stage1 = functools.partial(jax.jit, static_argnames=("k", "use_pallas",
-                                                      "lazy"))(_stage1_core)
+_stage1 = functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "lazy", "suffix",
+                              "screen_bytes", "max_lazy"))(_stage1_core)
 
 
 @functools.partial(jax.jit, static_argnames=("total_words",))
@@ -140,7 +168,9 @@ def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
 
 
 def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
-                     out_buf, tables, k: int, use_pallas: bool, lazy: bool):
+                     out_buf, tables, k: int, use_pallas: bool, lazy: bool,
+                     suffix: bool = False, screen_bytes: int = 16,
+                     max_lazy: int = 258):
     """The whole encode as ONE program (VERDICT r1 #1/#7): stage1 ->
     on-device planning (tpz/kernels/deflate_plan_device.py) -> stage2,
     with header bits emitted by the same scatter. No host round-trip, no
@@ -155,7 +185,8 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
 
     words = _make_words(span)
     mlen, mdist, is_token, lit_hist, dist_hist, _ = _stage1_core(
-        words, span_off, span_len, block_len, k, use_pallas, lazy)
+        words, span_off, span_len, block_len, k, use_pallas, lazy,
+        suffix, screen_bytes, max_lazy)
     lit_hist = lit_hist.at[:, 256].set(0)
     # block_len == 0 marks padding blocks (sharded layouts; the batch path
     # never produces them — empty buffers are filtered host-side).
@@ -175,12 +206,15 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
 
 
 _fused_jit = jax.jit(_fused_encode_fn,
-                     static_argnames=("k", "use_pallas", "lazy"))
+                     static_argnames=("k", "use_pallas", "lazy", "suffix",
+                                      "screen_bytes", "max_lazy"))
 _plan_tables_dev = None
 
 
 def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
-                  out_buf, k: int, use_pallas: bool, lazy: bool):
+                  out_buf, k: int, use_pallas: bool, lazy: bool,
+                  suffix: bool = False, screen_bytes: int = 16,
+                  max_lazy: int = 258):
     """Dispatch wrapper: passes the planner's lookup tables as REAL
     arguments. jax 0.9.0 drops hoisted trace constants when a jitted
     function accumulates multiple input signatures ("Computation compiled
@@ -194,7 +228,8 @@ def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
                             for kk, v in plan_tables().items()}
     return _fused_jit(span, span_off, span_len, block_len, buf_start,
                       bfinal, out_buf, _plan_tables_dev, k=k,
-                      use_pallas=use_pallas, lazy=lazy)
+                      use_pallas=use_pallas, lazy=lazy, suffix=suffix,
+                      screen_bytes=screen_bytes, max_lazy=max_lazy)
 
 
 def oracle_lazy_encode(data: bytes, k: int) -> bytes:
@@ -222,13 +257,21 @@ def compress_many(datas, cfg=None):
     """
     from tpz import oracle
 
-    k = 32 if cfg is None else cfg.max_chain
-    lazy = False if cfg is None else cfg.lazy
+    if cfg is None:
+        from tpz.codecs.deflate import DeflateConfig
+
+        cfg = DeflateConfig()
+    k = cfg.max_chain
+    lazy = cfg.lazy
+    suffix = getattr(cfg, "suffix_mode", False)
+    screen_bytes = getattr(cfg, "screen_bytes", 16)
+    max_lazy = getattr(cfg, "max_lazy", 258)
     use_pallas = jax.default_backend() == "tpu"
-    if lazy and not use_pallas:
-        # the portable XLA parse is greedy-only; the lazy profile needs the
-        # fused Pallas walk — fall back to the oracle off-TPU
-        return [oracle_lazy_encode(d, k) for d in datas]
+    if lazy and not use_pallas and not suffix:
+        # the portable XLA v1 parse is greedy-only; the v1 lazy profile
+        # needs the fused Pallas walk — fall back to the oracle off-TPU
+        # (spec v3 has a full portable path via find_matches_v3)
+        return [oracle.deflate_encode(d, cfg.params_array()) for d in datas]
     results = [None] * len(datas)
     idxs = [i for i, d in enumerate(datas) if len(d) > 0]
     for i, d in enumerate(datas):
@@ -280,7 +323,7 @@ def compress_many(datas, cfg=None):
         jnp.asarray(span_len_np), jnp.asarray(block_len_np),
         jnp.asarray(buf_start_np), jnp.asarray(bfinal_np),
         jnp.zeros((cap_words + 2,), jnp.uint32),
-        k, use_pallas, lazy)
+        k, use_pallas, lazy, suffix, screen_bytes, max_lazy)
     # Two-phase fetch: the tiny end_pos first, then only the live prefix
     # of the padded output (d2h over the relay runs ~22 MB/s — fetching
     # the 9-bits/byte worst case would triple the transfer). The prefix

@@ -119,6 +119,159 @@ def best_candidate_sorted(h: jax.Array, valid_insert: jax.Array,
     return out_j, out_s
 
 
+def _bswap32(x: jax.Array) -> jax.Array:
+    return (((x & jnp.uint32(0xFF)) << 24) | ((x & jnp.uint32(0xFF00)) << 8)
+            | ((x >> 8) & jnp.uint32(0xFF00)) | (x >> 24))
+
+
+def _eq_bytes_be(x: jax.Array) -> jax.Array:
+    """Leading equal BYTES from a big-endian u32 xor value (0..4)."""
+    return ((x < (1 << 24)).astype(jnp.int32) + (x < (1 << 16)).astype(jnp.int32)
+            + (x < (1 << 8)).astype(jnp.int32) + (x == 0).astype(jnp.int32))
+
+
+def suffix_screen_w(words: jax.Array, span_off: jax.Array,
+                    span_len: jax.Array, r_neighbors: int, window: int,
+                    block: int, max_match: int, screen_bytes: int):
+    """Spec-v3 sorted-space screening (cpp/lzss.cc BuildSuffixSpace +
+    BestMatchSuffix candidate scan): sort every insertable in-halo position
+    by its screen_bytes-byte big-endian prefix (ties by position; invalid
+    positions carry a leading invalid flag KEY so they sort strictly after
+    every valid suffix, mirroring the C++ array that simply omits them),
+    then scan r_neighbors sorted neighbors in each direction with vector
+    rolls, keeping the top-2 candidates by (clamped screen, recency).
+
+    Returns (j1, s1, j2, s2, cap_at): all [NB, M] in position order; j is
+    the candidate M-index or -1, s its LCP clamped to min(screen_bytes,
+    cap); cap_at = per-position match cap.
+    """
+    NB, M = words.shape
+    nw = screen_bytes // 4
+    slc = _span_len_col(span_len, NB)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+    gpos = span_off[:, None] + (idx - window)
+    insertable = ((gpos >= 0) & (gpos + MIN_MATCH <= slc)
+                  & (idx < window + block))
+    block_end_rel = jnp.minimum(
+        jnp.full_like(idx, block + window),
+        window + (slc - span_off[:, None]))
+    cap_at = jnp.clip(block_end_rel - idx, 0, max_match)
+    cap_at = jnp.where(idx >= window, cap_at, 0)
+
+    wbe = _bswap32(words)
+    flag = jnp.where(insertable, jnp.uint32(0), jnp.uint32(1))
+    keys = [jnp.roll(wbe, -4 * t, axis=1) for t in range(nw)]
+    ops = (flag, *keys, idx, cap_at)
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=nw + 2)
+    sflag = sorted_ops[0]
+    skeys = sorted_ops[1:1 + nw]
+    spos = sorted_ops[1 + nw]
+    scap = sorted_ops[2 + nw]
+    sval = sflag == 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+    screen_cap = jnp.minimum(scap, screen_bytes)
+
+    j1 = jnp.full((NB, M), -1, jnp.int32)
+    s1 = jnp.full((NB, M), -1, jnp.int32)
+    j2 = jnp.full((NB, M), -1, jnp.int32)
+    s2 = jnp.full((NB, M), -1, jnp.int32)
+
+    def scan_dir(sign, j1, s1, j2, s2):
+        for kk in range(1, r_neighbors + 1):
+            sh = sign * kk
+            pp = jnp.roll(spos, sh, axis=1)
+            pv = jnp.roll(sval, sh, axis=1)
+            in_bounds = (col >= kk) if sign > 0 else (col < M - kk)
+            dist = spos - pp
+            ok = (in_bounds & pv & sval & (pp < spos)
+                  & (dist <= jnp.int32(window)))
+            # LCP from the BE key words, chained while saturated.
+            s = jnp.zeros((NB, M), jnp.int32)
+            carry = jnp.ones((NB, M), bool)
+            for t in range(nw):
+                pk = jnp.roll(skeys[t], sh, axis=1)
+                eq = _eq_bytes_be(skeys[t] ^ pk)
+                s = s + jnp.where(carry, eq, 0)
+                carry = carry & (eq == 4)
+            s = jnp.minimum(s, screen_cap)
+            s = jnp.where(ok, s, -1)
+            # top-2 by (screen, recency): a strict total order since
+            # positions are unique.
+            beats1 = (s > s1) | ((s == s1) & (pp > j1))
+            beats2 = (s > s2) | ((s == s2) & (pp > j2))
+            j2 = jnp.where(beats1, j1, jnp.where(beats2, pp, j2))
+            s2 = jnp.where(beats1, s1, jnp.where(beats2, s, s2))
+            j1 = jnp.where(beats1, pp, j1)
+            s1 = jnp.where(beats1, s, s1)
+        return j1, s1, j2, s2
+
+    j1, s1, j2, s2 = scan_dir(1, j1, s1, j2, s2)
+    j1, s1, j2, s2 = scan_dir(-1, j1, s1, j2, s2)
+
+    # Scatter winners back to position order.
+    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 0)
+    out = []
+    for a in (j1, s1, j2, s2):
+        o = jnp.full((NB, M), -1, jnp.int32)
+        out.append(o.at[nbidx, spos].set(a, mode="drop"))
+    return (*out, cap_at)
+
+
+def find_matches_v3(words: jax.Array, span_off: jax.Array,
+                    span_len: jax.Array, r_neighbors: int = 8,
+                    window: int = WINDOW, block: int = BLOCK,
+                    max_match: int = MAX_MATCH, screen_bytes: int = 16,
+                    lazy: bool = False, max_lazy: int = 258):
+    """Portable XLA spec-v3 matcher: suffix screening + exact rank-array
+    extension of the top-2 saturated candidates + local lazy demotion.
+    Token-identical to cpp/lzss.cc suffix_mode (greedy walk applied on the
+    returned lengths). words: [NB, M] u32 LE 4-byte windows."""
+    NB, M = words.shape
+    j1, s1, j2, s2, cap_at = suffix_screen_w(
+        words, span_off, span_len, r_neighbors, window, block, max_match,
+        screen_bytes)
+    data = (words & jnp.uint32(0xFF)).astype(jnp.int32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1) + window
+    nbi = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 0)
+    j1b = j1[:, window:window + block]
+    s1b = s1[:, window:window + block]
+    j2b = j2[:, window:window + block]
+    s2b = s2[:, window:window + block]
+    cap = cap_at[:, window:window + block]
+    screen_cap = jnp.minimum(cap, screen_bytes)
+
+    ranks = build_ranks(words)
+    ln1_full = lcp_from_ranks(ranks, p, jnp.maximum(j1b, 0), words, data, cap)
+    ln2_full = lcp_from_ranks(ranks, p, jnp.maximum(j2b, 0), words, data, cap)
+    sat1 = (s1b >= screen_cap) & (j1b >= 0)
+    ln1 = jnp.where(sat1, ln1_full, jnp.maximum(s1b, 0))
+    need2 = (j2b >= 0) & (s2b >= screen_cap) & (ln1 < cap) & sat1
+    ln2 = jnp.where(need2, ln2_full, -1)
+    use2 = ln2 > ln1
+    mlen = jnp.where(use2, ln2, ln1)
+    mj = jnp.where(use2, j2b, j1b)
+    mdist = p - mj
+    valid = (j1b >= 0) & (s1b >= MIN_MATCH) & (mlen >= MIN_MATCH)
+    valid = valid & ~((mlen == MIN_MATCH) & (mdist > TOO_FAR))
+    mlen = jnp.where(valid, mlen, 0)
+    mdist = jnp.where(valid, mdist, 0)
+    del nbi
+    if lazy:
+        # Local one-step lazy demotion (equivalent to the sequential probe:
+        # the rule only inspects the RAW best length at p+1).
+        nxt = jnp.concatenate(
+            [mlen[:, 1:], jnp.zeros((NB, 1), jnp.int32)], axis=1)
+        blen_col = jnp.minimum(
+            jnp.maximum(_span_len_col(span_len, NB) - span_off[:, None], 0),
+            block)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1)
+        demote = ((mlen > 0) & (mlen < max_lazy) & (pos + 1 < blen_col)
+                  & (nxt > mlen))
+        mlen = jnp.where(demote, 0, mlen)
+        mdist = jnp.where(demote, 0, mdist)
+    return mlen, mdist
+
+
 def build_ranks(words: jax.Array):
     """Prefix-doubling ranks. words: [NB, M] u32 4-byte windows.
     Returns dict level->rank [NB, M] int32 for level in RANK_LEVELS.

@@ -208,6 +208,158 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
     return out, jnp.maximum(out - 1, 0)
 
 
+def parse_extend_pallas_v3(s1: jax.Array, j1: jax.Array, s2: jax.Array,
+                           j2: jax.Array, words: jax.Array,
+                           block_len: jax.Array, window: int,
+                           max_match: int = 258, screen_bytes: int = 16,
+                           too_far: int = 4096, lazy: bool = False,
+                           max_lazy: int = 258, interpret: bool = False):
+    """Spec-v3 fused parse + extension walk (cpp/lzss.cc BestMatchSuffix +
+    the lazy loop): per token, the top-2 saturated suffix-space candidates
+    are fully extended in VMEM and the strictly longer wins.
+
+    s1/j1/s2/j2: [NB, N] clamped screens and candidate M-indices (-1 none)
+    from matchfinder.suffix_screen_w, block region only; words: [NB, M]
+    int32 (bitcast u32 LE 4-byte windows); block_len [NB, 1].
+    Returns (reach, mlen, mdist): reach > 0 marks token positions; the
+    winner's distance must come from the walk because the fully-extended
+    runner-up may replace the screen winner.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB, N = s1.shape
+    M = words.shape[1]
+    assert N % 128 == 0 and M % 128 == 0
+    r_n, r_m = N // 128, M // 128
+    pk1 = ((j1 + 1) << 6) | jnp.clip(s1 + 1, 0, 63)
+    pk2 = ((j2 + 1) << 6) | jnp.clip(s2 + 1, 0, 63)
+    p1 = pk1.reshape(NB, r_n, 128)
+    p2 = pk2.reshape(NB, r_n, 128)
+    w3 = words.reshape(NB, r_m, 128)
+
+    def kernel(blen_ref, p1_ref, p2_ref, w_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        blen = blen_ref[pl.program_id(0), 0]
+
+        def rd(ref, pos):
+            row = ref[0, pl.ds(pos >> 7, 1), :]
+            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
+
+        def sel(row, pos):
+            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
+
+        def lzbytes(x):
+            b0 = (x & 0xFF) == 0
+            b1 = (x & 0xFFFF) == 0
+            b2 = (x & 0xFFFFFF) == 0
+            return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
+                    + b2.astype(jnp.int32))
+
+        def extend(p, j, start, cap):
+            def ebody(k):
+                w1 = rd(w_ref, p + window + k)
+                w2 = rd(w_ref, j + k)
+                x = w1 ^ w2
+                adv = jnp.where(x == 0, 4, lzbytes(x))
+                k2 = jnp.minimum(k + adv, cap)
+                return jnp.where(x == 0, k2, k2 + jnp.int32(1 << 20))
+
+            k = jax.lax.while_loop(lambda k: (k < cap), ebody, start)
+            return jnp.minimum(k & jnp.int32((1 << 20) - 1), cap)
+
+        def match_len_from(w1, w2, p):
+            ss1 = (w1 & 63) - 1
+            jj1 = (w1 >> 6) - 1
+            ss2 = (w2 & 63) - 1
+            jj2 = (w2 >> 6) - 1
+            cap = jnp.minimum(jnp.int32(max_match), blen - p)
+            screen_cap = jnp.minimum(jnp.int32(screen_bytes), cap)
+
+            def with_ext(_):
+                ln = extend(p, jj1, ss1, cap)
+                need2 = (jj2 >= 0) & (ss2 >= screen_cap) & (ln < cap)
+                ln2 = jax.lax.cond(need2,
+                                   lambda _: extend(p, jj2, ss2, cap),
+                                   lambda _: jnp.int32(-1), 0)
+                use2 = ln2 > ln
+                return (jnp.where(use2, ln2, ln),
+                        jnp.where(use2, jj2, jj1))
+
+            ln, j = jax.lax.cond((ss1 >= screen_cap) & (jj1 >= 0), with_ext,
+                                 lambda _: (ss1, jj1), 0)
+            ln = jnp.where((jj1 < 0) | (ss1 < 3), 0, ln)
+            dist = p + jnp.int32(window) - j
+            ln = jnp.where((ln == 3) & (dist > too_far), 0, ln)
+            return ln, jnp.where(ln > 0, dist, 0)
+
+        def cond(c):
+            return c[0] < N
+
+        def body(c):
+            p, r, prow1, prow2, orow = c
+            r_new = p >> 7
+            changed = r_new != r
+
+            @pl.when(changed)
+            def _():
+                out_ref[0, pl.ds(r, 1), :] = orow
+
+            prow1 = jax.lax.cond(
+                changed, lambda: p1_ref[0, pl.ds(r_new, 1), :],
+                lambda: prow1)
+            prow2 = jax.lax.cond(
+                changed, lambda: p2_ref[0, pl.ds(r_new, 1), :],
+                lambda: prow2)
+            orow = jnp.where(changed, jnp.zeros_like(orow), orow)
+
+            ln, dist = match_len_from(sel(prow1, p), sel(prow2, p), p)
+            if lazy:
+                def lz():
+                    same_row = ((p + 1) >> 7) == r_new
+                    w1 = jax.lax.cond(same_row, lambda: sel(prow1, p + 1),
+                                      lambda: rd(p1_ref, p + 1))
+                    w2 = jax.lax.cond(same_row, lambda: sel(prow2, p + 1),
+                                      lambda: rd(p2_ref, p + 1))
+                    ln2, _ = match_len_from(w1, w2, p + 1)
+                    return ln2
+
+                ln2 = jax.lax.cond(
+                    (ln > 0) & (ln < jnp.int32(max_lazy)) & (p + 1 < blen),
+                    lz, lambda: jnp.int32(0))
+                demote = ln2 > ln
+                ln = jnp.where(demote, 0, ln)
+                dist = jnp.where(demote, 0, dist)
+            mark = (dist << 10) | (ln + 1)
+            orow = jnp.where(lane == (p & 127), mark, orow)
+            return p + jnp.maximum(ln, 1), r_new, prow1, prow2, orow
+
+        init = (jnp.int32(0), jnp.int32(0), p1_ref[0, pl.ds(0, 1), :],
+                p2_ref[0, pl.ds(0, 1), :], jnp.zeros((1, 128), jnp.int32))
+        p, r, prow1, prow2, orow = jax.lax.while_loop(cond, body, init)
+        out_ref[0, pl.ds(r, 1), :] = orow  # flush the final row
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, r_m, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32),
+        interpret=interpret,
+    )(block_len, p1, p2, w3)
+    out = out.reshape(NB, N)
+    visited = out & 1023
+    mlen = jnp.maximum(visited - 1, 0)
+    mdist = jnp.where(visited > 0, out >> 10, 0)
+    return visited, mlen, mdist
+
+
 def _parse_doubling(step: jax.Array) -> jax.Array:
     NB, block = step.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1)

@@ -119,6 +119,9 @@ def sharded_compress(data: bytes, mesh: Mesh, k: int = 32,
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     n = len(data)
+    from tpz.codecs.deflate import DeflateConfig
+
+    cfg = DeflateConfig(level=level)
     if n == 0:
         from tpz.codecs import gzip_codec
 
@@ -161,7 +164,9 @@ def sharded_compress(data: bytes, mesh: Mesh, k: int = 32,
         out_buf = jnp.zeros((cap_words + 2,), jnp.uint32)
         words, end_pos = dp._fused_encode_fn(
             span_row[0], so[0], sl[0], bl[0], bs[0], bf[0], out_buf, tabs,
-            k=k, use_pallas=use_pallas, lazy=False)
+            k=cfg.max_chain, use_pallas=use_pallas, lazy=cfg.lazy,
+            suffix=cfg.suffix_mode, screen_bytes=cfg.screen_bytes,
+            max_lazy=cfg.max_lazy)
         size = (end_pos[-1] + 7) // 8  # stream bytes (0 for empty shards)
         # words -> little-endian bytes (explicit, not bitcast: XLA's byte
         # order for narrowing bitcasts is implementation-defined).
