@@ -131,6 +131,8 @@ class BitReaderLSB {
   }
   // Byte position of the next unconsumed byte (requires byte alignment).
   size_t BytePos() const { return pos_ - (size_t)(cnt_ / 8); }
+  // Absolute bit position of the next unconsumed bit.
+  uint64_t BitPos() const { return 8ull * pos_ - (uint64_t)cnt_; }
   void SeekByte(size_t p) {
     pos_ = p;
     buf_ = 0;

@@ -150,6 +150,18 @@ int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
   return CopyOut(v, out, out_len);
 }
 
+int tpz_inflate_scan_headers(const uint8_t* in, size_t n,
+                             const int64_t* end_bits, int32_t nb,
+                             int32_t* btype, int64_t* body_bit,
+                             int32_t* c0_pos, int32_t* c0_len,
+                             int32_t* c1_pos, int32_t* c1_len,
+                             int32_t* lit_bits, int32_t* dist_bits,
+                             uint32_t* lit_tab, uint32_t* dist_tab) {
+  return InflateScanHeaders(in, n, end_bits, nb, btype, body_bit, c0_pos,
+                            c0_len, c1_pos, c1_len, lit_bits, dist_bits,
+                            lit_tab, dist_tab);
+}
+
 // ------------------------------------------------------------------- bzip2
 int tpz_bzip2_encode(const uint8_t* in, size_t n, int32_t level, uint8_t* out,
                      size_t* out_len) {

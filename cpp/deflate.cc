@@ -659,4 +659,130 @@ int Inflate(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
   return kStatusOk;
 }
 
+// ---------------------------------------------------------------------------
+// Header scan for device-parallel decode (SURVEY.md §7.4): given the
+// encoder's per-block end-bit index (gzip FEXTRA 'TZ' side-car), parse
+// ONLY the block headers — O(tables), no symbol scan — and export flat
+// single-level decode tables + body offsets for the TPU symbol walk
+// (tpz/kernels/inflate_pipeline.py).
+// ---------------------------------------------------------------------------
+
+int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
+                       int32_t nb, int32_t* btype_out, int64_t* body_bit,
+                       int32_t* c0_pos, int32_t* c0_len, int32_t* c1_pos,
+                       int32_t* c1_len, int32_t* lit_bits, int32_t* dist_bits,
+                       uint32_t* lit_tab, uint32_t* dist_tab) {
+  constexpr size_t kTab = 1u << 15;
+  for (int32_t b = 0; b < nb; ++b) {
+    int64_t start = b == 0 ? 0 : end_bits[b - 1];
+    int64_t end = end_bits[b];
+    if (start < 0 || end > (int64_t)(8 * n) || start >= end)
+      return kStatusDataError;
+    BitReaderLSB br(in, n);
+    br.SeekByte((size_t)(start >> 3));
+    if (start & 7) br.Read((int)(start & 7));
+    btype_out[b] = -1;
+    body_bit[b] = 0;
+    c0_pos[b] = c0_len[b] = c1_pos[b] = c1_len[b] = 0;
+    lit_bits[b] = dist_bits[b] = 0;
+
+    br.Read(1);  // BFINAL (the index already delimits blocks)
+    uint32_t btype = br.Read(2);
+    if (br.Overrun() || btype == 3) return kStatusDataError;
+    btype_out[b] = (int32_t)btype;
+    if (btype == 0) {
+      // Chunked stored block: parse chunk headers until the block end.
+      int chunk = 0;
+      br.AlignByte();
+      for (;;) {
+        uint32_t len = br.Read(16);
+        uint32_t nlen = br.Read(16);
+        if (br.Overrun() || ((len ^ nlen) != 0xffff))
+          return kStatusDataError;
+        size_t p = br.BytePos();
+        if (p + len > n) return kStatusUnexpectedEof;
+        if (chunk == 0) {
+          c0_pos[b] = (int32_t)p;
+          c0_len[b] = (int32_t)len;
+        } else if (chunk == 1) {
+          c1_pos[b] = (int32_t)p;
+          c1_len[b] = (int32_t)len;
+        } else {
+          return kStatusDataError;  // encoder emits <= 2 chunks per block
+        }
+        ++chunk;
+        br.SeekByte(p + len);
+        if ((int64_t)(8 * (p + len)) >= end) break;
+        br.Read(1);
+        if (br.Read(2) != 0 || br.Overrun()) return kStatusDataError;
+        br.AlignByte();
+      }
+      continue;
+    }
+    HuffDecodeTable dyn_lit, dyn_dist;
+    const HuffDecodeTable* lit;
+    const HuffDecodeTable* dist;
+    if (btype == 1) {
+      lit = &GetFixedTables().lit;
+      dist = &GetFixedTables().dist;
+    } else {
+      uint32_t hlit = br.Read(5) + 257;
+      uint32_t hdist = br.Read(5) + 1;
+      uint32_t hclen = br.Read(4) + 4;
+      uint8_t cl_len[19] = {0};
+      for (uint32_t i = 0; i < hclen; ++i)
+        cl_len[kClOrder[i]] = (uint8_t)br.Read(3);
+      if (br.Overrun()) return kStatusUnexpectedEof;
+      HuffDecodeTable cl;
+      if (!BuildDecodeTable(cl_len, 19, true, &cl) || cl.bits == 0)
+        return kStatusDataError;
+      uint8_t lens[288 + 32] = {0};
+      uint32_t total = hlit + hdist;
+      uint32_t i = 0;
+      while (i < total) {
+        int sym = DecodeSym(&br, cl);
+        if (br.Overrun() || sym < 0) return kStatusDataError;
+        if (sym < 16) {
+          lens[i++] = (uint8_t)sym;
+        } else if (sym == 16) {
+          if (i == 0) return kStatusDataError;
+          uint32_t rep = 3 + br.Read(2);
+          if (i + rep > total) return kStatusDataError;
+          uint8_t v = lens[i - 1];
+          while (rep--) lens[i++] = v;
+        } else if (sym == 17) {
+          uint32_t rep = 3 + br.Read(3);
+          if (i + rep > total) return kStatusDataError;
+          i += rep;
+        } else {
+          uint32_t rep = 11 + br.Read(7);
+          if (i + rep > total) return kStatusDataError;
+          i += rep;
+        }
+      }
+      if (br.Overrun()) return kStatusUnexpectedEof;
+      if (!BuildDecodeTable(lens, (int)hlit, true, &dyn_lit))
+        return kStatusDataError;
+      uint8_t dlens[32] = {0};
+      std::memcpy(dlens, lens + hlit, hdist);
+      if (!BuildDecodeTable(dlens, (int)hdist, true, &dyn_dist))
+        return kStatusDataError;
+      if (dyn_lit.bits == 0) return kStatusDataError;
+      lit = &dyn_lit;
+      dist = &dyn_dist;
+    }
+    // Bit position after the header = 8*pos - buffered bits.
+    br.Fill();
+    body_bit[b] = (int64_t)br.BitPos();
+    lit_bits[b] = lit->bits;
+    dist_bits[b] = dist->bits;
+    std::memcpy(lit_tab + (size_t)b * kTab, lit->entries.data(),
+                4 * lit->entries.size());
+    if (!dist->entries.empty())
+      std::memcpy(dist_tab + (size_t)b * kTab, dist->entries.data(),
+                  4 * dist->entries.size());
+  }
+  return kStatusOk;
+}
+
 }  // namespace tpz

@@ -48,6 +48,16 @@ void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
 int Inflate(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
             size_t* consumed_bytes /* nullable: bytes of `in` consumed */);
 
+// Header-only scan for device-parallel decode: per encoder-indexed block
+// (end_bits from the gzip 'TZ' side-car), parse the block header and
+// export flat single-level decode tables ([nb, 1<<15] u32 entries of
+// (sym << 5 | len)), body bit offsets, and stored-chunk byte layout.
+int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
+                       int32_t nb, int32_t* btype, int64_t* body_bit,
+                       int32_t* c0_pos, int32_t* c0_len, int32_t* c1_pos,
+                       int32_t* c1_len, int32_t* lit_bits, int32_t* dist_bits,
+                       uint32_t* lit_tab, uint32_t* dist_tab);
+
 // Encode a pre-tokenized block sequence (for differential tests against the
 // device pipeline): tokens for one DEFLATE block + the block's input span.
 void DeflateEncodeBlock(const uint8_t* block_data, size_t block_len,

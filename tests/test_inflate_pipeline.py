@@ -1,0 +1,92 @@
+"""Device-parallel DEFLATE decode (VERDICT r1 #2): the encoder's 'TZ'
+block index + header-only host scan + device symbol walk / pointer-doubling
+match resolution must reproduce the plaintext exactly. Runs on CPU via the
+Pallas interpreter; the same kernel runs compiled on TPU."""
+
+import gzip as stdgz
+
+import numpy as np
+import pytest
+
+from tpz import oracle
+from tpz.codecs import deflate, gzip_codec
+from tpz.utils import corpus
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="oracle library not built")
+
+
+CASES = {
+    "text": corpus.text(150_000),
+    "mixed": corpus.mixed(200_000),
+    "random": corpus.random_bytes(140_000),   # stored blocks, 2 chunks
+    "repetitive": corpus.repetitive(100_000),  # long matches, deep chains
+    "skewed": corpus.skewed_bytes(80_000),
+    "small": b"hello hello hello hello",
+    "one": b"x",
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_indexed_decode_roundtrip(name):
+    from tpz.kernels import inflate_pipeline as ip
+
+    data = CASES[name]
+    stream, bits, lens = deflate.compress_indexed(data)
+    assert bits is not None
+    out = ip.decompress_indexed(stream, bits, lens, interpret=True)
+    assert out == data
+
+
+def test_indexed_decode_levels():
+    from tpz.kernels import inflate_pipeline as ip
+
+    data = corpus.mixed(150_000)
+    for level in (1, 6, 9):
+        stream, bits, lens = deflate.compress_indexed(data, level=level)
+        out = ip.decompress_indexed(stream, bits, lens, interpret=True)
+        assert out == data, f"level {level}"
+
+
+def test_gzip_index_interop():
+    """The FEXTRA side-car must not disturb any other decoder."""
+    data = corpus.mixed(200_000)
+    blob = gzip_codec.compress(data)
+    assert stdgz.decompress(blob) == data
+    assert gzip_codec.decompress(blob) == data
+    pos, extra = gzip_codec.parse_header_extra(blob, 0)
+    idx = gzip_codec.parse_tz_extra(extra)
+    assert idx is not None
+    end_bits, out_lens = idx
+    assert int(out_lens.sum()) == len(data)
+
+
+def test_gzip_device_decode_forced():
+    """backend='tpu' forces the device decode path end-to-end (interpreted
+    off-TPU); CRC verification still guards it."""
+    data = corpus.mixed(150_000)
+    blob = gzip_codec.compress(data)
+    assert gzip_codec.decompress(blob, backend="tpu") == data
+
+
+def test_gzip_corrupt_body_detected_on_device_path():
+    data = corpus.text(150_000)
+    blob = bytearray(gzip_codec.compress(data))
+    pos, extra = gzip_codec.parse_header_extra(bytes(blob), 0)
+    blob[pos + 5000] ^= 0xFF  # flip bits mid-body
+    with pytest.raises(Exception):
+        gzip_codec.decompress(bytes(blob), backend="tpu")
+
+
+def test_scan_headers_matches_inflate():
+    """Header scan agrees with the full inflate on block structure."""
+    data = corpus.mixed(200_000)
+    stream, bits, lens = deflate.compress_indexed(data)
+    scan = oracle.inflate_scan_headers(stream, np.asarray(bits))
+    assert scan["btype"].shape[0] == len(bits)
+    assert (scan["btype"] >= 0).all() and (scan["btype"] <= 2).all()
+    # body bits lie inside their blocks
+    starts = np.concatenate([[0], np.asarray(bits)[:-1]])
+    dyn = scan["btype"] != 0
+    assert (scan["body_bit"][dyn] > starts[dyn]).all()
+    assert (scan["body_bit"][dyn] < np.asarray(bits)[dyn]).all()

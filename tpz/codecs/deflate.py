@@ -80,6 +80,26 @@ def compress(data: bytes, level: int = 6, backend: str = "auto",
     return oracle.deflate_encode(data, cfg.params_array())
 
 
+def compress_indexed(data: bytes, level: int = 6, backend: str = "auto",
+                     config: DeflateConfig | None = None):
+    """Encode + block index (end bits / output lengths per 64 KiB block) —
+    the side-car that enables device-parallel decode. Returns
+    (stream, block_bits|None, block_lens|None); the oracle fallback has no
+    index."""
+    cfg = config or DeflateConfig(level=level)
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import deflate_pipeline
+
+            if deflate_pipeline.usable():
+                return deflate_pipeline.compress_indexed(data, cfg)
+            raise RuntimeError("device pipeline not usable")
+        except Exception:
+            if backend == "tpu":
+                raise
+    return oracle.deflate_encode(data, cfg.params_array()), None, None
+
+
 def compress_flush(data: bytes, level: int = 6,
                    config: DeflateConfig | None = None) -> bytes:
     """Encode an Action::Flush segment (no BFINAL anywhere + sync-flush

@@ -25,20 +25,76 @@ def _crc32(data: bytes) -> int:
     return crc32(data, "reflected")
 
 
-def header_bytes(level: int = 6, mtime: int = 0) -> bytes:
+def header_bytes(level: int = 6, mtime: int = 0, extra: bytes = b"") -> bytes:
     xfl = 2 if level >= 7 else (4 if level <= 1 else 0)
-    return GZIP_MAGIC + bytes([GZIP_CM_DEFLATE, 0]) + struct.pack(
+    flg = _FEXTRA if extra else 0
+    hdr = GZIP_MAGIC + bytes([GZIP_CM_DEFLATE, flg]) + struct.pack(
         "<I", mtime) + bytes([xfl, GZIP_OS_UNIX])
+    if extra:
+        hdr += struct.pack("<H", len(extra)) + extra
+    return hdr
+
+
+# 'TZ' FEXTRA subfield: the encoder's DEFLATE-block index (SURVEY.md §7.4
+# encoder-assisted decode side-car). RFC 1952 §2.3.1.1: unknown subfields
+# must be ignored, so gunzip/zlib interop is unaffected; tpz's decoder uses
+# it to decode blocks device-parallel. Layout (all LE):
+#   u8 version=1, u8 reserved, u16 nblocks,
+#   nblocks x (u32 end_bit_of_block, u32 block_out_len)
+_TZ_ID = b"TZ"
+_TZ_MAX_BLOCKS = (65535 - 8) // 8
+
+
+def _tz_extra(block_bits, block_lens) -> bytes:
+    import numpy as np
+
+    nb = len(block_bits)
+    payload = struct.pack("<BBH", 1, 0, nb) + np.stack(
+        [np.asarray(block_bits, np.uint32),
+         np.asarray(block_lens, np.uint32)], axis=1).tobytes()
+    return _TZ_ID + struct.pack("<H", len(payload)) + payload
+
+
+def parse_tz_extra(extra: bytes):
+    """Returns (end_bits, out_lens) numpy arrays or None."""
+    import numpy as np
+
+    off = 0
+    while off + 4 <= len(extra):
+        sid = extra[off:off + 2]
+        (slen,) = struct.unpack_from("<H", extra, off + 2)
+        body = extra[off + 4 : off + 4 + slen]
+        off += 4 + slen
+        if sid != _TZ_ID or len(body) < 4:
+            continue
+        ver, _, nb = struct.unpack_from("<BBH", body, 0)
+        if ver != 1 or len(body) < 4 + 8 * nb:
+            continue
+        arr = np.frombuffer(body, np.uint32, count=2 * nb, offset=4)
+        arr = arr.reshape(nb, 2)
+        return arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64)
+    return None
 
 
 def compress(data: bytes, level: int = 6, backend: str = "auto",
-             mtime: int = 0) -> bytes:
-    body = deflate.compress(data, level=level, backend=backend)
+             mtime: int = 0, index: bool = True) -> bytes:
+    body, block_bits, block_lens = deflate.compress_indexed(
+        data, level=level, backend=backend)
+    extra = b""
+    if (index and block_bits is not None
+            and len(block_bits) <= _TZ_MAX_BLOCKS):
+        extra = _tz_extra(block_bits, block_lens)
     trailer = struct.pack("<II", _crc32(data), len(data) & 0xFFFFFFFF)
-    return header_bytes(level, mtime) + body + trailer
+    return header_bytes(level, mtime, extra) + body + trailer
 
 
 def _parse_header(data: bytes, off: int) -> int:
+    pos, _ = parse_header_extra(data, off)
+    return pos
+
+
+def parse_header_extra(data: bytes, off: int) -> tuple[int, bytes]:
+    """Parse a member header; returns (body offset, FEXTRA bytes)."""
     if len(data) - off < 10:
         raise UnexpectedEof("gzip header truncated")
     if data[off : off + 2] != GZIP_MAGIC:
@@ -46,11 +102,13 @@ def _parse_header(data: bytes, off: int) -> int:
     if data[off + 2] != GZIP_CM_DEFLATE:
         raise DataError(f"unsupported gzip CM {data[off + 2]}")
     flg = data[off + 3]
+    extra = b""
     pos = off + 10
     if flg & _FEXTRA:
         if len(data) - pos < 2:
             raise UnexpectedEof("FEXTRA truncated")
         (xlen,) = struct.unpack_from("<H", data, pos)
+        extra = data[pos + 2 : pos + 2 + xlen]
         pos += 2 + xlen
     if flg & _FNAME:
         end = data.find(b"\x00", pos)
@@ -72,15 +130,50 @@ def _parse_header(data: bytes, off: int) -> int:
         pos += 2
     if pos > len(data):
         raise UnexpectedEof("gzip header overruns input")
-    return pos
+    return pos, extra
 
 
-def decompress_member_prefix(data: bytes, off: int = 0) -> tuple[bytes, int]:
+# Device decode only pays off past this size (relay transfers + compile
+# dominate below it); the host C++ inflate handles the rest.
+_DEVICE_DECODE_MIN = 1 << 20
+
+
+def decompress_member_prefix(data: bytes, off: int = 0,
+                             backend: str = "auto") -> tuple[bytes, int]:
     """Decode one gzip member starting at `off`; returns (plaintext,
     offset just past the member's trailer). Used by the streaming decode
-    facade (member granularity)."""
-    pos = _parse_header(data, off)
-    plain, consumed = deflate.decompress_prefix(data[pos:])
+    facade (member granularity).
+
+    When the member carries the encoder's 'TZ' block index and a device
+    backend is available (backend="tpu" forces it), the DEFLATE body is
+    decoded block-parallel on device (tpz/kernels/inflate_pipeline.py);
+    the CRC32/ISIZE trailer check below guards the device path too."""
+    pos, extra = parse_header_extra(data, off)
+    plain = None
+    consumed = None
+    idx = parse_tz_extra(extra) if extra else None
+    if idx is not None and backend in ("auto", "tpu"):
+        import jax
+
+        end_bits, out_lens = idx
+        want = (backend == "tpu"
+                or (jax.default_backend() == "tpu"
+                    and int(out_lens.sum()) >= _DEVICE_DECODE_MIN))
+        if want:
+            try:
+                from tpz.kernels import inflate_pipeline
+
+                if inflate_pipeline.usable():
+                    nbytes = (int(end_bits[-1]) + 7) // 8
+                    plain = inflate_pipeline.decompress_indexed(
+                        data[pos:pos + nbytes], end_bits, out_lens)
+                    consumed = nbytes
+            except Exception:
+                if backend == "tpu":
+                    raise
+                plain = None
+    if plain is None:
+        plain, consumed = deflate.decompress_prefix(data[pos:])
     tpos = pos + consumed
     if len(data) - tpos < 8:
         raise UnexpectedEof("gzip trailer truncated")
@@ -92,11 +185,11 @@ def decompress_member_prefix(data: bytes, off: int = 0) -> tuple[bytes, int]:
     return plain, tpos + 8
 
 
-def decompress(data: bytes) -> bytes:
+def decompress(data: bytes, backend: str = "auto") -> bytes:
     out = bytearray()
     off = 0
     while off < len(data):
-        plain, off = decompress_member_prefix(data, off)
+        plain, off = decompress_member_prefix(data, off, backend)
         out += plain
     if not out and len(data) == 0:
         raise UnexpectedEof("empty gzip input")

@@ -244,7 +244,17 @@ def compress(data: bytes, cfg=None) -> bytes:
     return compress_many([data], cfg)[0]
 
 
-def compress_many(datas, cfg=None):
+def compress_indexed(data: bytes, cfg=None):
+    """Encode one buffer and return (stream_bytes, block_end_bits,
+    block_out_lens) — the block index that makes device-parallel decode
+    possible (SURVEY.md §7.4 encoder-assisted side-car; stored in a gzip
+    FEXTRA subfield by tpz/codecs/gzip_codec.py, which every conformant
+    gzip decoder skips)."""
+    res = compress_many([data], cfg, want_index=True)
+    return res[0]
+
+
+def compress_many(datas, cfg=None, want_index: bool = False):
     """Batch-encode many independent buffers in ONE stage1/stage2 pair.
 
     Each buffer is its own DEFLATE stream (window reset between buffers);
@@ -267,7 +277,7 @@ def compress_many(datas, cfg=None):
     screen_bytes = getattr(cfg, "screen_bytes", 16)
     max_lazy = getattr(cfg, "max_lazy", 258)
     use_pallas = jax.default_backend() == "tpu"
-    if lazy and not use_pallas and not suffix:
+    if lazy and not use_pallas and not suffix and not want_index:
         # the portable XLA v1 parse is greedy-only; the v1 lazy profile
         # needs the fused Pallas walk — fall back to the oracle off-TPU
         # (spec v3 has a full portable path via find_matches_v3)
@@ -276,7 +286,10 @@ def compress_many(datas, cfg=None):
     idxs = [i for i, d in enumerate(datas) if len(d) > 0]
     for i, d in enumerate(datas):
         if len(d) == 0:
-            results[i] = oracle.deflate_encode(b"")
+            blob = oracle.deflate_encode(b"")
+            results[i] = ((blob, np.array([8 * len(blob)], np.int64),
+                           np.array([0], np.int64))
+                          if want_index else blob)
     if not idxs:
         return results
     if sum(len(datas[i]) for i in idxs) > MAX_SPAN:
@@ -338,7 +351,13 @@ def compress_many(datas, cfg=None):
     for i, nb_i in zip(idxs, nbs):
         end_bit = int(end_pos_np[b0 + nb_i - 1])
         nbytes = (end_bit - start_bit + 7) // 8
-        results[i] = body[start_bit // 8 : start_bit // 8 + nbytes].tobytes()
+        blob = body[start_bit // 8 : start_bit // 8 + nbytes].tobytes()
+        if want_index:
+            ends = (end_pos_np[b0:b0 + nb_i].astype(np.int64) - start_bit)
+            results[i] = (blob, ends,
+                          block_len_np[b0:b0 + nb_i].astype(np.int64))
+        else:
+            results[i] = blob
         start_bit = (end_bit + 31) // 32 * 32
         b0 += nb_i
     return results

@@ -102,6 +102,10 @@ def lib() -> ctypes.CDLL:
         L.tpz_deflate_plan.argtypes = [
             u32p, u32p, i64p, ctypes.c_int32, i32p, i64p, i64p, i64p,
             u8p, u16p, u8p, u16p, u8p, ctypes.c_size_t]
+        L.tpz_inflate_scan_headers.restype = ctypes.c_int
+        L.tpz_inflate_scan_headers.argtypes = [
+            u8p, ctypes.c_size_t, i64p, ctypes.c_int32, i32p, i64p,
+            i32p, i32p, i32p, i32p, i32p, i32p, u32p, u32p]
         L.tpz_deflate_encode_flush.restype = ctypes.c_int
         L.tpz_deflate_encode_flush.argtypes = [
             u8p, ctypes.c_size_t, i32p, u8p, szp]
@@ -252,6 +256,37 @@ def deflate_encode(data, params: np.ndarray | None = None) -> bytes:
         ctypes.byref(n))
     raise_for_status(st, "deflate_encode")
     return out[: n.value].tobytes()
+
+
+def inflate_scan_headers(stream, end_bits: np.ndarray) -> dict:
+    """Header-only decode scan (cpp InflateScanHeaders): per indexed block,
+    block type, body bit offset, stored chunk layout, and flat single-level
+    decode tables [nb, 1<<15] packed (sym << 5 | len)."""
+    a = _u8(stream)
+    eb = np.ascontiguousarray(end_bits, dtype=np.int64)
+    nb = eb.shape[0]
+    btype = np.zeros(nb, np.int32)
+    body_bit = np.zeros(nb, np.int64)
+    c0p = np.zeros(nb, np.int32)
+    c0l = np.zeros(nb, np.int32)
+    c1p = np.zeros(nb, np.int32)
+    c1l = np.zeros(nb, np.int32)
+    lbits = np.zeros(nb, np.int32)
+    dbits = np.zeros(nb, np.int32)
+    ltab = np.zeros((nb, 1 << 15), np.uint32)
+    dtab = np.zeros((nb, 1 << 15), np.uint32)
+    st = lib().tpz_inflate_scan_headers(
+        _u8ptr(a), a.size, _ptr(eb, ctypes.c_int64), nb,
+        _ptr(btype, ctypes.c_int32), _ptr(body_bit, ctypes.c_int64),
+        _ptr(c0p, ctypes.c_int32), _ptr(c0l, ctypes.c_int32),
+        _ptr(c1p, ctypes.c_int32), _ptr(c1l, ctypes.c_int32),
+        _ptr(lbits, ctypes.c_int32), _ptr(dbits, ctypes.c_int32),
+        _ptr(ltab, ctypes.c_uint32), _ptr(dtab, ctypes.c_uint32))
+    raise_for_status(st, "inflate_scan_headers")
+    return {"btype": btype, "body_bit": body_bit, "c0_pos": c0p,
+            "c0_len": c0l, "c1_pos": c1p, "c1_len": c1l,
+            "lit_bits": lbits, "dist_bits": dbits, "lit_tab": ltab,
+            "dist_tab": dtab}
 
 
 def deflate_encode_flush(data, params: np.ndarray | None = None) -> bytes:
