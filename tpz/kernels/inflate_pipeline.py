@@ -79,14 +79,16 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
             return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
 
         def peek(bitpos, n):
+            # Scalar logical bit window (Mosaic has no scalar bitcast, so
+            # stay in int32 with explicit logical shifts).
             w = bitpos >> 5
-            sh = (bitpos & 31).astype(jnp.uint32)
-            w0 = jax.lax.bitcast_convert_type(rd(s_ref, w), jnp.uint32)
-            w1 = jax.lax.bitcast_convert_type(rd(s_ref, w + 1), jnp.uint32)
-            v = jnp.where(sh > 0,
-                          (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)),
-                          w0)
-            return (v & ((jnp.uint32(1) << n) - 1)).astype(jnp.int32)
+            sh = bitpos & 31
+            w0 = rd(s_ref, w)
+            w1 = rd(s_ref, w + 1)
+            lo = jax.lax.shift_right_logical(w0, sh)
+            hi = jnp.where(sh > 0,
+                           jax.lax.shift_left(w1, (32 - sh) & 31), 0)
+            return (lo | hi) & ((jnp.int32(1) << n) - 1)
 
         def cond(c):
             # (bitpos, out_pos, r, orow, ok)
@@ -102,7 +104,7 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
 
             orow = jnp.where(r_new != r, jnp.zeros_like(orow), orow)
 
-            e = rd(lt_ref, (peek(bitpos, jnp.uint32(15)) & lmask))
+            e = rd(lt_ref, (peek(bitpos, jnp.int32(15)) & lmask))
             clen = e & 31
             sym = e >> 5
             bitpos = bitpos + clen
@@ -114,15 +116,15 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
             def match_case(_):
                 eb = le_ref[jnp.clip(sym - 257, 0, 28)]
                 lval = (lb_ref[jnp.clip(sym - 257, 0, 28)]
-                        + peek(bitpos, eb.astype(jnp.uint32)))
+                        + peek(bitpos, eb))
                 bp = bitpos + eb
-                e2 = rd(dt_ref, (peek(bp, jnp.uint32(15)) & dmask))
+                e2 = rd(dt_ref, (peek(bp, jnp.int32(15)) & dmask))
                 dlen = e2 & 31
                 ds = e2 >> 5
                 bp = bp + dlen
                 deb = de_ref[jnp.clip(ds, 0, 29)]
                 dval = (db_ref[jnp.clip(ds, 0, 29)]
-                        + peek(bp, deb.astype(jnp.uint32)))
+                        + peek(bp, deb))
                 bp = bp + deb
                 return (out_pos + lval,
                         (_KIND_MATCH << 28) | (dval << 9) | lval, bp)
