@@ -18,6 +18,8 @@ namespace {
 constexpr int kStatusOk = 0;
 constexpr int kStatusDataError = 1;
 constexpr int kStatusUnexpectedEof = 2;
+constexpr int kStatusUnexpected = 3;
+constexpr int kStatusBufferTooSmall = 4;
 
 constexpr int kGroupSize = 50;
 constexpr int kCodeLenLimit = 17;   // encoder limit (format allows 20)
@@ -472,8 +474,30 @@ uint32_t BwtEncodeRef(const uint8_t* in, size_t n, uint8_t* last_out) {
 
 namespace {
 
-int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
-                    uint32_t* block_crc_out) {
+// bzip2 RLE1 inverse over a decoded (post-iBWT) block.
+int Rle1Inverse(const uint8_t* bwt_out, size_t bn,
+                std::vector<uint8_t>* plain) {
+  size_t i = 0;
+  while (i < bn) {
+    uint8_t b = bwt_out[i];
+    size_t run = 1;
+    while (i + run < bn && run < 4 && bwt_out[i + run] == b) ++run;
+    plain->insert(plain->end(), run, b);
+    i += run;
+    if (run == 4) {
+      if (i >= bn) return kStatusUnexpectedEof;
+      plain->insert(plain->end(), bwt_out[i], b);
+      ++i;
+    }
+  }
+  return kStatusOk;
+}
+
+// First half of a block decode: everything through RLE2^-1 + MTF^-1,
+// producing the BWT last column (the pre-iBWT split point used by the
+// device decode path, tpz/kernels/bzip2_pipeline.py).
+int DecodeBlockToLast(BitReaderMSB* br, std::vector<uint8_t>* last_out,
+                      uint32_t* orig_out, uint32_t* block_crc_out) {
   uint32_t crc = br->Read(32);
   *block_crc_out = crc;
   uint32_t randomized = br->Read(1);
@@ -538,7 +562,8 @@ int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
   }
 
   // Symbol stream -> RLE2^-1 + MTF^-1 -> BWT last column.
-  std::vector<uint8_t> last;
+  std::vector<uint8_t>& last = *last_out;
+  last.clear();
   {
     uint8_t order[256];
     for (int i = 0; i < n_used; ++i) order[i] = seq_to_unseq[i];
@@ -582,7 +607,14 @@ int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
   }
   if (last.empty()) return kStatusDataError;
   if (orig >= last.size()) return kStatusDataError;
+  *orig_out = orig;
+  return kStatusOk;
+}
 
+// Second half: inverse BWT + RLE1^-1 (shared with the device path's host
+// tail, which receives the iBWT output from the TPU instead).
+int IbwtAndRle1(const std::vector<uint8_t>& last, uint32_t orig,
+                std::vector<uint8_t>* plain) {
   // Inverse BWT (counting sort -> next-pointer walk).
   const size_t bn = last.size();
   std::vector<uint32_t> cnt(256, 0);
@@ -608,21 +640,16 @@ int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
     }
   }
 
-  // RLE1 inverse.
-  size_t i = 0;
-  while (i < bn) {
-    uint8_t b = bwt_out[i];
-    size_t run = 1;
-    while (i + run < bn && run < 4 && bwt_out[i + run] == b) ++run;
-    plain->insert(plain->end(), run, b);
-    i += run;
-    if (run == 4) {
-      if (i >= bn) return kStatusUnexpectedEof;
-      plain->insert(plain->end(), bwt_out[i], b);
-      ++i;
-    }
-  }
-  return kStatusOk;
+  return Rle1Inverse(bwt_out.data(), bn, plain);
+}
+
+int DecodeBlockBody(BitReaderMSB* br, std::vector<uint8_t>* plain,
+                    uint32_t* block_crc_out) {
+  std::vector<uint8_t> last;
+  uint32_t orig = 0;
+  int st = DecodeBlockToLast(br, &last, &orig, block_crc_out);
+  if (st != kStatusOk) return st;
+  return IbwtAndRle1(last, orig, plain);
 }
 
 }  // namespace
@@ -700,6 +727,108 @@ int DecodeBlockAt(const uint8_t* in, size_t n, uint64_t body_bit,
 }
 
 }  // namespace
+
+int Bzip2ScanToLast(const uint8_t* in, size_t n, uint8_t* last_blob,
+                    int64_t blob_cap, int64_t* offs, int64_t* lens,
+                    uint32_t* origs, uint32_t* crcs, int32_t* nblocks) {
+  const int32_t cap = *nblocks;
+  *nblocks = 0;
+  if (n < 10 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h' ||
+      in[3] < '1' || in[3] > '9')
+    return kStatusUnexpected;
+  std::vector<uint64_t> magics;
+  FindBlockMagics(in, n, &magics);
+  if (magics.empty() || magics.front() != 32 ||
+      (int32_t)magics.size() > cap)
+    return kStatusUnexpected;  // fall back to the serial decoder
+  struct Job {
+    std::vector<uint8_t> last;
+    uint32_t orig = 0, crc = 0;
+    int status = 0;
+  };
+  std::vector<Job> jobs(magics.size());
+  std::atomic<size_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= jobs.size()) return;
+      uint64_t body_bit = magics[i] + 48;
+      size_t byte0 = (size_t)(body_bit >> 3);
+      int skip = (int)(body_bit & 7);
+      BitReaderMSB br(in + byte0, n - byte0);
+      if (skip) br.Read(skip);
+      jobs[i].status =
+          DecodeBlockToLast(&br, &jobs[i].last, &jobs[i].orig, &jobs[i].crc);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  unsigned nt = std::min<size_t>(hw < 1 ? 1 : hw, jobs.size());
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  int64_t pos = 0;
+  for (size_t i = 0; i < jobs.size(); ++i) {
+    if (jobs[i].status != 0) return kStatusUnexpected;  // fall back
+    if (pos + (int64_t)jobs[i].last.size() > blob_cap)
+      return kStatusBufferTooSmall;
+    std::memcpy(last_blob + pos, jobs[i].last.data(), jobs[i].last.size());
+    offs[i] = pos;
+    lens[i] = (int64_t)jobs[i].last.size();
+    origs[i] = jobs[i].orig;
+    crcs[i] = jobs[i].crc;
+    pos += (int64_t)jobs[i].last.size();
+  }
+  *nblocks = (int32_t)jobs.size();
+  return kStatusOk;
+}
+
+int Bzip2Rle1Inverse(const uint8_t* bwt_blob, const int64_t* offs,
+                     const int64_t* lens, const uint32_t* crcs, int32_t nb,
+                     uint8_t* out, size_t* out_len) {
+  std::vector<std::vector<uint8_t>> plains(nb);
+  std::atomic<int32_t> next(0);
+  std::atomic<int> status(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= nb || status.load() != 0) return;
+      int st = Rle1Inverse(bwt_blob + offs[i], (size_t)lens[i], &plains[i]);
+      if (st == 0) {
+        uint32_t actual = Crc32Msb(plains[i].data(), plains[i].size(),
+                                   0xFFFFFFFF) ^ 0xFFFFFFFF;
+        if (actual != crcs[i]) st = kStatusDataError;
+      }
+      if (st != 0) status.store(st);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  unsigned nt = std::min<int32_t>((int32_t)(hw < 1 ? 1 : hw), nb);
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  if (status.load() != 0) return status.load();
+  size_t total = 0;
+  for (auto& p : plains) total += p.size();
+  if (total > *out_len) {
+    *out_len = total;
+    return kStatusBufferTooSmall;
+  }
+  size_t pos = 0;
+  for (auto& p : plains) {
+    std::memcpy(out + pos, p.data(), p.size());
+    pos += p.size();
+  }
+  *out_len = total;
+  return kStatusOk;
+}
 
 int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
   unsigned hw = std::thread::hardware_concurrency();

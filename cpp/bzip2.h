@@ -24,6 +24,17 @@ void Bzip2Encode(const uint8_t* in, size_t n, int level,
 // Decodes one or more concatenated streams. Returns 0/1/2 status.
 int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out);
 
+// Device-decode split (tpz/kernels/bzip2_pipeline.py): stage 1 decodes
+// every block of one stream to its pre-iBWT last column (status 3 =
+// unsupported shape, caller falls back to Bzip2Decode); stage 3 applies
+// RLE1^-1 + block CRC checks to the device's iBWT output.
+int Bzip2ScanToLast(const uint8_t* in, size_t n, uint8_t* last_blob,
+                    int64_t blob_cap, int64_t* offs, int64_t* lens,
+                    uint32_t* origs, uint32_t* crcs, int32_t* nblocks);
+int Bzip2Rle1Inverse(const uint8_t* bwt_blob, const int64_t* offs,
+                     const int64_t* lens, const uint32_t* crcs, int32_t nb,
+                     uint8_t* out, size_t* out_len);
+
 }  // namespace tpz
 
 namespace tpz {

@@ -263,6 +263,29 @@ extern "C" uint32_t tpz_bwt_ref(const uint8_t* in, size_t n,
   return tpz::BwtEncodeRef(in, n, last_out);
 }
 
+// Device bzip2 decode, stage 1 (host): decode every block of a single
+// bzip2 stream to its pre-iBWT last column. Returns 3 ("Unexpected") for
+// shapes the indexed path doesn't handle (multi-stream, randomized, magic
+// false positives) — the caller falls back to the serial decoder.
+extern "C" int tpz_bzip2_scan_to_last(const uint8_t* in, size_t n,
+                                      uint8_t* last_blob, int64_t blob_cap,
+                                      int64_t* offs, int64_t* lens,
+                                      uint32_t* origs, uint32_t* crcs,
+                                      int32_t* nblocks /* cap in/out */) {
+  return tpz::Bzip2ScanToLast(in, n, last_blob, blob_cap, offs, lens, origs,
+                              crcs, nblocks);
+}
+
+// Device bzip2 decode, stage 3 (host): RLE1^-1 + per-block CRC check over
+// the device-produced iBWT output.
+extern "C" int tpz_bzip2_rle1_inverse(const uint8_t* bwt_blob,
+                                      const int64_t* offs,
+                                      const int64_t* lens,
+                                      const uint32_t* crcs, int32_t nb,
+                                      uint8_t* out, size_t* out_len) {
+  return tpz::Bzip2Rle1Inverse(bwt_blob, offs, lens, crcs, nb, out, out_len);
+}
+
 // ------------------------------------------------------ threaded batch APIs
 // The reference crate is strictly single-threaded; the native runtime here
 // may use host threads (SURVEY.md §2.2: independent streams are the

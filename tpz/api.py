@@ -86,6 +86,10 @@ def compress_many(datas, format: str = "gzip", level: int = 6,
 
         fn = _g.compress_many if format == "gzip" else _d.compress_many
         return fn(list(datas), level=level, backend=backend)
+    if format == "bzip2":
+        from tpz.codecs import bzip2 as _bz
+
+        return _bz.compress_many(list(datas), level=level, backend=backend)
     return [compress(d, format, level=level, backend=backend) for d in datas]
 
 

@@ -26,5 +26,34 @@ def compress(data: bytes, level: int = 9, backend: str = "auto") -> bytes:
     return oracle.bzip2_encode(data, level)
 
 
-def decompress(data: bytes) -> bytes:
+def compress_many(datas, level: int = 9, backend: str = "auto") -> list:
+    """Batched encode: one device BWT invocation covers every buffer."""
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import bzip2_pipeline
+
+            if bzip2_pipeline.usable():
+                return bzip2_pipeline.compress_many(list(datas), level)
+            raise RuntimeError("device pipeline not usable")
+        except Exception:
+            if backend == "tpu":
+                raise
+    return [oracle.bzip2_encode(d, level) for d in datas]
+
+
+def decompress(data: bytes, backend: str = "auto") -> bytes:
+    # Device decode is opt-in: over this environment's relay the host C++
+    # decoder is faster end-to-end; the device path exists for
+    # accelerator-resident pipelines and capability parity.
+    if backend == "tpu":
+        try:
+            from tpz.kernels import bzip2_pipeline
+
+            if bzip2_pipeline.usable():
+                out = bzip2_pipeline.decompress(data)
+                if out is not None:  # unsupported shapes fall through
+                    return out
+        except Exception:
+            if backend == "tpu":
+                raise
     return oracle.bzip2_decode(data)

@@ -133,9 +133,9 @@ def parse_header_extra(data: bytes, off: int) -> tuple[int, bytes]:
     return pos, extra
 
 
-# Device decode only pays off past this size (relay transfers + compile
-# dominate below it); the host C++ inflate handles the rest.
-_DEVICE_DECODE_MIN = 1 << 20
+# The device decode path is opt-in (backend="tpu"): it exists for
+# accelerator-resident pipelines, but over this environment's relay the
+# host C++ inflate (~380 MB/s) is faster end-to-end, so "auto" keeps it.
 
 
 def decompress_member_prefix(data: bytes, off: int = 0,
@@ -152,26 +152,15 @@ def decompress_member_prefix(data: bytes, off: int = 0,
     plain = None
     consumed = None
     idx = parse_tz_extra(extra) if extra else None
-    if idx is not None and backend in ("auto", "tpu"):
-        import jax
+    if idx is not None and backend == "tpu":
+        from tpz.kernels import inflate_pipeline
 
-        end_bits, out_lens = idx
-        want = (backend == "tpu"
-                or (jax.default_backend() == "tpu"
-                    and int(out_lens.sum()) >= _DEVICE_DECODE_MIN))
-        if want:
-            try:
-                from tpz.kernels import inflate_pipeline
-
-                if inflate_pipeline.usable():
-                    nbytes = (int(end_bits[-1]) + 7) // 8
-                    plain = inflate_pipeline.decompress_indexed(
-                        data[pos:pos + nbytes], end_bits, out_lens)
-                    consumed = nbytes
-            except Exception:
-                if backend == "tpu":
-                    raise
-                plain = None
+        if inflate_pipeline.usable():
+            end_bits, out_lens = idx
+            nbytes = (int(end_bits[-1]) + 7) // 8
+            plain = inflate_pipeline.decompress_indexed(
+                data[pos:pos + nbytes], end_bits, out_lens)
+            consumed = nbytes
     if plain is None:
         plain, consumed = deflate.decompress_prefix(data[pos:])
     tpos = pos + consumed

@@ -86,6 +86,13 @@ def lib() -> ctypes.CDLL:
             ctypes.c_int32, u8p, szp]
         L.tpz_bwt_ref.restype = ctypes.c_uint32
         L.tpz_bwt_ref.argtypes = [u8p, ctypes.c_size_t, u8p]
+        L.tpz_bzip2_scan_to_last.restype = ctypes.c_int
+        L.tpz_bzip2_scan_to_last.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_int64, i64p, i64p,
+            u32p, u32p, i32p]
+        L.tpz_bzip2_rle1_inverse.restype = ctypes.c_int
+        L.tpz_bzip2_rle1_inverse.argtypes = [
+            u8p, i64p, i64p, u32p, ctypes.c_int32, u8p, szp]
         L.tpz_lzhuf_plan.restype = ctypes.c_int
         L.tpz_lzhuf_plan.argtypes = [
             u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
@@ -504,6 +511,50 @@ def bwt_ref(data) -> tuple[np.ndarray, int]:
     out = np.zeros(max(1, a.size), dtype=np.uint8)
     orig = lib().tpz_bwt_ref(_u8ptr(a), a.size, _ptr(out, ctypes.c_uint8))
     return out[: a.size], int(orig)
+
+
+def bzip2_scan_to_last(data):
+    """Stage 1 of device decode: per-block pre-iBWT last columns.
+    Returns (blob, offs, lens, origs, crcs) or None when the stream shape
+    isn't supported (caller falls back to bzip2_decode)."""
+    from tpz.errors import STATUS_UNEXPECTED
+
+    a = _u8(data)
+    cap_blocks = max(4, a.size // 100 + 8)
+    blob_cap = 16 * a.size + (1 << 16)  # worst-case bzip2 expansion
+    blob = np.zeros(blob_cap, np.uint8)
+    offs = np.zeros(cap_blocks, np.int64)
+    lens = np.zeros(cap_blocks, np.int64)
+    origs = np.zeros(cap_blocks, np.uint32)
+    crcs = np.zeros(cap_blocks, np.uint32)
+    nb = ctypes.c_int32(cap_blocks)
+    st = lib().tpz_bzip2_scan_to_last(
+        _u8ptr(a), a.size, _ptr(blob, ctypes.c_uint8), blob_cap,
+        _ptr(offs, ctypes.c_int64), _ptr(lens, ctypes.c_int64),
+        _ptr(origs, ctypes.c_uint32), _ptr(crcs, ctypes.c_uint32),
+        ctypes.byref(nb))
+    if st == STATUS_UNEXPECTED:
+        return None
+    raise_for_status(st, "bzip2_scan_to_last")
+    n = nb.value
+    return blob, offs[:n], lens[:n], origs[:n], crcs[:n]
+
+
+def bzip2_rle1_inverse(bwt_blob: np.ndarray, offs, lens, crcs) -> bytes:
+    nb = len(offs)
+    a = np.ascontiguousarray(bwt_blob, np.uint8)
+    o = np.ascontiguousarray(offs, np.int64)
+    l = np.ascontiguousarray(lens, np.int64)
+    c = np.ascontiguousarray(crcs, np.uint32)
+    cap = int(255 * np.sum(lens) // 4 + 4096)
+    out = np.zeros(cap, np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_bzip2_rle1_inverse(
+        _u8ptr(a), _ptr(o, ctypes.c_int64), _ptr(l, ctypes.c_int64),
+        _ptr(c, ctypes.c_uint32), nb, _ptr(out, ctypes.c_uint8),
+        ctypes.byref(n))
+    raise_for_status(st, "bzip2_rle1_inverse")
+    return out[: n.value].tobytes()
 
 
 def lzhuf_encode(data, dict_bits: int = 13, max_chain: int = 16) -> bytes:
