@@ -1,17 +1,23 @@
 #!/usr/bin/env python
 """Headline benchmark — prints ONE JSON line for the driver.
 
-Metric: DEFLATE device-pipeline encode throughput (GB/s per chip) on a
-Silesia-like synthetic mix (the real Silesia corpus is unavailable offline;
-see tpz/utils/corpus.py). vs_baseline is against the BASELINE.json
-north-star target of 1 GB/s/chip (the reference crate publishes no numbers
-of its own — BASELINE.md).
+Headline metric: DEFLATE device-pipeline encode throughput (GB/s per chip)
+on a Silesia-like synthetic mix (the real Silesia corpus is unavailable
+offline; see tpz/utils/corpus.py). vs_baseline is against the
+BASELINE.json north-star target of 1 GB/s/chip (the reference crate
+publishes no numbers of its own — BASELINE.md).
+
+detail.extra_metrics carries the rest of the codec matrix (VERDICT r1
+#10): DEFLATE decode, bzip2 device encode/decode, LZHUF device encode —
+so every codec's perf is tracked per round, not just the headline.
 
 Timing includes host planning and all device<->host transfers (honest
 end-to-end wall time); each iteration uses different input bytes so no
-caching layer can elide work.
+caching layer can elide work. Set TPZ_TRACE=1 to capture a jax.profiler
+trace of the headline loop (tpz/utils/profiling.py) into TPZ_TRACE_DIR.
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -19,10 +25,76 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("TPZ_BENCH_CPU"):
+    # Smoke-test mode: the axon sitecustomize overrides JAX_PLATFORMS, and
+    # backend init can hang while another process holds the single-tenant
+    # chip — force the CPU backend the way tests/conftest.py does.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _mbs(nbytes: float, secs: float) -> float:
+    return round(nbytes / secs / 1e6, 2)
+
+
+def extra_metrics(size: int):
+    """Per-codec encode/decode rates (1 timed iteration each, sized to
+    keep total bench wall time in bounds). Failures are recorded, never
+    fatal — the headline line must always print."""
+    from tpz.utils import corpus
+
+    out = {}
+
+    def run(name, nbytes, fn):
+        try:
+            t0 = time.time()
+            fn()
+            out[name] = {"MB_s": _mbs(nbytes, time.time() - t0)}
+        except Exception as e:  # noqa: BLE001 — report, don't crash bench
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    mix16 = corpus.mixed(size, seed=41)
+
+    # DEFLATE — C++ native runtime rows (the production decode path).
+    from tpz.codecs import deflate as ddf
+
+    blob = ddf.compress(mix16, backend="oracle")
+    run("deflate_decode_host", size, lambda: ddf.decompress(blob))
+    run("deflate_encode_host", size,
+        lambda: ddf.compress(corpus.mixed(size, seed=42),
+                             backend="oracle"))
+
+    # BZip2 — device encode (batched BWT) and device decode (iBWT).
+    bsize = min(size, 4 << 20)
+    bdata = corpus.mixed(bsize, seed=43)
+    from tpz.codecs import bzip2 as bz
+
+    bz_blob = {}
+    run("bzip2_encode_device", bsize,
+        lambda: bz_blob.setdefault("c", bz.compress(bdata, backend="tpu")))
+    if "c" in bz_blob:
+        run("bzip2_decode_device", bsize,
+            lambda: bz.decompress(bz_blob["c"], backend="tpu"))
+    else:
+        bz_blob["c"] = bz.compress(bdata, backend="oracle")
+    run("bzip2_decode_host", bsize,
+        lambda: bz.decompress(bz_blob["c"], backend="oracle"))
+
+    # LZHUF lh5 — device encode.
+    lsize = min(size, 4 << 20)
+    ldata = corpus.mixed(lsize, seed=44)
+    from tpz.codecs import lzhuf as lh
+
+    run("lzhuf_encode_device", lsize,
+        lambda: lh.compress(ldata, method="lh5", backend="tpu"))
+    return out
+
 
 def main():
     size = int(os.environ.get("TPZ_BENCH_BYTES", 16 << 20))
     iters = int(os.environ.get("TPZ_BENCH_ITERS", 3))
+    skip_extra = os.environ.get("TPZ_BENCH_HEADLINE_ONLY")
     from tpz.kernels import deflate_pipeline
     from tpz.utils import corpus
 
@@ -44,27 +116,36 @@ def main():
     out = encode(warm)
     ratio = len(out) / len(warm)
 
+    trace_ctx = contextlib.nullcontext()
+    if os.environ.get("TPZ_TRACE"):
+        from tpz.utils import profiling
+
+        trace_ctx = profiling.trace()
     times = []
-    for i in range(iters):
-        data = corpus.mixed(size, seed=1000 + i)
-        t0 = time.time()
-        encode(data)
-        times.append(time.time() - t0)
+    with trace_ctx:
+        for i in range(iters):
+            data = corpus.mixed(size, seed=1000 + i)
+            t0 = time.time()
+            encode(data)
+            times.append(time.time() - t0)
     times.sort()
     median = times[len(times) // 2]
     gbps = size / median / 1e9
+    detail = {
+        "bytes": size,
+        "backend": backend,
+        "median_s": round(median, 4),
+        "all_s": [round(t, 4) for t in times],
+        "compression_ratio": round(ratio, 4),
+    }
+    if not skip_extra:
+        detail["extra_metrics"] = extra_metrics(size)
     print(json.dumps({
         "metric": "deflate_encode_silesia_like",
         "value": round(gbps, 4),
         "unit": "GB/s/chip",
         "vs_baseline": round(gbps / 1.0, 4),
-        "detail": {
-            "bytes": size,
-            "backend": backend,
-            "median_s": round(median, 4),
-            "all_s": [round(t, 4) for t in times],
-            "compression_ratio": round(ratio, 4),
-        },
+        "detail": detail,
     }))
 
 
