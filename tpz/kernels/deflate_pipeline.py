@@ -90,12 +90,12 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
         from tpz.kernels.matchfinder import suffix_screen_w
         from tpz.kernels.parse import parse_extend_pallas_v3
 
-        j1, s1, j2, s2, _ = suffix_screen_w(
+        pk1, pk2, _ = suffix_screen_w(
             words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         sl = slice(WINDOW, WINDOW + BLOCK)
         reach, mlen, mdist = parse_extend_pallas_v3(
-            s1[:, sl], j1[:, sl], s2[:, sl], j2[:, sl], words_i32,
+            pk1[:, sl], pk2[:, sl], words_i32,
             block_len[:, None], WINDOW, 258, screen_bytes,
             lazy=lazy, max_lazy=max_lazy)
         pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)

@@ -141,9 +141,14 @@ def suffix_screen_w(words: jax.Array, span_off: jax.Array,
     then scan r_neighbors sorted neighbors in each direction with vector
     rolls, keeping the top-2 candidates by (clamped screen, recency).
 
-    Returns (j1, s1, j2, s2, cap_at): all [NB, M] in position order; j is
-    the candidate M-index or -1, s its LCP clamped to min(screen_bytes,
-    cap); cap_at = per-position match cap.
+    Returns (pk1, pk2, cap_at): all [NB, M] in position order. pk packs a
+    candidate as ((j + 1) << 6) | (s + 1) — j the candidate M-index (-1
+    none), s its LCP clamped to min(screen_bytes, cap) — exactly the
+    layout parse_extend_pallas_v3 consumes; no-candidate packs to 0.
+    Position order is restored by ONE inverse-permutation sort keyed on
+    the sorted positions (they are a permutation of 0..M-1) instead of
+    four XLA scatters: scatter costs per update (~0.14 G/s on this chip,
+    BASELINE.md) while the sort runs ~25x faster at this geometry.
     """
     NB, M = words.shape
     nw = screen_bytes // 4
@@ -208,13 +213,13 @@ def suffix_screen_w(words: jax.Array, span_off: jax.Array,
     j1, s1, j2, s2 = scan_dir(1, j1, s1, j2, s2)
     j1, s1, j2, s2 = scan_dir(-1, j1, s1, j2, s2)
 
-    # Scatter winners back to position order.
-    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 0)
-    out = []
-    for a in (j1, s1, j2, s2):
-        o = jnp.full((NB, M), -1, jnp.int32)
-        out.append(o.at[nbidx, spos].set(a, mode="drop"))
-    return (*out, cap_at)
+    # Back to position order: spos is a permutation of 0..M-1 (idx was a
+    # sort key), so sorting the packed payloads by spos IS the inverse
+    # permutation — no scatters.
+    pk1 = jnp.where(j1 >= 0, ((j1 + 1) << 6) | (s1 + 1), 0)
+    pk2 = jnp.where(j2 >= 0, ((j2 + 1) << 6) | (s2 + 1), 0)
+    _, opk1, opk2 = jax.lax.sort((spos, pk1, pk2), dimension=1, num_keys=1)
+    return opk1, opk2, cap_at
 
 
 def find_matches_v3(words: jax.Array, span_off: jax.Array,
@@ -227,16 +232,16 @@ def find_matches_v3(words: jax.Array, span_off: jax.Array,
     Token-identical to cpp/lzss.cc suffix_mode (greedy walk applied on the
     returned lengths). words: [NB, M] u32 LE 4-byte windows."""
     NB, M = words.shape
-    j1, s1, j2, s2, cap_at = suffix_screen_w(
+    pk1, pk2, cap_at = suffix_screen_w(
         words, span_off, span_len, r_neighbors, window, block, max_match,
         screen_bytes)
     data = (words & jnp.uint32(0xFF)).astype(jnp.int32)
     p = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1) + window
     nbi = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 0)
-    j1b = j1[:, window:window + block]
-    s1b = s1[:, window:window + block]
-    j2b = j2[:, window:window + block]
-    s2b = s2[:, window:window + block]
+    j1b = (pk1[:, window:window + block] >> 6) - 1
+    s1b = (pk1[:, window:window + block] & 63) - 1
+    j2b = (pk2[:, window:window + block] >> 6) - 1
+    s2b = (pk2[:, window:window + block] & 63) - 1
     cap = cap_at[:, window:window + block]
     screen_cap = jnp.minimum(cap, screen_bytes)
 

@@ -208,8 +208,8 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
     return out, jnp.maximum(out - 1, 0)
 
 
-def parse_extend_pallas_v3(s1: jax.Array, j1: jax.Array, s2: jax.Array,
-                           j2: jax.Array, words: jax.Array,
+def parse_extend_pallas_v3(pk1: jax.Array, pk2: jax.Array,
+                           words: jax.Array,
                            block_len: jax.Array, window: int,
                            max_match: int = 258, screen_bytes: int = 16,
                            too_far: int = 4096, lazy: bool = False,
@@ -218,7 +218,7 @@ def parse_extend_pallas_v3(s1: jax.Array, j1: jax.Array, s2: jax.Array,
     the lazy loop): per token, the top-2 saturated suffix-space candidates
     are fully extended in VMEM and the strictly longer wins.
 
-    s1/j1/s2/j2: [NB, N] clamped screens and candidate M-indices (-1 none)
+    pk1/pk2: [NB, N] packed candidates ((j + 1) << 6) | (s + 1) straight
     from matchfinder.suffix_screen_w, block region only; words: [NB, M]
     int32 (bitcast u32 LE 4-byte windows); block_len [NB, 1].
     Returns (reach, mlen, mdist): reach > 0 marks token positions; the
@@ -228,12 +228,10 @@ def parse_extend_pallas_v3(s1: jax.Array, j1: jax.Array, s2: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    NB, N = s1.shape
+    NB, N = pk1.shape
     M = words.shape[1]
     assert N % 128 == 0 and M % 128 == 0
     r_n, r_m = N // 128, M // 128
-    pk1 = ((j1 + 1) << 6) | jnp.clip(s1 + 1, 0, 63)
-    pk2 = ((j2 + 1) << 6) | jnp.clip(s2 + 1, 0, 63)
     p1 = pk1.reshape(NB, r_n, 128)
     p2 = pk2.reshape(NB, r_n, 128)
     w3 = words.reshape(NB, r_m, 128)
