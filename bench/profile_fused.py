@@ -48,13 +48,13 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
         words = dp._make_words(span)
         if stage == 0:
             return _csum(words)
-        j1, s1, j2, s2, _ = suffix_screen_w(
+        pk1, pk2, _ = suffix_screen_w(
             words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes)
         if stage == 1:
-            return _csum(j1, s1, j2, s2)
+            return _csum(pk1, pk2)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         reach, mlen, mdist = parse_extend_pallas_v3(
-            s1[:, sl], j1[:, sl], s2[:, sl], j2[:, sl], words_i32,
+            pk1[:, sl], pk2[:, sl], words_i32,
             block_len[:, None], WINDOW, 258, screen_bytes,
             lazy=lazy, max_lazy=max_lazy)
         if stage == 2:

@@ -54,6 +54,7 @@ LzssParams ParamsFromArray(const int32_t* p) {
   lp.n_extend = p[10];
   lp.screen_bytes = p[11];
   lp.suffix_mode = p[12];
+  lp.restart = p[13];
   return lp;
 }
 }  // namespace

@@ -195,13 +195,24 @@ void TokenizeBlockSuffixMode(const uint8_t* in, size_t n, const LzssParams& p,
   size_t halo_start =
       block_start > (size_t)p.window ? block_start - (size_t)p.window : 0;
   BuildSuffixSpace(in, n, p, halo_start, block_end, space);
+  // Restart rule: cap every match so it ends at or before the next
+  // restart-aligned sub-boundary (relative to block_start) — the parse
+  // chain then provably visits every boundary, so sub-walks are
+  // independent (mirrored by parse_extend_pallas_v3w on device).
+  const size_t ri = p.restart > 0 ? (size_t)p.restart : 0;
+  auto cap_end_at = [&](size_t q) {
+    if (!ri) return block_end;
+    size_t sub_end = block_start + ((q - block_start) / ri + 1) * ri;
+    return sub_end < block_end ? sub_end : block_end;
+  };
   size_t i = block_start;
   while (i < block_end) {
     uint32_t dist = 0;
-    size_t len = BestMatchSuffix(in, n, p, *space, i, block_end, &dist);
+    size_t len = BestMatchSuffix(in, n, p, *space, i, cap_end_at(i), &dist);
     if (p.lazy && len > 0 && (int)len < p.max_lazy && i + 1 < block_end) {
       uint32_t dist2 = 0;
-      size_t len2 = BestMatchSuffix(in, n, p, *space, i + 1, block_end, &dist2);
+      size_t len2 =
+          BestMatchSuffix(in, n, p, *space, i + 1, cap_end_at(i + 1), &dist2);
       if (len2 > len) {
         out->push_back(Token{(uint32_t)i, 0, in[i], 0});
         ++i;

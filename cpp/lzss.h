@@ -57,6 +57,14 @@ struct LzssParams {
   //     predecessors. Winner/runner-up are the top-2 by (screen, recency);
   //     both are fully extended when their screens saturate.
   int suffix_mode = 0;
+  // Parse restart interval (suffix_mode only; 0 = off): match lengths are
+  // additionally capped so no token crosses a `restart`-aligned boundary
+  // within the parse block. Restarting the greedy chain every `restart`
+  // bytes makes the block's parse a set of independent sub-walks — the
+  // device kernel (tpz/kernels/parse.py parse_extend_pallas_v3w) walks
+  // them as interleaved chains to hide VMEM access latency. Must be a
+  // power of two dividing block_size.
+  int restart = 0;
 };
 
 // One token: literal (len == 0, lit = byte) or match (len >= min, dist >= 1).

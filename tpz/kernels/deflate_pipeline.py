@@ -79,7 +79,8 @@ def _make_words(span_u8: jax.Array):
 def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
                  block_len: jax.Array, k: int, use_pallas: bool = False,
                  lazy: bool = False, suffix: bool = False,
-                 screen_bytes: int = 16, max_lazy: int = 258):
+                 screen_bytes: int = 16, max_lazy: int = 258,
+                 restart: int = 0):
     """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF).
 
     suffix=True runs parse spec v3 (suffix-space candidates, top-2
@@ -88,16 +89,17 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     NB = words.shape[0]
     if suffix and use_pallas:
         from tpz.kernels.matchfinder import suffix_screen_w
-        from tpz.kernels.parse import parse_extend_pallas_v3
+        from tpz.kernels.parse import parse_extend_pallas_v3w
 
         pk1, pk2, _ = suffix_screen_w(
-            words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes)
+            words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes,
+            restart)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         sl = slice(WINDOW, WINDOW + BLOCK)
-        reach, mlen, mdist = parse_extend_pallas_v3(
+        reach, mlen, mdist = parse_extend_pallas_v3w(
             pk1[:, sl], pk2[:, sl], words_i32,
             block_len[:, None], WINDOW, 258, screen_bytes,
-            lazy=lazy, max_lazy=max_lazy)
+            lazy=lazy, max_lazy=max_lazy, restart=restart)
         pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
         is_token = (reach > 0) & (pos < block_len[:, None])
         cum = jnp.cumsum(is_token.astype(jnp.int32), axis=1)
@@ -107,7 +109,7 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
 
         mlen, mdist = find_matches_v3(
             words, span_off, span_len, k, screen_bytes=screen_bytes,
-            lazy=lazy, max_lazy=max_lazy)
+            lazy=lazy, max_lazy=max_lazy, restart=restart)
         is_token, token_idx, ntokens = greedy_parse(mlen, mdist, block_len,
                                                     use_pallas=False)
     elif use_pallas:
@@ -151,7 +153,8 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
 
 _stage1 = functools.partial(
     jax.jit, static_argnames=("k", "use_pallas", "lazy", "suffix",
-                              "screen_bytes", "max_lazy"))(_stage1_core)
+                              "screen_bytes", "max_lazy",
+                              "restart"))(_stage1_core)
 
 
 @functools.partial(jax.jit, static_argnames=("total_words",))
@@ -170,7 +173,7 @@ def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
 def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
                      out_buf, tables, k: int, use_pallas: bool, lazy: bool,
                      suffix: bool = False, screen_bytes: int = 16,
-                     max_lazy: int = 258):
+                     max_lazy: int = 258, restart: int = 0):
     """The whole encode as ONE program (VERDICT r1 #1/#7): stage1 ->
     on-device planning (tpz/kernels/deflate_plan_device.py) -> stage2,
     with header bits emitted by the same scatter. No host round-trip, no
@@ -186,7 +189,7 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
     words = _make_words(span)
     mlen, mdist, is_token, lit_hist, dist_hist, _ = _stage1_core(
         words, span_off, span_len, block_len, k, use_pallas, lazy,
-        suffix, screen_bytes, max_lazy)
+        suffix, screen_bytes, max_lazy, restart)
     lit_hist = lit_hist.at[:, 256].set(0)
     # block_len == 0 marks padding blocks (sharded layouts; the batch path
     # never produces them — empty buffers are filtered host-side).
@@ -207,14 +210,14 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
 
 _fused_jit = jax.jit(_fused_encode_fn,
                      static_argnames=("k", "use_pallas", "lazy", "suffix",
-                                      "screen_bytes", "max_lazy"))
+                                      "screen_bytes", "max_lazy", "restart"))
 _plan_tables_dev = None
 
 
 def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
                   out_buf, k: int, use_pallas: bool, lazy: bool,
                   suffix: bool = False, screen_bytes: int = 16,
-                  max_lazy: int = 258):
+                  max_lazy: int = 258, restart: int = 0):
     """Dispatch wrapper: passes the planner's lookup tables as REAL
     arguments. jax 0.9.0 drops hoisted trace constants when a jitted
     function accumulates multiple input signatures ("Computation compiled
@@ -229,7 +232,8 @@ def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
     return _fused_jit(span, span_off, span_len, block_len, buf_start,
                       bfinal, out_buf, _plan_tables_dev, k=k,
                       use_pallas=use_pallas, lazy=lazy, suffix=suffix,
-                      screen_bytes=screen_bytes, max_lazy=max_lazy)
+                      screen_bytes=screen_bytes, max_lazy=max_lazy,
+                      restart=restart)
 
 
 def oracle_lazy_encode(data: bytes, k: int) -> bytes:
@@ -276,6 +280,7 @@ def compress_many(datas, cfg=None, want_index: bool = False):
     suffix = getattr(cfg, "suffix_mode", False)
     screen_bytes = getattr(cfg, "screen_bytes", 16)
     max_lazy = getattr(cfg, "max_lazy", 258)
+    restart = getattr(cfg, "restart", 0)
     use_pallas = jax.default_backend() == "tpu"
     if lazy and not use_pallas and not suffix and not want_index:
         # the portable XLA v1 parse is greedy-only; the v1 lazy profile
@@ -336,7 +341,7 @@ def compress_many(datas, cfg=None, want_index: bool = False):
         jnp.asarray(span_len_np), jnp.asarray(block_len_np),
         jnp.asarray(buf_start_np), jnp.asarray(bfinal_np),
         jnp.zeros((cap_words + 2,), jnp.uint32),
-        k, use_pallas, lazy, suffix, screen_bytes, max_lazy)
+        k, use_pallas, lazy, suffix, screen_bytes, max_lazy, restart)
     # Two-phase fetch: the tiny end_pos first, then only the live prefix
     # of the padded output (d2h over the relay runs ~22 MB/s — fetching
     # the 9-bits/byte worst case would triple the transfer). The prefix

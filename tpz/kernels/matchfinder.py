@@ -132,7 +132,8 @@ def _eq_bytes_be(x: jax.Array) -> jax.Array:
 
 def suffix_screen_w(words: jax.Array, span_off: jax.Array,
                     span_len: jax.Array, r_neighbors: int, window: int,
-                    block: int, max_match: int, screen_bytes: int):
+                    block: int, max_match: int, screen_bytes: int,
+                    restart: int = 0):
     """Spec-v3 sorted-space screening (cpp/lzss.cc BuildSuffixSpace +
     BestMatchSuffix candidate scan): sort every insertable in-halo position
     by its screen_bytes-byte big-endian prefix (ties by position; invalid
@@ -161,6 +162,12 @@ def suffix_screen_w(words: jax.Array, span_off: jax.Array,
         jnp.full_like(idx, block + window),
         window + (slc - span_off[:, None]))
     cap_at = jnp.clip(block_end_rel - idx, 0, max_match)
+    if restart:
+        # Parse-restart rule (cpp/lzss.h LzssParams.restart): no match may
+        # cross a restart-aligned sub-boundary within the block.
+        assert restart & (restart - 1) == 0 and block % restart == 0
+        cap_at = jnp.minimum(
+            cap_at, jnp.int32(restart) - ((idx - window) & (restart - 1)))
     cap_at = jnp.where(idx >= window, cap_at, 0)
 
     wbe = _bswap32(words)
@@ -226,7 +233,8 @@ def find_matches_v3(words: jax.Array, span_off: jax.Array,
                     span_len: jax.Array, r_neighbors: int = 8,
                     window: int = WINDOW, block: int = BLOCK,
                     max_match: int = MAX_MATCH, screen_bytes: int = 16,
-                    lazy: bool = False, max_lazy: int = 258):
+                    lazy: bool = False, max_lazy: int = 258,
+                    restart: int = 0):
     """Portable XLA spec-v3 matcher: suffix screening + exact rank-array
     extension of the top-2 saturated candidates + local lazy demotion.
     Token-identical to cpp/lzss.cc suffix_mode (greedy walk applied on the
@@ -234,7 +242,7 @@ def find_matches_v3(words: jax.Array, span_off: jax.Array,
     NB, M = words.shape
     pk1, pk2, cap_at = suffix_screen_w(
         words, span_off, span_len, r_neighbors, window, block, max_match,
-        screen_bytes)
+        screen_bytes, restart)
     data = (words & jnp.uint32(0xFF)).astype(jnp.int32)
     p = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1) + window
     nbi = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 0)

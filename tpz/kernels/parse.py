@@ -358,6 +358,222 @@ def parse_extend_pallas_v3(pk1: jax.Array, pk2: jax.Array,
     return visited, mlen, mdist
 
 
+def parse_extend_pallas_v3w(pk1: jax.Array, pk2: jax.Array,
+                            words: jax.Array, block_len: jax.Array,
+                            window: int, max_match: int = 258,
+                            screen_bytes: int = 16, too_far: int = 4096,
+                            lazy: bool = False, max_lazy: int = 258,
+                            restart: int = 0, nblk: int = 4,
+                            interpret: bool = False):
+    """Interleaved spec-v3 walk: W = nblk * (N / restart) independent
+    sub-walk chains advance one micro-step per loop iteration inside ONE
+    kernel body, so their dynamic-row VMEM accesses pipeline instead of
+    serializing (bench/probe_interleave.py: 150 ns/read for one dependent
+    chain vs ~28 ns/read at 8-way interleave on this chip).
+
+    The chains exist because of the parse-restart rule (cpp/lzss.h
+    LzssParams.restart): match lengths are capped at restart-aligned
+    sub-boundaries, so the greedy chain provably visits every boundary and
+    each sub-range's parse is independent. restart == 0 (or == N) degrades
+    to one chain per block (byte-identical to parse_extend_pallas_v3).
+
+    Each chain is a 6-state machine doing at most one (row, lane) read
+    pair per iteration: TOK (read packed screen candidates at q = p + tgt)
+    or EXT (one 4-byte extension compare); candidate-2 extension and the
+    lazy probe (tgt=1) re-enter the same states. pk1/pk2/words are
+    concatenated row-wise into one VMEM ref so the two reads use
+    state-predicated (row, lane) addresses. Output marks are accumulated
+    in a per-chain row register and stored unconditionally each iteration
+    (rows are chain-owned, so the walk never needs a read-modify-write).
+
+    Args are as parse_extend_pallas_v3 plus restart/nblk; returns
+    (reach, mlen, mdist) with junk zeros past block_len (the sequential
+    walk emits junk marks there instead; both are masked downstream).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB, N = pk1.shape
+    M = words.shape[1]
+    assert N % 128 == 0 and M % 128 == 0
+    r_n, r_m = N // 128, M // 128
+    if not restart or restart >= N:
+        restart = N
+    assert restart % 128 == 0 and N % restart == 0
+    nsub = N // restart
+    W = nblk * nsub
+
+    NBp = -(-NB // nblk) * nblk
+    if NBp != NB:
+        pad = NBp - NB
+        pk1 = jnp.concatenate(
+            [pk1, jnp.zeros((pad, N), pk1.dtype)], axis=0)
+        pk2 = jnp.concatenate(
+            [pk2, jnp.zeros((pad, N), pk2.dtype)], axis=0)
+        words = jnp.concatenate(
+            [words, jnp.zeros((pad, M), words.dtype)], axis=0)
+        block_len = jnp.concatenate(
+            [block_len, jnp.zeros((pad, 1), block_len.dtype)], axis=0)
+    comb = jnp.concatenate(
+        [pk1.reshape(NBp, r_n, 128), pk2.reshape(NBp, r_n, 128),
+         words.reshape(NBp, r_m, 128)], axis=1)
+    R = 2 * r_n + r_m
+    WOFF = 2 * r_n
+    SENT = 1 << 20
+    SMASK = (1 << 20) - 1
+
+    def kernel(blen_ref, comb_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        g = pl.program_id(0)
+        zero = jnp.int32(0)
+
+        blens = [blen_ref[g * nblk + c // nsub, 0] for c in range(W)]
+        pends = [jnp.minimum(jnp.int32((c % nsub + 1) * restart), blens[c])
+                 for c in range(W)]
+
+        def lzbytes(x):
+            b0 = (x & 0xFF) == 0
+            b1 = (x & 0xFFFF) == 0
+            b2 = (x & 0xFFFFFF) == 0
+            return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
+                    + b2.astype(jnp.int32))
+
+        def step_chain(c, s):
+            blk = c // nsub
+            blen = blens[c]
+            pend = pends[c]
+            (p, st, tgt, cand, k, j, cap, scap, nz, res1, jres1, s2v, j2v,
+             ln0, dist0, ro, orow) = s
+            act = p < pend
+            is_ext = act & (st == 1)
+            is_tok = act & (st == 0)
+
+            q = p + tgt
+            qc = jnp.minimum(q, jnp.int32(N - 1))
+            ea = jnp.minimum(q + jnp.int32(window) + k, jnp.int32(M - 1))
+            eb = jnp.clip(j + k, 0, jnp.int32(M - 1))
+            rowA = jnp.where(is_ext, WOFF + (ea >> 7), qc >> 7)
+            lanA = jnp.where(is_ext, ea & 127, qc & 127)
+            rowB = jnp.where(is_ext, WOFF + (eb >> 7), r_n + (qc >> 7))
+            lanB = jnp.where(is_ext, eb & 127, qc & 127)
+            ra = comb_ref[blk, pl.ds(rowA, 1), :]
+            a = jnp.sum(jnp.where(lane == lanA, ra, 0))
+            rb = comb_ref[blk, pl.ds(rowB, 1), :]
+            b = jnp.sum(jnp.where(lane == lanB, rb, 0))
+
+            # ---- TOK: unpack screen candidates at q ----
+            ss1 = (a & 63) - 1
+            jj1 = (a >> 6) - 1
+            ss2 = (b & 63) - 1
+            jj2 = (b >> 6) - 1
+            cap_t = jnp.minimum(jnp.int32(max_match), blen - q)
+            if nsub > 1:
+                cap_t = jnp.minimum(
+                    cap_t, jnp.int32(restart) - (q & jnp.int32(restart - 1)))
+            scap_t = jnp.minimum(jnp.int32(screen_bytes), cap_t)
+            no1 = (jj1 < 0) | (ss1 < 3)
+            go_ext = is_tok & (ss1 >= scap_t) & (jj1 >= 0)
+            fin_tok = is_tok & ~((ss1 >= scap_t) & (jj1 >= 0))
+
+            # ---- EXT: one 4-byte compare step ----
+            x = a ^ b
+            adv = jnp.where(x == 0, 4, lzbytes(x))
+            k2 = jnp.minimum(k + adv, cap)
+            kn = jnp.where(x == 0, k2, k2 + SENT)
+            edone = is_ext & (kn >= cap)
+            lnc = jnp.minimum(kn & SMASK, cap)
+            need2 = (j2v >= 0) & (s2v >= scap) & (lnc < cap)
+            b_to2 = edone & (cand == 1) & need2
+            b_fin1 = edone & (cand == 1) & ~need2
+            b_fin2 = edone & (cand == 2)
+            use2 = lnc > res1
+
+            # ---- FIN: apply min-match / too-far rules, lazy, emit ----
+            fin_now = fin_tok | b_fin1 | b_fin2
+            lnf = jnp.where(fin_tok, ss1,
+                            jnp.where(b_fin2, jnp.maximum(lnc, res1), lnc))
+            jf = jnp.where(fin_tok, jj1,
+                           jnp.where(b_fin2 & ~use2, jres1, j))
+            nzv = jnp.where(fin_tok, no1, nz != 0)
+            lnf = jnp.where(nzv, 0, lnf)
+            distf = q + jnp.int32(window) - jf
+            lnf = jnp.where((lnf == 3) & (distf > too_far), 0, lnf)
+            distf = jnp.where(lnf > 0, distf, 0)
+
+            if lazy:
+                golazy = (fin_now & (tgt == 0) & (lnf > 0)
+                          & (lnf < jnp.int32(max_lazy)) & (p + 1 < blen))
+            else:
+                golazy = fin_now & False
+            do_emit = fin_now & ~golazy
+            demote = lnf > ln0
+            lnE = jnp.where(tgt == 0, lnf, jnp.where(demote, zero, ln0))
+            dE = jnp.where(tgt == 0, distf, jnp.where(demote, zero, dist0))
+            mark = (dE << 10) | (lnE + 1)
+
+            # ---- next state ----
+            st_n = jnp.where(go_ext | b_to2, 1, jnp.where(fin_now, 0, st))
+            tgt_n = jnp.where(golazy, 1, jnp.where(do_emit, zero, tgt))
+            cand_n = jnp.where(go_ext, 1, jnp.where(b_to2, 2, cand))
+            k_n = jnp.where(go_ext, ss1, jnp.where(
+                b_to2, s2v, jnp.where(is_ext & ~edone, kn, k)))
+            j_n = jnp.where(go_ext, jj1, jnp.where(b_to2, j2v, j))
+            cap_n = jnp.where(go_ext, cap_t, cap)
+            scap_n = jnp.where(go_ext, scap_t, scap)
+            nz_n = jnp.where(go_ext, no1.astype(jnp.int32), nz)
+            res1_n = jnp.where(b_to2, lnc, res1)
+            jres1_n = jnp.where(b_to2, j, jres1)
+            ln0_n = jnp.where(golazy, lnf, ln0)
+            dist0_n = jnp.where(golazy, distf, dist0)
+            p_n = jnp.where(do_emit, p + jnp.maximum(lnE, 1), p)
+
+            mrow = p >> 7
+            changed = do_emit & (mrow != ro)
+            orow_n = jnp.where(changed, jnp.zeros_like(orow), orow)
+            orow_n = jnp.where(do_emit & (lane == (p & 127)), mark, orow_n)
+            ro_n = jnp.where(changed, mrow, ro)
+            out_ref[blk, pl.ds(ro_n, 1), :] = orow_n
+            return (p_n, st_n, tgt_n, cand_n, k_n, j_n, cap_n, scap_n,
+                    nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n,
+                    ro_n, orow_n)
+
+        def init_chain(c):
+            p0 = jnp.int32((c % nsub) * restart)
+            return (p0, zero, zero, zero, zero, zero, jnp.int32(1),
+                    zero, zero, zero, zero, zero, zero, zero, zero,
+                    p0 >> 7, jnp.zeros((1, 128), jnp.int32))
+
+        def cond(states):
+            alive = states[0][0] < pends[0]
+            for c in range(1, W):
+                alive = alive | (states[c][0] < pends[c])
+            return alive
+
+        def body(states):
+            return tuple(step_chain(c, states[c]) for c in range(W))
+
+        jax.lax.while_loop(cond, body,
+                           tuple(init_chain(c) for c in range(W)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NBp // nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, R, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nblk, r_n, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NBp, r_n, 128), jnp.int32),
+        interpret=interpret,
+    )(block_len, comb)
+    out = out.reshape(NBp, N)[:NB]
+    visited = out & 1023
+    mlen = jnp.maximum(visited - 1, 0)
+    mdist = jnp.where(visited > 0, out >> 10, 0)
+    return visited, mlen, mdist
+
+
 def _parse_doubling(step: jax.Array) -> jax.Array:
     NB, block = step.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, block), 1)

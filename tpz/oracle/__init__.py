@@ -199,11 +199,12 @@ def params_array(
     n_extend: int = 1,
     screen_bytes: int = 8,
     suffix_mode: bool = False,
+    restart: int = 0,
 ) -> np.ndarray:
     return np.array(
         [window, min_match, max_match, max_chain, hash_bits, block_size,
          int(lazy), int(too_far_rule), too_far, max_lazy, n_extend,
-         screen_bytes, int(suffix_mode)],
+         screen_bytes, int(suffix_mode), restart],
         dtype=np.int32,
     )
 

@@ -166,7 +166,7 @@ def sharded_compress(data: bytes, mesh: Mesh, k: int = 32,
             span_row[0], so[0], sl[0], bl[0], bs[0], bf[0], out_buf, tabs,
             k=cfg.max_chain, use_pallas=use_pallas, lazy=cfg.lazy,
             suffix=cfg.suffix_mode, screen_bytes=cfg.screen_bytes,
-            max_lazy=cfg.max_lazy)
+            max_lazy=cfg.max_lazy, restart=getattr(cfg, "restart", 0))
         size = (end_pos[-1] + 7) // 8  # stream bytes (0 for empty shards)
         # words -> little-endian bytes (explicit, not bitcast: XLA's byte
         # order for narrowing bitcasts is implementation-defined).
