@@ -93,6 +93,7 @@ def extra_metrics(size: int):
 
 def main():
     size = int(os.environ.get("TPZ_BENCH_BYTES", 16 << 20))
+    nbuf = int(os.environ.get("TPZ_BENCH_NBUF", 4))
     iters = int(os.environ.get("TPZ_BENCH_ITERS", 3))
     skip_extra = os.environ.get("TPZ_BENCH_HEADLINE_ONLY")
     from tpz.kernels import deflate_pipeline
@@ -102,19 +103,30 @@ def main():
     try:
         if not deflate_pipeline.usable():
             raise RuntimeError("device pipeline unusable")
-        encode = deflate_pipeline.compress
+        encode_many = deflate_pipeline.compress_many
     except Exception:
         # Chip held by another process / backend init failure: report the
         # oracle path rather than crashing (clearly labeled).
         from tpz import oracle
 
         backend = "oracle-cpu-fallback"
-        encode = oracle.deflate_encode
 
-    # Compile warm-up (not timed).
-    warm = corpus.mixed(size, seed=7)
-    out = encode(warm)
-    ratio = len(out) / len(warm)
+        def encode_many(datas):
+            return [oracle.deflate_encode(d) for d in datas]
+
+    # Headline shape: nbuf independent buffers batch-encoded in ONE device
+    # invocation (compress_many) — the production serving shape (SURVEY.md
+    # §2.2 DP row). The relay's fixed per-dispatch cost (~0.6 s on this
+    # environment's axon tunnel, BASELINE.md) amortizes over the batch;
+    # per-invocation wall time still includes every transfer and the host
+    # framing, so the number is honest end-to-end throughput.
+    def make_batch(seed):
+        return [corpus.mixed(size, seed=seed + i) for i in range(nbuf)]
+
+    total = size * nbuf
+    warm_batch = make_batch(7)
+    out = encode_many(warm_batch)
+    ratio = sum(len(o) for o in out) / total
 
     trace_ctx = contextlib.nullcontext()
     if os.environ.get("TPZ_TRACE"):
@@ -124,15 +136,17 @@ def main():
     times = []
     with trace_ctx:
         for i in range(iters):
-            data = corpus.mixed(size, seed=1000 + i)
+            batch = make_batch(1000 + nbuf * i)
             t0 = time.time()
-            encode(data)
+            encode_many(batch)
             times.append(time.time() - t0)
     times.sort()
     median = times[len(times) // 2]
-    gbps = size / median / 1e9
+    gbps = total / median / 1e9
     detail = {
-        "bytes": size,
+        "bytes": total,
+        "buffers": nbuf,
+        "bytes_per_buffer": size,
         "backend": backend,
         "median_s": round(median, 4),
         "all_s": [round(t, 4) for t in times],

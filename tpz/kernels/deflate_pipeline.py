@@ -89,15 +89,15 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     NB = words.shape[0]
     if suffix and use_pallas:
         from tpz.kernels.matchfinder import suffix_screen_w
-        from tpz.kernels.parse import parse_extend_pallas_v3w
+        from tpz.kernels.parse import parse_extend_pallas_v3y
 
-        pk1, pk2, _ = suffix_screen_w(
+        pk1, pk2, cap_at = suffix_screen_w(
             words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes,
             restart)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         sl = slice(WINDOW, WINDOW + BLOCK)
-        reach, mlen, mdist = parse_extend_pallas_v3w(
-            pk1[:, sl], pk2[:, sl], words_i32,
+        reach, mlen, mdist = parse_extend_pallas_v3y(
+            pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
             block_len[:, None], WINDOW, 258, screen_bytes,
             lazy=lazy, max_lazy=max_lazy, restart=restart)
         pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
@@ -143,12 +143,32 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     lit_sym = jnp.where(is_match, lsym, data_block)
     dsym, _, _ = bitpack.dist_symbol(jnp.maximum(mdist, 1))
 
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 0)
-    lit_hist = jnp.zeros((NB, 288), jnp.int32).at[
-        bidx, jnp.clip(lit_sym, 0, 287)].add(is_token.astype(jnp.int32))
-    dist_hist = jnp.zeros((NB, 30), jnp.int32).at[
-        bidx, jnp.clip(dsym, 0, 29)].add(is_match.astype(jnp.int32))
+    lit_hist = _hist_by_sort(
+        jnp.where(is_token, jnp.clip(lit_sym, 0, 287), 288), 288)
+    dist_hist = _hist_by_sort(
+        jnp.where(is_match, jnp.clip(dsym, 0, 29), 30), 30)
     return mlen, mdist, is_token, lit_hist, dist_hist, ntokens
+
+
+def _hist_by_sort(sym: jax.Array, nbins: int) -> jax.Array:
+    """Per-row histogram via 1-key sort + branchless vectorized binary
+    search: hist[k] = lower_bound(k+1) - lower_bound(k) on the sorted row.
+
+    XLA scatter costs per UPDATE (~0.14 G/s on this chip, BASELINE.md), so
+    the two [NB, BLOCK] scatter-add histograms cost ~33 M updates per
+    16 MiB; a single-array sort (~1 G keys/s) plus ceil(log2 B) rounds of
+    [NB, nbins+1] gathers is ~3x cheaper at this geometry. Masked-out
+    positions must be pre-set to `nbins` (they sort last, never counted)."""
+    NB, B = sym.shape
+    s = jax.lax.sort(sym, dimension=1)
+    k = jnp.arange(nbins + 1, dtype=jnp.int32)[None, :]
+    k = jnp.broadcast_to(k, (NB, nbins + 1))
+    lb = jnp.zeros((NB, nbins + 1), jnp.int32)
+    for bit in reversed(range(B.bit_length())):
+        cand = lb + (1 << bit)
+        v = jnp.take_along_axis(s, jnp.minimum(cand, B) - 1, axis=1)
+        lb = jnp.where((cand <= B) & (v < k), cand, lb)
+    return lb[:, 1:] - lb[:, :-1]
 
 
 _stage1 = functools.partial(
