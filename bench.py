@@ -46,8 +46,13 @@ def extra_metrics(size: int):
 
     out = {}
 
-    def run(name, nbytes, fn):
+    def run(name, nbytes, fn, warm=False):
+        """warm=True runs fn once untimed first — device paths pay a
+        30-300 s remote compile on first dispatch per shape; the timed run
+        then reports warm steady-state (the serving number)."""
         try:
+            if warm:
+                fn()
             t0 = time.time()
             fn()
             out[name] = {"MB_s": _mbs(nbytes, time.time() - t0)}
@@ -55,6 +60,7 @@ def extra_metrics(size: int):
             out[name] = {"error": f"{type(e).__name__}: {e}"}
 
     mix16 = corpus.mixed(size, seed=41)
+    mix16b = corpus.mixed(size, seed=42)
 
     # DEFLATE — C++ native runtime rows (the production decode path).
     from tpz.codecs import deflate as ddf
@@ -62,8 +68,16 @@ def extra_metrics(size: int):
     blob = ddf.compress(mix16, backend="oracle")
     run("deflate_decode_host", size, lambda: ddf.decompress(blob))
     run("deflate_encode_host", size,
-        lambda: ddf.compress(corpus.mixed(size, seed=42),
-                             backend="oracle"))
+        lambda: ddf.compress(mix16b, backend="oracle"))
+
+    # Device DEFLATE decode (VERDICT r1 #2): gzip with the block-index
+    # side-car -> device-parallel inflate (tpz/kernels/inflate_pipeline).
+    from tpz.codecs import gzip_codec as gz
+
+    dsize = min(size, 4 << 20)
+    gz_blob = gz.compress(corpus.mixed(dsize, seed=47))
+    run("deflate_decode_device", dsize,
+        lambda: gz.decompress(gz_blob, backend="tpu"), warm=True)
 
     # BZip2 — device encode (batched BWT) and device decode (iBWT).
     bsize = min(size, 4 << 20)
@@ -72,20 +86,30 @@ def extra_metrics(size: int):
 
     bz_blob = {}
     run("bzip2_encode_device", bsize,
-        lambda: bz_blob.setdefault("c", bz.compress(bdata, backend="tpu")))
+        lambda: bz_blob.setdefault(
+            "c", bz.compress(corpus.mixed(bsize, seed=45), backend="tpu")),
+        warm=False)
+    # timed warm pass on fresh bytes (the relay dedups identical inputs)
     if "c" in bz_blob:
+        run("bzip2_encode_device_warm", bsize,
+            lambda: bz.compress(bdata, backend="tpu"))
         run("bzip2_decode_device", bsize,
-            lambda: bz.decompress(bz_blob["c"], backend="tpu"))
+            lambda: bz.decompress(bz_blob["c"], backend="tpu"), warm=True)
     else:
         bz_blob["c"] = bz.compress(bdata, backend="oracle")
     run("bzip2_decode_host", bsize,
         lambda: bz.decompress(bz_blob["c"], backend="oracle"))
 
-    # LZHUF lh5 — device encode.
+    # LZHUF lh5 — device encode (warm pass on fresh bytes).
     lsize = min(size, 4 << 20)
     ldata = corpus.mixed(lsize, seed=44)
     from tpz.codecs import lzhuf as lh
 
+    try:
+        lh.compress(corpus.mixed(lsize, seed=46), method="lh5",
+                    backend="tpu")
+    except Exception:
+        pass
     run("lzhuf_encode_device", lsize,
         lambda: lh.compress(ldata, method="lh5", backend="tpu"))
     return out
@@ -93,16 +117,18 @@ def extra_metrics(size: int):
 
 def main():
     size = int(os.environ.get("TPZ_BENCH_BYTES", 16 << 20))
-    nbuf = int(os.environ.get("TPZ_BENCH_NBUF", 4))
+    nbuf = int(os.environ.get("TPZ_BENCH_NBUF", 2))
     iters = int(os.environ.get("TPZ_BENCH_ITERS", 3))
     skip_extra = os.environ.get("TPZ_BENCH_HEADLINE_ONLY")
     from tpz.kernels import deflate_pipeline
     from tpz.utils import corpus
 
-    backend = "tpu"
     try:
         if not deflate_pipeline.usable():
             raise RuntimeError("device pipeline unusable")
+        import jax
+
+        backend = jax.default_backend()
         encode_many = deflate_pipeline.compress_many
     except Exception:
         # Chip held by another process / backend init failure: report the

@@ -80,3 +80,21 @@ def test_compress_many_matches_individual():
         assert blob == oracle_ref(d) if d else blob == oracle.deflate_encode(b"")
         if d:
             assert zlib.decompress(blob, -15) == d
+
+
+def test_compress_many_oversized_batch_splits(monkeypatch):
+    """Batches beyond MAX_DEVICE_SPAN split into sequential sub-dispatches
+    and oversized single buffers take the (byte-identical) oracle."""
+    from tpz.kernels import deflate_pipeline
+
+    monkeypatch.setattr(deflate_pipeline, "MAX_DEVICE_SPAN", 150_000)
+    datas = [
+        corpus.text(100_000, seed=1),
+        corpus.text(90_000, seed=2),
+        corpus.text(200_000, seed=3),   # alone exceeds the cap -> oracle
+        b"x",
+    ]
+    batch = deflate_pipeline.compress_many(datas)
+    for d, blob in zip(datas, batch):
+        assert blob == oracle_ref(d)
+        assert zlib.decompress(blob, -15) == d

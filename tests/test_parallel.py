@@ -140,3 +140,23 @@ def test_sharded_compress_small_single_shard():
     data = corpus.text(5000)
     out = sharded_compress(data, make_mesh(8))
     assert stdgz.decompress(out) == data
+
+
+def test_ring_all_gather_matches_ragged():
+    """Ring-scheduled gather (n_dev-1 ppermute hops) produces the same
+    ordered stream as the all_gather-based ragged gather."""
+    from tpz.parallel import mesh as pm
+
+    m = pm.make_mesh(8)
+    rng = np.random.default_rng(5)
+    cap = 192
+    sizes = rng.integers(0, cap + 1, size=8).astype(np.int32)
+    pay = np.zeros((8, cap), np.uint8)
+    for d in range(8):
+        pay[d, :sizes[d]] = rng.integers(0, 256, sizes[d], dtype=np.uint8)
+    ref, total_ref = pm.ragged_all_gather(m, jnp.asarray(pay),
+                                          jnp.asarray(sizes))
+    out, total = pm.ring_all_gather(m, jnp.asarray(pay),
+                                    jnp.asarray(sizes))
+    assert int(total) == int(total_ref) == int(sizes.sum())
+    assert np.array_equal(np.asarray(out), np.asarray(ref))

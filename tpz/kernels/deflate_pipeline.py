@@ -33,6 +33,10 @@ from tpz.kernels.parse import greedy_parse
 # stored blocks) costs just over 8 bits/byte, so bound at 9 bits/byte to
 # keep 32*total_words + 31 inside int32 (ADVICE r1: 1<<28 was ~0.4% over).
 MAX_SPAN = (2**31 - 1) // 9
+# Single fused-invocation span bound: the screen-sort working set costs
+# ~0.4 GB HBM per MiB of span; 64 MiB needs ~27 GB and OOMs this 16 GB
+# chip. Bigger batches split into sequential dispatches (compress_many).
+MAX_DEVICE_SPAN = 32 << 20
 
 
 def usable() -> bool:
@@ -317,8 +321,33 @@ def compress_many(datas, cfg=None, want_index: bool = False):
                           if want_index else blob)
     if not idxs:
         return results
-    if sum(len(datas[i]) for i in idxs) > MAX_SPAN:
-        raise ValueError("batch too large for int32 bit offsets")
+
+    # HBM liveness bounds one fused invocation (~0.4 GB of screen-sort
+    # working set per MiB of span on this chip; 64 MiB OOMs a 16 GB part).
+    # Oversized batches split into sequential sub-dispatches; an oversized
+    # SINGLE buffer can't split mid-stream (later blocks' bit offsets
+    # depend on earlier output), so it takes the C++ oracle — which is
+    # byte-identical to this pipeline by construction.
+    if sum(len(datas[i]) for i in idxs) > MAX_DEVICE_SPAN:
+        for i in list(idxs):
+            if len(datas[i]) > MAX_DEVICE_SPAN:
+                blob = oracle.deflate_encode(datas[i], cfg.params_array())
+                results[i] = (blob, None, None) if want_index else blob
+                idxs.remove(i)
+        group, group_bytes = [], 0
+        for i in idxs:
+            if group and group_bytes + len(datas[i]) > MAX_DEVICE_SPAN:
+                for gi, blob in zip(group, compress_many(
+                        [datas[g] for g in group], cfg, want_index)):
+                    results[gi] = blob
+                group, group_bytes = [], 0
+            group.append(i)
+            group_bytes += len(datas[i])
+        if group:
+            for gi, blob in zip(group, compress_many(
+                    [datas[g] for g in group], cfg, want_index)):
+                results[gi] = blob
+        return results
 
     nbs = [(len(datas[i]) + BLOCK - 1) // BLOCK for i in idxs]
     NB = sum(nbs)

@@ -173,14 +173,23 @@ def suffix_screen_w(words: jax.Array, span_off: jax.Array,
     wbe = _bswap32(words)
     flag = jnp.where(insertable, jnp.uint32(0), jnp.uint32(1))
     keys = [jnp.roll(wbe, -4 * t, axis=1) for t in range(nw)]
-    ops = (flag, *keys, idx, cap_at)
+    ops = (flag, *keys, idx)
     sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=nw + 2)
     sflag = sorted_ops[0]
     skeys = sorted_ops[1:1 + nw]
     spos = sorted_ops[1 + nw]
-    scap = sorted_ops[2 + nw]
     sval = sflag == 0
     col = jax.lax.broadcasted_iota(jnp.int32, (NB, M), 1)
+    # cap in sorted order is a pure elementwise function of spos — cheaper
+    # to recompute than to carry a fifth payload through the sort (HBM
+    # liveness bounds the single-invocation batch size).
+    scap = jnp.clip(jnp.minimum(jnp.full_like(spos, block + window),
+                                window + (slc - span_off[:, None])) - spos,
+                    0, max_match)
+    if restart:
+        scap = jnp.minimum(
+            scap, jnp.int32(restart) - ((spos - window) & (restart - 1)))
+    scap = jnp.where(spos >= window, scap, 0)
     screen_cap = jnp.minimum(scap, screen_bytes)
 
     j1 = jnp.full((NB, M), -1, jnp.int32)

@@ -257,3 +257,51 @@ def ragged_all_gather(mesh: Mesh, payload_pad: jax.Array,
         out_specs=(P(), P()),
         check_vma=False,
     ))(payload_pad, sizes)
+
+
+def ring_all_gather(mesh: Mesh, payload_pad: jax.Array,
+                    sizes: jax.Array):
+    """Ring-scheduled ordered ragged all-gather (SURVEY.md §2.2
+    ring/blockwise row; the round-1 gap flagged by VERDICT §2.2).
+
+    Same contract and output as ragged_all_gather, but payloads move in
+    n_dev - 1 `ppermute` hops around the ring instead of one global
+    all_gather: every round each ICI link carries exactly one shard's
+    padded payload, which is the bandwidth-optimal schedule at pod scale
+    (a global all-gather of the concatenated payloads would congest the
+    shared links; the tiny size vector still uses all_gather). Each
+    device accumulates the chunk it currently holds into the in-order
+    output, so after n_dev rounds every device has materialized the full
+    ordered stream.
+    """
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    cap = payload_pad.shape[-1]
+    total_cap = ndev * cap
+
+    def body(pay, sz):
+        idx = jax.lax.axis_index(axis)
+        all_sizes = jax.lax.all_gather(sz, axis, tiled=True)       # [ndev]
+        offsets = jnp.cumsum(all_sizes) - all_sizes
+        col = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        out = jnp.zeros((total_cap + 1,), jnp.uint8)
+        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+        cur = pay.reshape(cap)
+        for r in range(ndev):
+            owner = (idx - r) % ndev   # whose chunk this device holds now
+            dst = offsets[owner] + col
+            live = col < all_sizes[owner]
+            out = out.at[jnp.where(live, dst, total_cap)].add(
+                jnp.where(live, cur, 0), mode="drop")
+            if r < ndev - 1:
+                cur = jax.lax.ppermute(cur, axis, perm)
+        return out[:total_cap], jnp.sum(all_sizes)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))(payload_pad, sizes)
