@@ -102,6 +102,10 @@ uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
 
 // ---------------------------------------------------------------- encode
 
+void EncodeBlockFromMtf(const uint16_t* mtfv_in, int n_mtf_in,
+                        const bool in_use[256], uint32_t orig,
+                        uint32_t block_crc, BitWriterMSB* bw);
+
 void EncodeBlockPostBwt(const std::vector<uint8_t>& last_in, uint32_t orig,
                         uint32_t block_crc, BitWriterMSB* bw) {
   const std::vector<uint8_t>& last = last_in;
@@ -119,7 +123,6 @@ void EncodeBlockPostBwt(const std::vector<uint8_t>& last_in, uint32_t orig,
   for (int i = 0; i < n_used; ++i) unseq_to_seq[seq_to_unseq[i]] = (uint8_t)i;
 
   const int eob = n_used + 1;
-  const int alpha = n_used + 2;
   std::vector<uint16_t> mtfv;  // RLE2 symbol stream incl. EOB
   mtfv.reserve(last.size() + 16);
   {
@@ -156,7 +159,24 @@ void EncodeBlockPostBwt(const std::vector<uint8_t>& last_in, uint32_t orig,
     flush_run();
     mtfv.push_back((uint16_t)eob);
   }
-  const int n_mtf = (int)mtfv.size();
+  EncodeBlockFromMtf(mtfv.data(), (int)mtfv.size(), in_use, orig,
+                     block_crc, bw);
+}
+
+// Second half of the block encoder: multi-table Huffman with greedy
+// selector refinement + emission, from an MTF+RLE2 symbol stream (incl.
+// the EOB symbol). Split out so the device pipeline can hand over its
+// kernel-produced mtfv (tpz/kernels/mtf.py + rle.py) and share the coder
+// bit-for-bit with the all-host path.
+void EncodeBlockFromMtf(const uint16_t* mtfv_in, int n_mtf_in,
+                        const bool in_use[256], uint32_t orig,
+                        uint32_t block_crc, BitWriterMSB* bw) {
+  int n_used = 0;
+  for (int i = 0; i < 256; ++i)
+    if (in_use[i]) ++n_used;
+  const int alpha = n_used + 2;
+  const std::vector<uint16_t> mtfv(mtfv_in, mtfv_in + n_mtf_in);
+  const int n_mtf = n_mtf_in;
 
   // Choose table count (bzip2's thresholds).
   int n_tables;
@@ -440,6 +460,50 @@ int Bzip2Assemble(const uint8_t* bwt_last, const int64_t* block_off,
         std::vector<uint8_t> last(bwt_last + block_off[b],
                                   bwt_last + block_off[b] + block_len[b]);
         EncodeBlockPostBwt(last, orig_ptrs[b], block_crc[b], &block_bits[b]);
+      }
+    };
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if ((int)nt > nblocks) nt = (unsigned)nblocks;
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  uint32_t combined = 0;
+  for (int b = 0; b < nblocks; ++b) {
+    combined = ((combined << 1) | (combined >> 31)) ^ block_crc[b];
+    block_bits[b].AppendTo(&bw);
+  }
+  bw.Write((uint32_t)(kEosMagic >> 24), 24);
+  bw.Write((uint32_t)(kEosMagic & 0xffffff), 24);
+  bw.Write(combined, 32);
+  bw.AlignByte();
+  *out = std::move(bw.bytes());
+  return 0;
+}
+
+int Bzip2AssembleMtf(const uint16_t* mtfv_blob, const int64_t* sym_off,
+                     const int32_t* sym_len, const uint8_t* used,
+                     const uint32_t* block_crc, const uint32_t* orig_ptrs,
+                     int32_t nblocks, int level, std::vector<uint8_t>* out) {
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  BitWriterMSB bw;
+  bw.Write('B', 8);
+  bw.Write('Z', 8);
+  bw.Write('h', 8);
+  bw.Write('0' + level, 8);
+  std::vector<BitWriterMSB> block_bits(nblocks);
+  {
+    std::atomic<int32_t> next(0);
+    auto worker = [&]() {
+      for (;;) {
+        int32_t b = next.fetch_add(1);
+        if (b >= nblocks) return;
+        bool in_use[256];
+        for (int i = 0; i < 256; ++i) in_use[i] = used[256 * b + i] != 0;
+        EncodeBlockFromMtf(mtfv_blob + sym_off[b], sym_len[b], in_use,
+                           orig_ptrs[b], block_crc[b], &block_bits[b]);
       }
     };
     unsigned nt = std::thread::hardware_concurrency();

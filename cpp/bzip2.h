@@ -45,6 +45,14 @@ namespace tpz {
 int Bzip2Rle1Blocks(const uint8_t* in, size_t n, int level, uint8_t* rle_out,
                     size_t* rle_len, int64_t* block_off, int64_t* block_len,
                     uint32_t* block_crc, int32_t* nblocks);
+// Assemble a stream from per-block MTF+RLE2 symbol streams (incl. EOB)
+// produced by the device kernels; `used` is nb x 256 bytes of in-use
+// flags. Shares EncodeBlockFromMtf with the all-host path bit-for-bit.
+int Bzip2AssembleMtf(const uint16_t* mtfv_blob, const int64_t* sym_off,
+                     const int32_t* sym_len, const uint8_t* used,
+                     const uint32_t* block_crc, const uint32_t* orig_ptrs,
+                     int32_t nblocks, int level, std::vector<uint8_t>* out);
+
 int Bzip2Assemble(const uint8_t* bwt_last, const int64_t* block_off,
                   const int64_t* block_len, const uint32_t* block_crc,
                   const uint32_t* orig_ptrs, int32_t nblocks, int level,

@@ -259,6 +259,21 @@ extern "C" int tpz_bzip2_assemble(const uint8_t* bwt_last,
   return CopyOut(v, out, out_len);
 }
 
+extern "C" int tpz_bzip2_assemble_mtf(const uint16_t* mtfv_blob,
+                                      const int64_t* sym_off,
+                                      const int32_t* sym_len,
+                                      const uint8_t* used,
+                                      const uint32_t* block_crc,
+                                      const uint32_t* orig_ptrs,
+                                      int32_t nblocks, int32_t level,
+                                      uint8_t* out, size_t* out_len) {
+  std::vector<uint8_t> v;
+  int st = tpz::Bzip2AssembleMtf(mtfv_blob, sym_off, sym_len, used,
+                                 block_crc, orig_ptrs, nblocks, level, &v);
+  if (st != 0) return st;
+  return CopyOut(v, out, out_len);
+}
+
 extern "C" uint32_t tpz_bwt_ref(const uint8_t* in, size_t n,
                                 uint8_t* last_out) {
   return tpz::BwtEncodeRef(in, n, last_out);

@@ -1,15 +1,19 @@
 """TPU BZip2 encode pipeline (SURVEY.md §2.1 BZip2 row, §7 PR4).
 
-Split (v1): host C++ RLE1 + block split (byte-serial, memory-speed) ->
-device batched BWT (tpz/kernels/bwt.py — the stage that dominates CPU
-encoders) -> host C++ MTF/RLE2/multi-table Huffman coding. Byte-identical
-to the oracle's Bzip2Encode because the C++ coder is shared and the device
-BWT matches BwtEncode bit-for-bit (deterministic tie-breaks).
+Round-2 split (VERDICT r1 #4): host C++ RLE1 + block split (byte-serial,
+memory-speed) -> ONE device program running batched BWT + used-map + MTF
++ RLE2 (tpz/kernels/bwt.py, mtf.py, rle.py) -> host C++ multi-table
+Huffman coding + bit packing from the kernel-produced symbol stream
+(cpp/bzip2.cc Bzip2AssembleMtf). Byte-identical to the oracle's
+Bzip2Encode because the Huffman coder is shared and the device
+BWT/MTF/RLE2 match the C++ stages bit-for-bit (differential-tested).
 
 Blocks are padded to a power-of-two bucket so jit caches stay small.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -29,15 +33,76 @@ def compress(data: bytes, level: int = 9) -> bytes:
     return compress_many([data], level)[0]
 
 
+def _fused_bwt_mtf_fn(d_pad, n, rounds: int):
+    """BWT + used-map + MTF + RLE2 as ONE device program (one dispatch —
+    the relay charges ~0.6 s per invocation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpz.kernels.bwt import _bwt_batched
+    from tpz.kernels.mtf import mtf_ranks
+    from tpz.kernels.rle import rle2_encode
+
+    last, orig = _bwt_batched(d_pad, n, rounds)
+    NB = d_pad.shape[0]
+    N = d_pad.shape[1] // 2
+    last32 = last.astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
+    live = idx < n[:, None]
+    lastm = jnp.where(live, last32, 0)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 0)
+    used = jnp.zeros((NB, 256), jnp.int32).at[bidx, lastm].max(
+        live.astype(jnp.int32), mode="drop")
+    to_seq = jnp.cumsum(used, axis=1) - 1
+    v = jnp.take_along_axis(to_seq, lastm, axis=1)
+    ranks = mtf_ranks(jnp.where(live, v, 0), n)
+    syms, sym_len = rle2_encode(ranks, n)
+    n_used = jnp.sum(used, axis=1)
+    return orig, syms, sym_len, used, n_used
+
+
+_fused_bwt_mtf = None
+
+
+def bwt_mtf_rle2_blocks(blocks: np.ndarray, lengths: np.ndarray):
+    """blocks: [NB, N] uint8 zero-padded; lengths [NB]. Returns numpy
+    (orig, syms, sym_len, used, n_used) — everything the C++ Huffman
+    coder needs, from one device invocation (the BWT last column itself
+    stays on device; only the ~symbol-stream-sized outputs transfer)."""
+    global _fused_bwt_mtf
+    import jax
+    import jax.numpy as jnp
+
+    from tpz.kernels.device_quirks import fetch, fetch_many
+
+    if _fused_bwt_mtf is None:
+        _fused_bwt_mtf = functools.partial(
+            jax.jit, static_argnames=("rounds",))(_fused_bwt_mtf_fn)
+    NB, N = blocks.shape
+    d = blocks.astype(np.int32)
+    n = lengths.astype(np.int32)
+    d_pad = np.zeros((NB, 2 * N), np.int32)
+    d_pad[:, :N] = d
+    for b in range(NB):
+        d_pad[b, n[b]:2 * n[b]] = d[b, :n[b]]
+    rounds = max(1, (N - 1).bit_length())
+    orig, syms, sym_len, used, n_used = _fused_bwt_mtf(
+        jnp.asarray(d_pad), jnp.asarray(n), rounds=rounds)
+    sym_len_np, used_np, n_used_np, orig_np = map(
+        np.asarray, fetch_many(sym_len, used, n_used, orig))
+    syms_np = np.asarray(fetch(syms))
+    return orig_np, syms_np, sym_len_np, used_np, n_used_np
+
+
 def compress_many(datas, level: int = 9) -> list[bytes]:
-    """Batched bzip2 encode: ALL buffers' 900k blocks share one device BWT
-    invocation (amortizes the per-dispatch relay cost — VERDICT r1 #4),
-    then per-buffer host coding/framing."""
+    """Batched bzip2 encode: ALL buffers' 900k blocks share one device
+    BWT+MTF+RLE2 invocation (amortizes the per-dispatch relay cost —
+    VERDICT r1 #4), then per-buffer C++ multi-table Huffman framing from
+    the kernel-produced symbol streams."""
     from tpz import oracle
-    from tpz.kernels.bwt import bwt_blocks
 
     results = [None] * len(datas)
-    metas = []  # (result idx, off, ln, crc, nb)
+    metas = []  # (result idx, block lens, crcs, first-block index)
     all_blocks = []
     all_lens = []
     for i, d in enumerate(datas):
@@ -56,19 +121,21 @@ def compress_many(datas, level: int = 9) -> list[bytes]:
     blocks = np.zeros((NB, N), dtype=np.uint8)
     for b, blk in enumerate(all_blocks):
         blocks[b, : len(blk)] = blk
-    last, orig = bwt_blocks(blocks, np.asarray(all_lens, np.int64))
+    orig, syms, sym_len, used, n_used = bwt_mtf_rle2_blocks(
+        blocks, np.asarray(all_lens, np.int64))
     for i, ln, crc, b0 in metas:
         nb = ln.size
-        flat = np.zeros(int(ln.sum()), dtype=np.uint8)
-        pos = 0
-        off2 = np.zeros(nb, dtype=np.int64)
+        lens_out = sym_len[b0:b0 + nb].astype(np.int64) + 1   # + EOB
+        off2 = np.cumsum(lens_out) - lens_out
+        flat = np.zeros(int(lens_out.sum()), dtype=np.uint16)
         for b in range(nb):
-            off2[b] = pos
-            flat[pos : pos + ln[b]] = last[b0 + b, : ln[b]]
-            pos += int(ln[b])
-        results[i] = oracle.bzip2_assemble(
-            flat, off2, ln, crc, orig[b0 : b0 + nb].astype(np.uint32),
-            level)
+            sl = int(sym_len[b0 + b])
+            flat[off2[b]:off2[b] + sl] = syms[b0 + b, :sl].astype(np.uint16)
+            flat[off2[b] + sl] = n_used[b0 + b] + 1            # EOB symbol
+        results[i] = oracle.bzip2_assemble_mtf(
+            flat, off2, lens_out.astype(np.int32),
+            used[b0:b0 + nb].astype(np.uint8), crc,
+            orig[b0:b0 + nb].astype(np.uint32), level)
     return results
 
 

@@ -84,6 +84,10 @@ def lib() -> ctypes.CDLL:
             u8p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), u32p, u32p, ctypes.c_int32,
             ctypes.c_int32, u8p, szp]
+        L.tpz_bzip2_assemble_mtf.restype = ctypes.c_int
+        L.tpz_bzip2_assemble_mtf.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int64),
+            i32p, u8p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, u8p, szp]
         L.tpz_bwt_ref.restype = ctypes.c_uint32
         L.tpz_bwt_ref.argtypes = [u8p, ctypes.c_size_t, u8p]
         L.tpz_bzip2_scan_to_last.restype = ctypes.c_int
@@ -352,7 +356,11 @@ def inflate_many(streams, caps=None, n_threads: int | None = None):
     nt = n_threads or min(n, _os.cpu_count() or 1)
     blob, offs, lens = _flat_blobs(streams)
     caps = caps or [max(4096, 80 * len(s) + 1024) for s in streams]
-    for _ in range(8):
+    # Retry while the C side keeps reporting bigger required sizes —
+    # progress-based rather than a fixed pass count, since each failing
+    # call may only surface the streams that hit the limit before its
+    # workers bailed out (ADVICE r1 #3).
+    while True:
         out_lens = np.array(caps, dtype=np.int64)
         out_offs = np.zeros(n, dtype=np.int64)
         out_offs[1:] = np.cumsum(out_lens)[:-1]
@@ -363,7 +371,10 @@ def inflate_many(streams, caps=None, n_threads: int | None = None):
             _ptr(out_offs, ctypes.c_int64), _ptr(out_lens, ctypes.c_int64),
             nt)
         if st == STATUS_BUFFER_TOO_SMALL:
-            caps = [max(c, int(l)) for c, l in zip(caps, out_lens)]
+            new_caps = [max(c, int(l)) for c, l in zip(caps, out_lens)]
+            if new_caps == caps:
+                raise_for_status(st, "inflate_many")  # no progress: bail
+            caps = new_caps
             continue
         raise_for_status(st, "inflate_many")
         return [out_blob[out_offs[i]:out_offs[i] + out_lens[i]].tobytes()
@@ -503,6 +514,30 @@ def bzip2_assemble(bwt_last: np.ndarray, block_off, block_len, block_crc,
         _ptr(crc, ctypes.c_uint32), _ptr(orig, ctypes.c_uint32), nb, level,
         _ptr(out, ctypes.c_uint8), ctypes.byref(n))
     raise_for_status(st, "bzip2_assemble")
+    return out[: n.value].tobytes()
+
+
+def bzip2_assemble_mtf(mtfv: np.ndarray, sym_off, sym_len, used,
+                       block_crc, orig_ptrs, level: int = 9) -> bytes:
+    """Assemble a bzip2 stream from device-produced MTF+RLE2 symbol
+    streams (cpp/bzip2.cc Bzip2AssembleMtf; the multi-table Huffman coder
+    is shared bit-for-bit with the all-host path)."""
+    mv = np.ascontiguousarray(mtfv, dtype=np.uint16)
+    off = np.ascontiguousarray(sym_off, dtype=np.int64)
+    ln = np.ascontiguousarray(sym_len, dtype=np.int32)
+    us = np.ascontiguousarray(used, dtype=np.uint8)
+    crc = np.ascontiguousarray(block_crc, dtype=np.uint32)
+    orig = np.ascontiguousarray(orig_ptrs, dtype=np.uint32)
+    nb = off.size
+    cap = int(ln.sum()) * 2 + 4096 + 64 * nb
+    out = np.zeros(cap, dtype=np.uint8)
+    n = ctypes.c_size_t(cap)
+    st = lib().tpz_bzip2_assemble_mtf(
+        _ptr(mv, ctypes.c_uint16), _ptr(off, ctypes.c_int64),
+        _ptr(ln, ctypes.c_int32), _ptr(us, ctypes.c_uint8),
+        _ptr(crc, ctypes.c_uint32), _ptr(orig, ctypes.c_uint32), nb, level,
+        _ptr(out, ctypes.c_uint8), ctypes.byref(n))
+    raise_for_status(st, "bzip2_assemble_mtf")
     return out[: n.value].tobytes()
 
 
