@@ -44,8 +44,15 @@ _KIND_MATCH = 2                  # payload = dist << 9 | len
 
 def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
                  lit_mask, dist_mask, len_base, len_extra, dist_base,
-                 dist_extra, interpret=False):
-    """Per-block Huffman symbol decode.
+                 dist_extra, interpret=False, nblk: int = 8):
+    """Per-block Huffman symbol decode — nblk interleaved block chains per
+    kernel body (the v3w/v3y walk pattern: straight-line, no lax.cond, no
+    pl.when, unconditional row store; independent chains hide the 150 ns
+    dependent-read VMEM latency, BASELINE.md).
+
+    One token consumes at most 15+5+15+13 = 48 bits, so a single 3-word
+    stream window read per token serves every bit peek as pure shifts; a
+    token then costs exactly 5 dynamic reads (3 stream + 2 table).
 
     stream_words: [NB, SW] int32 (LE u32 of the block's stream slice)
     body_bit_local: [NB] int32 bit offset of the symbol stream within the
@@ -61,100 +68,135 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
     NB, SW = stream_words.shape
     assert SW % 128 == 0 and BLOCK % 128 == 0
     r_s, r_o = SW // 128, BLOCK // 128
-    s3 = stream_words.reshape(NB, r_s, 128)
-    l3 = lit_tab.reshape(NB, TAB // 128, 128)
-    d3 = dist_tab.reshape(NB, TAB // 128, 128)
+    r_t = TAB // 128
+    NBp = -(-NB // nblk) * nblk
+    if NBp != NB:
+        pad = NBp - NB
+
+        def padz(x, cols):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad, cols), x.dtype)], axis=0)
+
+        stream_words = padz(stream_words, SW)
+        lit_tab = padz(lit_tab, TAB)
+        dist_tab = padz(dist_tab, TAB)
+        zpad = jnp.zeros((pad,), jnp.int32)
+        body_bit_local = jnp.concatenate([body_bit_local, zpad])
+        out_len = jnp.concatenate([out_len, zpad])
+        lit_mask = jnp.concatenate([lit_mask, zpad])
+        dist_mask = jnp.concatenate([dist_mask, zpad])
+    s3 = stream_words.reshape(NBp, r_s, 128)
+    l3 = lit_tab.reshape(NBp, r_t, 128)
+    d3 = dist_tab.reshape(NBp, r_t, 128)
 
     def kernel(bb_ref, ol_ref, lm_ref, dm_ref, lb_ref, le_ref, db_ref,
                de_ref, s_ref, lt_ref, dt_ref, out_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[...] = jnp.zeros_like(out_ref)
-        b = pl.program_id(0)
-        out_len = ol_ref[b]
-        lmask = lm_ref[b]
-        dmask = dm_ref[b]
+        g = pl.program_id(0)
+        zero = jnp.int32(0)
+        one31 = jnp.int32(31)
 
-        def rd(ref, pos):
-            row = ref[0, pl.ds(pos >> 7, 1), :]
-            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
+        outls = [ol_ref[g * nblk + c] for c in range(nblk)]
+        lmasks = [lm_ref[g * nblk + c] for c in range(nblk)]
+        dmasks = [dm_ref[g * nblk + c] for c in range(nblk)]
 
-        def peek(bitpos, n):
-            # Scalar logical bit window (Mosaic has no scalar bitcast, so
-            # stay in int32 with explicit logical shifts).
+        def srl(x, s):
+            return jax.lax.shift_right_logical(x, s)
+
+        def step_chain(c, st):
+            bitpos, out_pos, ro, orow, ok = st
+            act = ok & (out_pos < outls[c])
+
+            def rd(ref, pos):
+                row = ref[c, pl.ds(pos >> 7, 1), :]
+                return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
+
             w = bitpos >> 5
             sh = bitpos & 31
-            w0 = rd(s_ref, w)
-            w1 = rd(s_ref, w + 1)
-            lo = jax.lax.shift_right_logical(w0, sh)
-            hi = jnp.where(sh > 0,
-                           jax.lax.shift_left(w1, (32 - sh) & 31), 0)
-            return (lo | hi) & ((jnp.int32(1) << n) - 1)
+            wc = jnp.minimum(w, jnp.int32(SW - 3))
+            w0 = rd(s_ref, wc)
+            w1 = rd(s_ref, wc + 1)
+            w2 = rd(s_ref, wc + 2)
 
-        def cond(c):
-            # (bitpos, out_pos, r, orow, ok)
-            return (c[1] < out_len) & c[4]
+            def bits_at(off, n):
+                # n-bit window at bit sh+off of the 96-bit (w0,w1,w2)
+                # window; off+n <= 48 and sh <= 31 keep it in range.
+                b = sh + off
+                wi = b >> 5
+                s2 = b & 31
+                lo = jnp.where(wi == 0, w0, jnp.where(wi == 1, w1, w2))
+                hi = jnp.where(wi == 0, w1, jnp.where(wi == 1, w2, zero))
+                v = srl(lo, s2) | jnp.where(
+                    s2 > 0, jax.lax.shift_left(hi, (32 - s2) & one31), 0)
+                return v & (srl(jnp.int32(-1), (32 - n) & one31)
+                            & jnp.where(n > 0, -1, 0))
 
-        def body(c):
-            bitpos, out_pos, r, orow, ok = c
-            r_new = out_pos >> 7
-
-            @pl.when(r_new != r)
-            def _():
-                out_ref[0, pl.ds(r, 1), :] = orow
-
-            orow = jnp.where(r_new != r, jnp.zeros_like(orow), orow)
-
-            e = rd(lt_ref, (peek(bitpos, jnp.int32(15)) & lmask))
+            e = rd(lt_ref, bits_at(zero, jnp.int32(15)) & lmasks[c])
             clen = e & 31
             sym = e >> 5
-            bitpos = bitpos + clen
-            ok = ok & (clen > 0) & (sym != 256) & (sym <= 285)
+            okn = ok & (clen > 0) & (sym != 256) & (sym <= 285)
 
-            def lit_case(_):
-                return out_pos + 1, (_KIND_LIT << 28) | sym, bitpos
+            is_match = sym > 256
+            li = jnp.clip(sym - 257, 0, 28)
+            eb = le_ref[li]
+            lval = lb_ref[li] + bits_at(clen, eb)
+            e2 = rd(dt_ref, bits_at(clen + eb, jnp.int32(15)) & dmasks[c])
+            dlen = e2 & 31
+            ds = jnp.clip(e2 >> 5, 0, 29)
+            okn = okn & (~is_match | (dlen > 0))
+            deb = de_ref[ds]
+            dval = db_ref[ds] + bits_at(clen + eb + dlen, deb)
 
-            def match_case(_):
-                eb = le_ref[jnp.clip(sym - 257, 0, 28)]
-                lval = (lb_ref[jnp.clip(sym - 257, 0, 28)]
-                        + peek(bitpos, eb))
-                bp = bitpos + eb
-                e2 = rd(dt_ref, (peek(bp, jnp.int32(15)) & dmask))
-                dlen = e2 & 31
-                ds = e2 >> 5
-                bp = bp + dlen
-                deb = de_ref[jnp.clip(ds, 0, 29)]
-                dval = (db_ref[jnp.clip(ds, 0, 29)]
-                        + peek(bp, deb))
-                bp = bp + deb
-                return (out_pos + lval,
-                        (_KIND_MATCH << 28) | (dval << 9) | lval, bp)
+            nbits = jnp.where(is_match, clen + eb + dlen + deb, clen)
+            adv = jnp.where(is_match, lval, 1)
+            mark = jnp.where(is_match,
+                             (_KIND_MATCH << 28) | (dval << 9) | lval,
+                             (_KIND_LIT << 28) | sym)
+            mark = jnp.where(okn, mark, 0)
+            adv = jnp.where(okn, adv, jnp.int32(BLOCK))  # corrupt: abort
 
-            nxt, mark, bitpos = jax.lax.cond(sym < 256, lit_case,
-                                             match_case, 0)
-            mark = jnp.where(ok, mark, 0)
-            nxt = jnp.where(ok, nxt, out_len)  # abort on corrupt stream
-            orow = jnp.where(ok & (lane == (out_pos & 127)), mark, orow)
-            return bitpos, nxt, r_new, orow, ok
+            r1 = out_pos >> 7
+            changed = act & (r1 != ro)
+            orow_n = jnp.where(changed, jnp.zeros_like(orow), orow)
+            orow_n = jnp.where(act & (lane == (out_pos & 127)), mark,
+                               orow_n)
+            ro_n = jnp.where(changed, r1, ro)
+            out_ref[c, pl.ds(ro_n, 1), :] = orow_n
+            bitpos_n = jnp.where(act, bitpos + nbits, bitpos)
+            out_pos_n = jnp.where(act, out_pos + adv, out_pos)
+            return (bitpos_n, out_pos_n, ro_n, orow_n,
+                    jnp.where(act, okn, ok))
 
-        init = (bb_ref[b], jnp.int32(0), jnp.int32(0),
-                jnp.zeros((1, 128), jnp.int32), True)
-        bitpos, out_pos, r, orow, ok = jax.lax.while_loop(cond, body, init)
-        out_ref[0, pl.ds(r, 1), :] = orow
+        def cond(states):
+            alive = states[0][4] & (states[0][1] < outls[0])
+            for c in range(1, nblk):
+                alive = alive | (states[c][4] & (states[c][1] < outls[c]))
+            return alive
+
+        def body(states):
+            return tuple(step_chain(c, states[c]) for c in range(nblk))
+
+        init = tuple(
+            (bb_ref[g * nblk + c], zero, zero,
+             jnp.zeros((1, 128), jnp.int32), True)
+            for c in range(nblk))
+        jax.lax.while_loop(cond, body, init)
 
     out = pl.pallas_call(
         kernel,
-        grid=(NB,),
+        grid=(NBp // nblk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
-            pl.BlockSpec((1, r_s, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, TAB // 128, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, TAB // 128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, r_s, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, r_o, 128), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, r_o, 128), jnp.int32),
+        out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
         interpret=interpret,
     )(body_bit_local, out_len, lit_mask, dist_mask, len_base, len_extra,
       dist_base, dist_extra, s3, l3, d3)
-    return out.reshape(NB, BLOCK)
+    return out.reshape(NBp, BLOCK)[:NB]
 
 
 def _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
@@ -221,7 +263,7 @@ def usable() -> bool:
 
 
 _resolve_jit = jax.jit(_resolve_fn, static_argnames=("n_out",))
-_walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret",))
+_walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
 
 
 def decompress_indexed(stream: bytes, end_bits: np.ndarray,
