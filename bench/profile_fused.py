@@ -38,9 +38,10 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
                  tables):
     from tpz.kernels.deflate_plan_device import plan_device
     from tpz.kernels.matchfinder import suffix_screen_w
-    from tpz.kernels.parse import parse_extend_pallas_v3
+    from tpz.kernels.parse import parse_extend_pallas_v3y
 
     sl = slice(WINDOW, WINDOW + BLOCK)
+    restart = 16384  # DeflateConfig.restart
 
     @jax.jit
     def fn(span, span_off, span_len, block_len, buf_start, bfinal, out_buf,
@@ -48,15 +49,16 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
         words = dp._make_words(span)
         if stage == 0:
             return _csum(words)
-        pk1, pk2, _ = suffix_screen_w(
-            words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes)
+        pk1, pk2, cap_at = suffix_screen_w(
+            words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes,
+            restart)
         if stage == 1:
             return _csum(pk1, pk2)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
-        reach, mlen, mdist = parse_extend_pallas_v3(
-            pk1[:, sl], pk2[:, sl], words_i32,
+        reach, mlen, mdist = parse_extend_pallas_v3y(
+            pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
             block_len[:, None], WINDOW, 258, screen_bytes,
-            lazy=lazy, max_lazy=max_lazy)
+            lazy=lazy, max_lazy=max_lazy, restart=restart)
         if stage == 2:
             return _csum(reach, mlen, mdist)
         NB = words.shape[0]
@@ -92,7 +94,7 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
     return fn
 
 
-STAGE_NAMES = ["make_words", "suffix_screen", "walk_v3", "histograms",
+STAGE_NAMES = ["make_words", "suffix_screen", "walk_v3y", "histograms",
                "plan_device", "assemble_v2"]
 
 
