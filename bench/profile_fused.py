@@ -69,11 +69,10 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
         lsym, _, _ = bitpack.length_symbol(jnp.clip(mlen, 0, 258))
         lit_sym = jnp.where(is_match, lsym, data_block)
         dsym, _, _ = bitpack.dist_symbol(jnp.maximum(mdist, 1))
-        bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 0)
-        lit_hist = jnp.zeros((NB, 288), jnp.int32).at[
-            bidx, jnp.clip(lit_sym, 0, 287)].add(is_token.astype(jnp.int32))
-        dist_hist = jnp.zeros((NB, 30), jnp.int32).at[
-            bidx, jnp.clip(dsym, 0, 29)].add(is_match.astype(jnp.int32))
+        lit_hist = dp._hist_by_sort(
+            jnp.where(is_token, jnp.clip(lit_sym, 0, 287), 288), 288)
+        dist_hist = dp._hist_by_sort(
+            jnp.where(is_match, jnp.clip(dsym, 0, 29), 30), 30)
         if stage == 3:
             return _csum(lit_hist, dist_hist)
         lit_hist = lit_hist.at[:, 256].set(0)
