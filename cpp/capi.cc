@@ -4,6 +4,7 @@
 // tpz/errors.py for the code map) unless it's an infallible pure function.
 // Output buffers are caller-allocated; *out_len carries capacity in and
 // actual length out. Status 4 = buffer too small.
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -37,9 +38,14 @@ int CopyOut(const std::vector<uint8_t>& v, uint8_t* out, size_t* out_len) {
   return kOk;
 }
 
+// 14 int32s, matching tpz/oracle/__init__.py params_array():
+// [0] window      [1] min_match  [2] max_match  [3] max_chain
+// [4] hash_bits   [5] block_size [6] lazy       [7] too_far_rule
+// [8] too_far     [9] max_lazy   [10] n_extend  [11] screen_bytes
+// [12] suffix_mode [13] restart
+constexpr int kNumLzssParams = 14;
+
 LzssParams ParamsFromArray(const int32_t* p) {
-  // [window, min_match, max_match, max_chain, hash_bits, block_size, lazy,
-  //  too_far_rule, too_far, max_lazy, n_extend]
   LzssParams lp;
   lp.window = p[0];
   lp.min_match = p[1];
@@ -84,10 +90,10 @@ void tpz_huff_canonical(const uint8_t* lengths, int32_t nsyms,
 
 // -------------------------------------------------------------------- lzss
 // tokens_out layout: 4 x int32 per token [pos, len, lit, dist].
-int tpz_lzss_tokenize(const uint8_t* in, size_t n, const int32_t* params9,
+int tpz_lzss_tokenize(const uint8_t* in, size_t n, const int32_t* params14,
                       int32_t* tokens_out, size_t* ntokens /* cap in/out */) {
   std::vector<Token> toks;
-  LzssTokenize(in, n, ParamsFromArray(params9), &toks);
+  LzssTokenize(in, n, ParamsFromArray(params14), &toks);
   if (toks.size() > *ntokens) {
     *ntokens = toks.size();
     return kBufferTooSmall;
@@ -103,10 +109,10 @@ int tpz_lzss_tokenize(const uint8_t* in, size_t n, const int32_t* params9,
 }
 
 // ----------------------------------------------------------------- deflate
-int tpz_deflate_encode(const uint8_t* in, size_t n, const int32_t* params9,
+int tpz_deflate_encode(const uint8_t* in, size_t n, const int32_t* params14,
                        uint8_t* out, size_t* out_len) {
   DeflateParams dp;
-  dp.lzss = ParamsFromArray(params9);
+  dp.lzss = ParamsFromArray(params14);
   BitWriterLSB bw;
   DeflateEncode(in, n, dp, &bw);
   return CopyOut(bw.bytes(), out, out_len);
@@ -134,10 +140,10 @@ int tpz_deflate_encode_block(const uint8_t* block_data, size_t block_len,
 // Action::Flush segment: all blocks BFINAL=0 + sync-flush empty stored
 // block; concatenable into one stream (see DeflateEncode final_stream).
 int tpz_deflate_encode_flush(const uint8_t* in, size_t n,
-                             const int32_t* params9, uint8_t* out,
+                             const int32_t* params14, uint8_t* out,
                              size_t* out_len) {
   DeflateParams dp;
-  dp.lzss = ParamsFromArray(params9);
+  dp.lzss = ParamsFromArray(params14);
   BitWriterLSB bw;
   DeflateEncode(in, n, dp, &bw, /*final_stream=*/false);
   return CopyOut(bw.bytes(), out, out_len);
@@ -149,6 +155,37 @@ int tpz_inflate(const uint8_t* in, size_t n, uint8_t* out, size_t* out_len,
   int st = Inflate(in, n, &v, consumed);
   if (st != 0) return st;
   return CopyOut(v, out, out_len);
+}
+
+// Resumable inflate for the streaming decode facade (tpz.api.DecodeStream):
+// O(1) state between feeds, O(total) across many small writes.
+void* tpz_inflate_stream_new(void) { return new InflateStream(); }
+void tpz_inflate_stream_free(void* h) {
+  delete static_cast<InflateStream*>(h);
+}
+// Returns status (0 ok, 1 data error); *finished=1 once the final block is
+// complete; *consumed = input bytes the finished stream spans; *pending =
+// decoded bytes available to take.
+int tpz_inflate_stream_feed(void* h, const uint8_t* data, size_t len,
+                            int32_t* finished, int64_t* consumed,
+                            int64_t* pending) {
+  auto* s = static_cast<InflateStream*>(h);
+  int st = s->Feed(data, len);
+  *finished = s->finished() ? 1 : 0;
+  *consumed = (int64_t)s->consumed_bytes();
+  *pending = (int64_t)s->pending().size();
+  return st;
+}
+// Copies up to `cap` pending decoded bytes into `out` and removes them.
+int64_t tpz_inflate_stream_take(void* h, uint8_t* out, int64_t cap) {
+  auto* s = static_cast<InflateStream*>(h);
+  auto& p = s->pending();
+  int64_t take = std::min<int64_t>(cap, (int64_t)p.size());
+  if (take > 0) {
+    std::memcpy(out, p.data(), (size_t)take);
+    p.erase(p.begin(), p.begin() + take);
+  }
+  return take;
 }
 
 int tpz_inflate_scan_headers(const uint8_t* in, size_t n,
@@ -411,11 +448,11 @@ extern "C" int tpz_lzss_unpack(const uint8_t* in, size_t in_len,
 extern "C" int tpz_deflate_encode_many(const uint8_t* blob,
                                        const int64_t* offs,
                                        const int64_t* lens, int32_t n,
-                                       const int32_t* params9,
+                                       const int32_t* params14,
                                        uint8_t* out_blob,
                                        const int64_t* out_offs,
                                        int64_t* out_lens, int32_t n_threads) {
-  LzssParams lp = ParamsFromArray(params9);
+  LzssParams lp = ParamsFromArray(params14);
   std::atomic<int32_t> next(0);
   std::atomic<int> status(0);
   auto worker = [&]() {

@@ -660,6 +660,228 @@ int Inflate(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
 }
 
 // ---------------------------------------------------------------------------
+// Resumable inflate (streaming decode facade backend)
+// ---------------------------------------------------------------------------
+
+struct InflateStream::Impl {
+  enum State { kBlockHeader, kStoredData, kSymbols, kDone, kError };
+
+  std::vector<uint8_t> in;   // unconsumed input tail
+  uint64_t in_base = 0;      // bytes dropped from the front of the stream
+  uint64_t bitpos = 0;       // absolute bit position of the next decode
+  std::vector<uint8_t> out;  // decoded bytes not yet taken
+  uint8_t hist[32768];       // history ring over ALL output (window source)
+  uint64_t total_out = 0;
+  State state = kBlockHeader;
+  bool bfinal = false;
+  uint32_t stored_remaining = 0;
+  HuffDecodeTable lit, dist;
+
+  void Emit(uint8_t b) {
+    out.push_back(b);
+    hist[total_out & 32767] = b;
+    ++total_out;
+  }
+
+  // Decode as far as the buffered input allows. Every symbol/table/header
+  // consumes from a checkpointed bit position; an overrun rolls back to
+  // the checkpoint so the next Feed resumes exactly there.
+  int Run() {
+    for (;;) {
+      switch (state) {
+        case kDone:
+          return kStatusOk;
+        case kError:
+          return kStatusDataError;
+        case kStoredData: {
+          uint64_t p = bitpos >> 3;  // byte-aligned by construction
+          uint64_t avail = in_base + in.size() - p;
+          uint64_t take = std::min<uint64_t>(avail, stored_remaining);
+          const uint8_t* src = in.data() + (p - in_base);
+          for (uint64_t i = 0; i < take; ++i) Emit(src[i]);
+          stored_remaining -= (uint32_t)take;
+          bitpos += 8 * take;
+          if (stored_remaining > 0) return kStatusOk;  // need more input
+          state = bfinal ? kDone : kBlockHeader;
+          continue;
+        }
+        case kBlockHeader: {
+          uint64_t cp = bitpos;
+          BitReaderLSB br(in.data(), in.size());
+          br.SeekByte((size_t)((cp >> 3) - in_base));
+          if (cp & 7) br.Read((int)(cp & 7));
+          bool bf = br.Read(1) != 0;
+          uint32_t btype = br.Read(2);
+          if (br.Overrun()) return kStatusOk;  // need more
+          if (btype == 3) {
+            state = kError;
+            return kStatusDataError;
+          }
+          if (btype == 0) {
+            br.AlignByte();
+            uint32_t len = br.Read(16);
+            uint32_t nlen = br.Read(16);
+            if (br.Overrun()) return kStatusOk;
+            if ((len ^ nlen) != 0xffff) {
+              state = kError;
+              return kStatusDataError;
+            }
+            bfinal = bf;
+            stored_remaining = len;
+            bitpos = 8 * in_base + br.BitPos();
+            state = kStoredData;
+            continue;
+          }
+          if (btype == 1) {
+            lit = GetFixedTables().lit;
+            dist = GetFixedTables().dist;
+          } else {
+            uint32_t hlit = br.Read(5) + 257;
+            uint32_t hdist = br.Read(5) + 1;
+            uint32_t hclen = br.Read(4) + 4;
+            uint8_t cl_len[19] = {0};
+            for (uint32_t i = 0; i < hclen; ++i)
+              cl_len[kClOrder[i]] = (uint8_t)br.Read(3);
+            if (br.Overrun()) return kStatusOk;
+            HuffDecodeTable cl;
+            if (!BuildDecodeTable(cl_len, 19, true, &cl) || cl.bits == 0) {
+              state = kError;
+              return kStatusDataError;
+            }
+            uint8_t lens[288 + 32] = {0};
+            uint32_t total = hlit + hdist;
+            uint32_t i = 0;
+            while (i < total) {
+              int sym = DecodeSym(&br, cl);
+              if (br.Overrun()) return kStatusOk;
+              if (sym < 0) {
+                state = kError;
+                return kStatusDataError;
+              }
+              if (sym < 16) {
+                lens[i++] = (uint8_t)sym;
+              } else if (sym == 16) {
+                if (i == 0) {
+                  state = kError;
+                  return kStatusDataError;
+                }
+                uint32_t rep = 3 + br.Read(2);
+                if (i + rep > total) {
+                  state = kError;
+                  return kStatusDataError;
+                }
+                uint8_t v = lens[i - 1];
+                while (rep--) lens[i++] = v;
+              } else if (sym == 17) {
+                uint32_t rep = 3 + br.Read(3);
+                if (i + rep > total) {
+                  state = kError;
+                  return kStatusDataError;
+                }
+                i += rep;
+              } else {
+                uint32_t rep = 11 + br.Read(7);
+                if (i + rep > total) {
+                  state = kError;
+                  return kStatusDataError;
+                }
+                i += rep;
+              }
+            }
+            if (br.Overrun()) return kStatusOk;
+            uint8_t dlens[32] = {0};
+            std::memcpy(dlens, lens + hlit, hdist);
+            if (!BuildDecodeTable(lens, (int)hlit, true, &lit) ||
+                !BuildDecodeTable(dlens, (int)hdist, true, &dist) ||
+                lit.bits == 0) {
+              state = kError;
+              return kStatusDataError;
+            }
+          }
+          bfinal = bf;
+          bitpos = 8 * in_base + br.BitPos();
+          state = kSymbols;
+          continue;
+        }
+        case kSymbols: {
+          BitReaderLSB br(in.data(), in.size());
+          br.SeekByte((size_t)((bitpos >> 3) - in_base));
+          if (bitpos & 7) br.Read((int)(bitpos & 7));
+          for (;;) {
+            int sym = DecodeSym(&br, lit);
+            if (br.Overrun()) return kStatusOk;  // rollback to bitpos
+            if (sym < 0) {
+              state = kError;
+              return kStatusDataError;
+            }
+            if (sym < 256) {
+              Emit((uint8_t)sym);
+              bitpos = 8 * in_base + br.BitPos();
+              continue;
+            }
+            if (sym == 256) {
+              bitpos = 8 * in_base + br.BitPos();
+              state = bfinal ? kDone : kBlockHeader;
+              break;
+            }
+            if (sym > 285) {
+              state = kError;
+              return kStatusDataError;
+            }
+            uint32_t len =
+                kLengthBase[sym - 257] + br.Read(kLengthExtra[sym - 257]);
+            if (dist.bits == 0) {
+              state = kError;
+              return kStatusDataError;
+            }
+            int ds = DecodeSym(&br, dist);
+            if (br.Overrun()) return kStatusOk;
+            if (ds < 0 || ds > 29) {
+              state = kError;
+              return kStatusDataError;
+            }
+            uint32_t d = kDistBase[ds] + br.Read(kDistExtra[ds]);
+            if (br.Overrun()) return kStatusOk;
+            if (d > total_out) {
+              state = kError;
+              return kStatusDataError;
+            }
+            for (uint32_t k2 = 0; k2 < len; ++k2)
+              Emit(hist[(total_out - d) & 32767]);
+            bitpos = 8 * in_base + br.BitPos();
+          }
+          continue;
+        }
+      }
+    }
+  }
+};
+
+InflateStream::InflateStream() : impl_(new Impl) {}
+InflateStream::~InflateStream() { delete impl_; }
+
+int InflateStream::Feed(const uint8_t* data, size_t len) {
+  if (impl_->state == Impl::kError) return kStatusDataError;
+  impl_->in.insert(impl_->in.end(), data, data + len);
+  int st = impl_->Run();
+  // Drop the consumed prefix so memory stays O(window), not O(stream).
+  uint64_t keep_from = (impl_->bitpos >> 3) - impl_->in_base;
+  if (keep_from > 4096) {
+    impl_->in.erase(impl_->in.begin(), impl_->in.begin() + keep_from);
+    impl_->in_base += keep_from;
+  }
+  return st;
+}
+
+bool InflateStream::finished() const { return impl_->state == Impl::kDone; }
+
+uint64_t InflateStream::consumed_bytes() const {
+  return (impl_->bitpos + 7) >> 3;
+}
+
+std::vector<uint8_t>& InflateStream::pending() { return impl_->out; }
+
+// ---------------------------------------------------------------------------
 // Header scan for device-parallel decode (SURVEY.md §7.4): given the
 // encoder's per-block end-bit index (gzip FEXTRA 'TZ' side-car), parse
 // ONLY the block headers — O(tables), no symbol scan — and export flat

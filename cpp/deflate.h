@@ -48,6 +48,33 @@ void DeflateEncode(const uint8_t* in, size_t n, const DeflateParams& params,
 int Inflate(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
             size_t* consumed_bytes /* nullable: bytes of `in` consumed */);
 
+// Resumable raw-DEFLATE decoder for streaming decode facades (reference
+// DecodeExt iterator adapters, SURVEY.md §2.1 "Encode/Decode traits"):
+// Feed() accepts input increments and decodes as far as possible, keeping
+// O(1) state (bit position, current block's tables, 32 KiB history ring)
+// between calls — many small writes cost O(total), not O(n^2).
+class InflateStream {
+ public:
+  InflateStream();
+  ~InflateStream();
+  InflateStream(const InflateStream&) = delete;
+  InflateStream& operator=(const InflateStream&) = delete;
+
+  // Append input and decode. Returns 0 ok (finished or need more input),
+  // 1 data error (persistent).
+  int Feed(const uint8_t* data, size_t len);
+  bool finished() const;
+  // Bytes of the overall input consumed by the complete stream (valid
+  // once finished(); includes the final byte-alignment padding).
+  uint64_t consumed_bytes() const;
+  // Decoded bytes not yet taken by the caller.
+  std::vector<uint8_t>& pending();
+
+ private:
+  struct Impl;
+  Impl* impl_;
+};
+
 // Header-only scan for device-parallel decode: per encoder-indexed block
 // (end_bits from the gzip 'TZ' side-car), parse the block header and
 // export flat single-level decode tables ([nb, 1<<15] u32 entries of

@@ -103,3 +103,25 @@ def test_device_ibwt_decode_corrupt():
             raise AssertionError("corruption not detected")
     except CompressionError:
         pass
+
+
+def test_scan_to_last_rejects_corrupt_combined_crc():
+    """ADVICE r2 medium: the device decode path must verify the EOS magic
+    and combined stream CRC like both host decoders."""
+    from tpz.errors import DataError
+
+    data = corpus.text(3000)
+    blob = bytearray(oracle.bzip2_encode(data, 1))
+    # Byte -5 lies inside the EOS trailer (last magic byte or the combined
+    # CRC, depending on bit padding); flipping it must be caught.
+    blob[-5] ^= 0xFF
+    with pytest.raises(DataError):
+        oracle.bzip2_scan_to_last(bytes(blob))
+
+
+def test_scan_to_last_multistream_falls_back():
+    """Concatenated streams have a non-contiguous block layout; the
+    indexed path declines (None) and the serial decoder handles them."""
+    a = oracle.bzip2_encode(corpus.text(2000), 1)
+    b = oracle.bzip2_encode(corpus.repetitive(2000), 1)
+    assert oracle.bzip2_scan_to_last(a + b) is None

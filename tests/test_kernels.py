@@ -222,58 +222,6 @@ def test_parse_extend_pallas_v3w_matches_oracle_tokens(lazy):
 
 
 @pytest.mark.parametrize("lazy", [False, True])
-def test_parse_extend_pallas_v3x_matches_oracle_tokens(lazy):
-    """Fast/slow precomputed-mark walk (interpret) == oracle suffix_mode:
-    fast multi-mark chasing, demoted-mark probe lengths, and the slow
-    saturated paths all produce the sequential token stream."""
-    from tpz.kernels import matchfinder as mf
-    from tpz.kernels.parse import parse_extend_pallas_v3x
-
-    if not oracle.available():
-        pytest.skip("oracle not built")
-    window, block, n_blocks, restart = 512, 1024, 3, 256
-    n = n_blocks * block - 100
-    raw = corpus.mixed(n, seed=321)
-    data = np.frombuffer(raw, np.uint8)
-    span = np.zeros(window + n_blocks * block + 512, np.uint8)
-    span[window:window + n] = data
-    m = window + block + 512
-    idx = np.arange(n_blocks)[:, None] * block + np.arange(m)[None, :]
-    blocks = jnp.asarray(span[idx].astype(np.int32))
-    words = mf.words_at(blocks)
-    span_off = jnp.asarray((np.arange(n_blocks) * block).astype(np.int32))
-    block_len = jnp.asarray(np.minimum(
-        n - np.arange(n_blocks) * block, block).astype(np.int32))
-
-    pk1, pk2, cap_at = mf.suffix_screen_w(
-        words, span_off, jnp.int32(n), 8, window, block, 258, 16, restart)
-    words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
-    sl = slice(window, window + block)
-    reach, mlen, mdist = parse_extend_pallas_v3x(
-        pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
-        block_len[:, None], window, 258, 16, lazy=lazy, restart=restart,
-        nblk=2, interpret=True)
-    reach, mlen, mdist = map(np.asarray, (reach, mlen, mdist))
-    bl = np.asarray(block_len)
-
-    ref = oracle.lzss_tokenize(
-        raw, oracle.params_array(window=window, max_chain=8,
-                                 block_size=block, lazy=lazy, n_extend=2,
-                                 screen_bytes=16, suffix_mode=True,
-                                 restart=restart))
-    dev_tokens = []
-    for b in range(n_blocks):
-        for p in np.nonzero((reach[b] > 0) & (np.arange(block) < bl[b]))[0]:
-            pos = b * block + int(p)
-            ln = int(mlen[b, p])
-            if ln >= 3:
-                dev_tokens.append((pos, ln, 0, int(mdist[b, p])))
-            else:
-                dev_tokens.append((pos, 0, int(data[pos]), 0))
-    assert dev_tokens == [tuple(t) for t in ref.tolist()]
-
-
-@pytest.mark.parametrize("lazy", [False, True])
 def test_parse_extend_pallas_v3y_matches_oracle_tokens(lazy):
     """Mark-fast-path walk (interpret) == oracle suffix_mode."""
     from tpz.kernels import matchfinder as mf

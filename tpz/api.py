@@ -229,6 +229,32 @@ class CodecStream:
         return self.finish()
 
 
+class _MemberInflate:
+    """One resumable raw-DEFLATE stream (cpp InflateStream via the oracle).
+    Tracks fed-vs-consumed so the bytes past the stream end (container
+    trailer / next member) are recoverable from the finishing chunk."""
+
+    def __init__(self) -> None:
+        from tpz import oracle
+
+        self._s = oracle.InflateStream()
+        self._fed = 0
+        self.done = False
+        self.extra = b""  # bytes past the stream end (from the last chunk)
+
+    def feed(self, data: bytes) -> bytes:
+        out = self._s.feed(data)
+        self._fed += len(data)
+        if self._s.finished:
+            self.done = True
+            overshoot = self._fed - self._s.consumed
+            # The decoder never consumes past the final EOB, so overshoot
+            # bytes all come from the chunk that finished the stream.
+            self.extra = data[len(data) - overshoot:] if overshoot else b""
+            self._s.close()
+        return out
+
+
 class DecodeStream:
     """Streaming decode facade (parity: the crate's DecodeExt iterator
     adapters, [HIGH] SURVEY.md §2.1 — decode-side Action symmetry).
@@ -238,6 +264,11 @@ class DecodeStream:
     otherwise); finish() returns the remaining plaintext and raises
     UnexpectedEof if the stream is incomplete, DataError on trailing
     garbage after a completed single-stream format.
+
+    The DEFLATE family decodes incrementally (resumable cpp InflateStream
+    + running checksums): many small writes cost O(total bytes), not
+    O(writes x stream). Whole-buffer formats (bzip2/lzss/lh4-lh7) retry
+    a full parse per write.
     """
 
     def __init__(self, format: str = "gzip") -> None:
@@ -245,57 +276,135 @@ class DecodeStream:
         if format not in _FORMATS:
             raise ValueError(f"unknown format {format!r}")
         self._format = format
-        self._buf = bytearray()
+        self._buf = bytearray()  # header/trailer bytes (incremental mode)
         self._finished = False
-        self._done_single = False  # single-stream formats: stream complete
+        if format in _DEFLATE_FAMILY:
+            self._state = "body" if format == "deflate" else "header"
+            self._inf: _MemberInflate | None = None
+            self._plain = bytearray()  # current member, pending emit
+            self._crc = 0xFFFFFFFF
+            self._adler = 1
+            self._any_input = False
+        else:
+            self._state = "buffered"
 
-    def _drain(self, final: bool) -> bytes:
+    # ------------------------------------------------- DEFLATE-family pump
+    def _pump(self, data: bytes) -> bytes:
+        from tpz import oracle
         from tpz.errors import UnexpectedEof
 
         out = bytearray()
-        if self._format == "gzip":
-            from tpz.codecs import gzip_codec
+        buf = data
+        while True:
+            if self._state == "header":
+                self._buf += buf
+                buf = b""
+                if self._format == "zlib":
+                    if len(self._buf) < 2:
+                        break
+                    from tpz.codecs import zlib_codec
 
-            off = 0
-            buf = bytes(self._buf)
-            while off < len(buf):
-                try:
-                    plain, off = gzip_codec.decompress_member_prefix(buf, off)
-                except UnexpectedEof:
-                    if final:
-                        raise
+                    zlib_codec.check_header(self._buf[0], self._buf[1])
+                    buf = bytes(self._buf[2:])
+                else:  # gzip
+                    from tpz.codecs import gzip_codec
+
+                    try:
+                        pos, _ = gzip_codec.parse_header_extra(
+                            bytes(self._buf), 0)
+                    except UnexpectedEof:
+                        break
+                    buf = bytes(self._buf[pos:])
+                self._buf.clear()
+                self._inf = _MemberInflate()
+                self._state = "body"
+            elif self._state == "body":
+                if self._inf is None:
+                    self._inf = _MemberInflate()
+                if not buf and not self._inf.done:
                     break
-                out += plain
-            del self._buf[:off]
-            return bytes(out)
-        if self._format in ("zlib", "deflate"):
-            if self._done_single:
-                if self._buf and final:
-                    raise DataError(
-                        f"trailing garbage after {self._format} stream")
-                return b""
-            if self._format == "zlib":
-                from tpz.codecs import zlib_codec as _c
+                chunk = self._inf.feed(buf)
+                buf = b""
+                if chunk:
+                    self._plain += chunk
+                    if self._format == "gzip":
+                        self._crc = oracle.crc32_reflected(chunk, self._crc)
+                    elif self._format == "zlib":
+                        self._adler = oracle.adler32(chunk, self._adler)
+                if not self._inf.done:
+                    break
+                buf = self._inf.extra
+                self._inf = None
+                self._state = "trailer"
+            elif self._state == "trailer":
+                import struct
 
-                prefix = _c.decompress_prefix
-            else:
-                from tpz.codecs import deflate as _c
+                self._buf += buf
+                buf = b""
+                if self._format == "deflate":
+                    out += self._plain
+                    self._plain.clear()
+                    self._state = "done"
+                    continue
+                need = 8 if self._format == "gzip" else 4
+                if len(self._buf) < need:
+                    break
+                if self._format == "gzip":
+                    crc, isize = struct.unpack_from("<II", self._buf, 0)
+                    if crc != self._crc ^ 0xFFFFFFFF:
+                        raise DataError("gzip CRC mismatch")
+                    if isize != len(self._plain) & 0xFFFFFFFF:
+                        raise DataError("gzip ISIZE mismatch")
+                    self._crc = 0xFFFFFFFF
+                else:
+                    (expect,) = struct.unpack_from(">I", self._buf, 0)
+                    if expect != self._adler:
+                        raise DataError(
+                            f"adler32 mismatch: {self._adler:#x} != "
+                            f"{expect:#x}")
+                out += self._plain
+                self._plain.clear()
+                buf = bytes(self._buf[need:])
+                self._buf.clear()
+                # gzip: further members may follow; zlib: exactly one.
+                self._state = "header" if self._format == "gzip" else "done"
+                if self._state == "header" and not buf:
+                    break
+            elif self._state == "done":
+                self._buf += buf
+                break
+        return bytes(out)
 
-                prefix = _c.decompress_prefix
-            try:
-                plain, consumed = prefix(bytes(self._buf))
-            except UnexpectedEof:
-                if final:
-                    raise
-                return b""
-            del self._buf[:consumed]
-            self._done_single = True
-            if self._buf and final:
+    def _pump_final(self) -> None:
+        from tpz.errors import UnexpectedEof
+
+        if self._state == "done":
+            if self._buf:
                 raise DataError(
                     f"trailing garbage after {self._format} stream")
-            return plain
+            return
+        if self._state == "header":
+            if not self._buf:
+                return  # clean end at a member boundary
+            if self._format == "gzip":
+                from tpz.codecs import gzip_codec
+
+                # Raises UnexpectedEof (truncated) or DataError (garbage).
+                gzip_codec.parse_header_extra(bytes(self._buf), 0)
+            raise UnexpectedEof(f"{self._format} header truncated")
+        if self._state == "body" and self._format == "deflate" \
+                and not self._any_input:
+            return  # nothing ever written
+        raise UnexpectedEof(f"{self._format} stream truncated")
+
+    # ------------------------------------------------------------- surface
+    def _drain_buffered(self, final: bool) -> bytes:
+        from tpz.errors import UnexpectedEof
+
         # Whole-buffer formats (bzip2 multi-stream, lzss, lh4-lh7): emit
         # when the accumulated input parses completely.
+        if not self._buf:
+            return b""
         try:
             plain = decompress(bytes(self._buf), self._format)
         except UnexpectedEof:
@@ -308,15 +417,19 @@ class DecodeStream:
     def write(self, data: bytes) -> bytes:
         if self._finished:
             raise DataError("decode stream already finished")
-        self._buf += data
-        if not self._buf:
-            return b""
-        return self._drain(final=False)
+        if self._state == "buffered":
+            self._buf += data
+            return self._drain_buffered(final=False)
+        if data:
+            self._any_input = True
+        return self._pump(data)
 
     def finish(self) -> bytes:
         if self._finished:
             raise DataError("decode stream already finished")
         self._finished = True
-        if not self._buf:
-            return b""
-        return self._drain(final=True)
+        if self._state == "buffered":
+            return self._drain_buffered(final=True)
+        out = self._pump(b"")
+        self._pump_final()
+        return out

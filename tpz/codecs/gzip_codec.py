@@ -155,8 +155,20 @@ def decompress_member_prefix(data: bytes, off: int = 0,
     if idx is not None and backend == "tpu":
         from tpz.kernels import inflate_pipeline
 
-        if inflate_pipeline.usable():
-            end_bits, out_lens = idx
+        # The side-car is untrusted input (ADVICE r2): a crafted/foreign
+        # index must not crash or over-allocate — validate shape bounds
+        # and fall back to the host path on anything suspicious.
+        end_bits, out_lens = idx
+        body_cap = len(data) - pos - 8  # member body ends before trailer
+        ok = (
+            len(end_bits) >= 1
+            and bool((end_bits[:-1] < end_bits[1:]).all())
+            and int(end_bits[0]) > 0
+            and (int(end_bits[-1]) + 7) // 8 <= body_cap
+            and bool((out_lens[:-1] == inflate_pipeline.BLOCK).all())
+            and 0 <= int(out_lens[-1]) <= inflate_pipeline.BLOCK
+        )
+        if ok and inflate_pipeline.usable():
             nbytes = (int(end_bits[-1]) + 7) // 8
             plain = inflate_pipeline.decompress_indexed(
                 data[pos:pos + nbytes], end_bits, out_lens)

@@ -35,18 +35,22 @@ def compress(data: bytes, level: int = 6, backend: str = "auto") -> bytes:
     return header_bytes(level) + body + struct.pack(">I", adler)
 
 
-def decompress_prefix(data: bytes) -> tuple[bytes, int]:
-    """Decode one zlib stream that may be followed by more data.
-    Returns (plaintext, consumed_bytes incl. header and trailer)."""
-    if len(data) < 6:
-        raise UnexpectedEof("zlib stream too short")
-    cmf, flg = data[0], data[1]
+def check_header(cmf: int, flg: int) -> None:
+    """Validate the 2-byte CMF/FLG header (RFC 1950 §2.2)."""
     if (cmf * 256 + flg) % 31 != 0:
         raise DataError("zlib header FCHECK failed")
     if cmf & 0x0F != ZLIB_CM_DEFLATE:
         raise DataError(f"unsupported zlib CM {cmf & 0x0f}")
     if flg & 0x20:  # FDICT
         raise DataError("preset dictionaries not supported")
+
+
+def decompress_prefix(data: bytes) -> tuple[bytes, int]:
+    """Decode one zlib stream that may be followed by more data.
+    Returns (plaintext, consumed_bytes incl. header and trailer)."""
+    if len(data) < 6:
+        raise UnexpectedEof("zlib stream too short")
+    check_header(data[0], data[1])
     plain, consumed = deflate.decompress_prefix(data[2:])
     trailer = data[2 + consumed : 2 + consumed + 4]
     if len(trailer) < 4:

@@ -82,7 +82,20 @@ def package_merge_lengths(freqs: jax.Array, limit: int) -> jax.Array:
     """freqs [NB, NS] int32 (>=0) -> lengths [NB, NS] int32.
 
     Bit-identical to cpp/huffman.cc PackageMergeLengths (n > 2^limit cannot
-    happen for DEFLATE shapes: 288 < 2^15, 19 < 2^7)."""
+    happen for DEFLATE shapes: 288 < 2^15, 19 < 2^7).
+
+    PRECONDITION (ADVICE r2): packed int32 keys are (weight << 10 | flags/
+    sym), and package weights can reach sum(freqs) per row — so the row
+    frequency sum must stay < 2^19 to keep every real key below _PAD
+    (1 << 29); >= 2^21 would wrap negative. DEFLATE blocks satisfy this
+    structurally (<= 65536 tokens + EOB per 64 KiB block => sum <= 65537 <
+    2^19); a bigger BLOCK or frequency scaling needs a wider key packing.
+    """
+    from tpz.kernels.matchfinder import BLOCK as _BLOCK
+
+    assert _BLOCK + 1 < (1 << 19), (
+        "package_merge_lengths int32 key packing requires sum(freqs) < 2^19"
+    )
     NB, NS = freqs.shape
     sym = jax.lax.broadcasted_iota(jnp.int32, (NB, NS), 1)
     active = freqs > 0

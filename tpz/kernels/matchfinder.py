@@ -145,7 +145,7 @@ def suffix_screen_w(words: jax.Array, span_off: jax.Array,
     Returns (pk1, pk2, cap_at): all [NB, M] in position order. pk packs a
     candidate as ((j + 1) << 6) | (s + 1) — j the candidate M-index (-1
     none), s its LCP clamped to min(screen_bytes, cap) — exactly the
-    layout parse_extend_pallas_v3 consumes; no-candidate packs to 0.
+    layout the parse walks (parse.py v3w/v3y) consume; no-candidate packs to 0.
     Position order is restored by ONE inverse-permutation sort keyed on
     the sorted positions (they are a permutation of 0..M-1) instead of
     four XLA scatters: scatter costs per update (~0.14 G/s on this chip,

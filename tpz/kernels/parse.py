@@ -208,156 +208,6 @@ def parse_extend_pallas(screen: jax.Array, best_j: jax.Array,
     return out, jnp.maximum(out - 1, 0)
 
 
-def parse_extend_pallas_v3(pk1: jax.Array, pk2: jax.Array,
-                           words: jax.Array,
-                           block_len: jax.Array, window: int,
-                           max_match: int = 258, screen_bytes: int = 16,
-                           too_far: int = 4096, lazy: bool = False,
-                           max_lazy: int = 258, interpret: bool = False):
-    """Spec-v3 fused parse + extension walk (cpp/lzss.cc BestMatchSuffix +
-    the lazy loop): per token, the top-2 saturated suffix-space candidates
-    are fully extended in VMEM and the strictly longer wins.
-
-    pk1/pk2: [NB, N] packed candidates ((j + 1) << 6) | (s + 1) straight
-    from matchfinder.suffix_screen_w, block region only; words: [NB, M]
-    int32 (bitcast u32 LE 4-byte windows); block_len [NB, 1].
-    Returns (reach, mlen, mdist): reach > 0 marks token positions; the
-    winner's distance must come from the walk because the fully-extended
-    runner-up may replace the screen winner.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    NB, N = pk1.shape
-    M = words.shape[1]
-    assert N % 128 == 0 and M % 128 == 0
-    r_n, r_m = N // 128, M // 128
-    p1 = pk1.reshape(NB, r_n, 128)
-    p2 = pk2.reshape(NB, r_n, 128)
-    w3 = words.reshape(NB, r_m, 128)
-
-    def kernel(blen_ref, p1_ref, p2_ref, w_ref, out_ref):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        out_ref[...] = jnp.zeros_like(out_ref)
-        blen = blen_ref[pl.program_id(0), 0]
-
-        def rd(ref, pos):
-            row = ref[0, pl.ds(pos >> 7, 1), :]
-            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
-
-        def sel(row, pos):
-            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
-
-        def lzbytes(x):
-            b0 = (x & 0xFF) == 0
-            b1 = (x & 0xFFFF) == 0
-            b2 = (x & 0xFFFFFF) == 0
-            return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
-                    + b2.astype(jnp.int32))
-
-        def extend(p, j, start, cap):
-            def ebody(k):
-                w1 = rd(w_ref, p + window + k)
-                w2 = rd(w_ref, j + k)
-                x = w1 ^ w2
-                adv = jnp.where(x == 0, 4, lzbytes(x))
-                k2 = jnp.minimum(k + adv, cap)
-                return jnp.where(x == 0, k2, k2 + jnp.int32(1 << 20))
-
-            k = jax.lax.while_loop(lambda k: (k < cap), ebody, start)
-            return jnp.minimum(k & jnp.int32((1 << 20) - 1), cap)
-
-        def match_len_from(w1, w2, p):
-            ss1 = (w1 & 63) - 1
-            jj1 = (w1 >> 6) - 1
-            ss2 = (w2 & 63) - 1
-            jj2 = (w2 >> 6) - 1
-            cap = jnp.minimum(jnp.int32(max_match), blen - p)
-            screen_cap = jnp.minimum(jnp.int32(screen_bytes), cap)
-
-            def with_ext(_):
-                ln = extend(p, jj1, ss1, cap)
-                need2 = (jj2 >= 0) & (ss2 >= screen_cap) & (ln < cap)
-                ln2 = jax.lax.cond(need2,
-                                   lambda _: extend(p, jj2, ss2, cap),
-                                   lambda _: jnp.int32(-1), 0)
-                use2 = ln2 > ln
-                return (jnp.where(use2, ln2, ln),
-                        jnp.where(use2, jj2, jj1))
-
-            ln, j = jax.lax.cond((ss1 >= screen_cap) & (jj1 >= 0), with_ext,
-                                 lambda _: (ss1, jj1), 0)
-            ln = jnp.where((jj1 < 0) | (ss1 < 3), 0, ln)
-            dist = p + jnp.int32(window) - j
-            ln = jnp.where((ln == 3) & (dist > too_far), 0, ln)
-            return ln, jnp.where(ln > 0, dist, 0)
-
-        def cond(c):
-            return c[0] < N
-
-        def body(c):
-            p, r, prow1, prow2, orow = c
-            r_new = p >> 7
-            changed = r_new != r
-
-            @pl.when(changed)
-            def _():
-                out_ref[0, pl.ds(r, 1), :] = orow
-
-            prow1 = jax.lax.cond(
-                changed, lambda: p1_ref[0, pl.ds(r_new, 1), :],
-                lambda: prow1)
-            prow2 = jax.lax.cond(
-                changed, lambda: p2_ref[0, pl.ds(r_new, 1), :],
-                lambda: prow2)
-            orow = jnp.where(changed, jnp.zeros_like(orow), orow)
-
-            ln, dist = match_len_from(sel(prow1, p), sel(prow2, p), p)
-            if lazy:
-                def lz():
-                    same_row = ((p + 1) >> 7) == r_new
-                    w1 = jax.lax.cond(same_row, lambda: sel(prow1, p + 1),
-                                      lambda: rd(p1_ref, p + 1))
-                    w2 = jax.lax.cond(same_row, lambda: sel(prow2, p + 1),
-                                      lambda: rd(p2_ref, p + 1))
-                    ln2, _ = match_len_from(w1, w2, p + 1)
-                    return ln2
-
-                ln2 = jax.lax.cond(
-                    (ln > 0) & (ln < jnp.int32(max_lazy)) & (p + 1 < blen),
-                    lz, lambda: jnp.int32(0))
-                demote = ln2 > ln
-                ln = jnp.where(demote, 0, ln)
-                dist = jnp.where(demote, 0, dist)
-            mark = (dist << 10) | (ln + 1)
-            orow = jnp.where(lane == (p & 127), mark, orow)
-            return p + jnp.maximum(ln, 1), r_new, prow1, prow2, orow
-
-        init = (jnp.int32(0), jnp.int32(0), p1_ref[0, pl.ds(0, 1), :],
-                p2_ref[0, pl.ds(0, 1), :], jnp.zeros((1, 128), jnp.int32))
-        p, r, prow1, prow2, orow = jax.lax.while_loop(cond, body, init)
-        out_ref[0, pl.ds(r, 1), :] = orow  # flush the final row
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, r_m, 128), lambda b: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, r_n, 128), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, r_n, 128), jnp.int32),
-        interpret=interpret,
-    )(block_len, p1, p2, w3)
-    out = out.reshape(NB, N)
-    visited = out & 1023
-    mlen = jnp.maximum(visited - 1, 0)
-    mdist = jnp.where(visited > 0, out >> 10, 0)
-    return visited, mlen, mdist
-
-
 def parse_extend_pallas_v3w(pk1: jax.Array, pk2: jax.Array,
                             words: jax.Array, block_len: jax.Array,
                             window: int, max_match: int = 258,
@@ -801,375 +651,6 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
 
         jax.lax.while_loop(cond, body,
                            tuple(init_chain(c) for c in range(W)))
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(NBp // nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nblk, R, 128), lambda bb: (bb, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((nblk, r_n, 128), lambda bb: (bb, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NBp, r_n, 128), jnp.int32),
-        interpret=interpret,
-    )(block_len, comb)
-    out = out.reshape(NBp, N)[:NB]
-    visited = out & 1023
-    mlen = jnp.maximum(visited - 1, 0)
-    mdist = jnp.where(mlen > 0, out >> 10, 0)
-    return visited, mlen, mdist
-
-
-def parse_extend_pallas_v3x(pk1: jax.Array, pk2: jax.Array,
-                            cap_at: jax.Array, words: jax.Array,
-                            block_len: jax.Array, window: int,
-                            max_match: int = 258, screen_bytes: int = 16,
-                            too_far: int = 4096, lazy: bool = False,
-                            max_lazy: int = 258, restart: int = 0,
-                            nblk: int = 4, chase: int = 1,
-                            cond_store: bool = False,
-                            interpret: bool = False):
-    """Fast/slow interleaved spec-v3 walk (supersedes v3w for DEFLATE).
-
-    Insight: a token's outcome is a pure elementwise function of its
-    screen data UNLESS its screen saturates (extension needed) or its lazy
-    probe's screen saturates. So the final mark — length, distance,
-    min-match/too-far rules, and the lazy demotion — is PRECOMPUTED in
-    XLA for every such position, and the walk's fast path just reads the
-    mark and hops: one VMEM read and ~a dozen ops per token, with up to
-    THREE marks chased per iteration through dependent prefetch ports.
-    Saturated positions carry their raw screen word plus a flag bit and
-    take the v3w-style state machine (top-2 extension, probe extension).
-
-    Demoted/literal marks store the pre-demotion length in their high
-    bits ((ln_raw << 10) | 1) so a slow token's lazy probe can read the
-    probe length from the mark itself — raw words are needed exactly at
-    flagged positions, nowhere else.
-
-    pk1/pk2/cap_at are block-region slices from suffix_screen_w (restart
-    already applied to cap_at); words is the full [NB, M] i32 halo array.
-    Returns (reach, mlen, mdist) like v3w (junk zeros past block_len).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    NB, N = pk1.shape
-    M = words.shape[1]
-    assert N % 128 == 0 and M % 128 == 0
-    r_n, r_m = N // 128, M // 128
-    if not restart or restart >= N:
-        restart = N
-    assert restart % 128 == 0 and N % restart == 0
-    nsub = N // restart
-    W = nblk * nsub
-    RAW = 1 << 30
-
-    # ---- XLA mark precompute (elementwise, mirrors the kernel's rules) --
-    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
-    blen_col = block_len  # [NB, 1]
-    ss1 = (pk1 & 63) - 1
-    jj1 = (pk1 >> 6) - 1
-    scap = jnp.minimum(jnp.int32(screen_bytes), cap_at)
-    sat = (ss1 >= scap) & (jj1 >= 0)
-    no1 = (jj1 < 0) | (ss1 < 3)
-    ln = jnp.where(no1, 0, ss1)
-    dist = pos + jnp.int32(window) - jj1
-    ln = jnp.where((ln == 3) & (dist > too_far), 0, ln)
-    dist = jnp.where(ln > 0, dist, 0)
-    if lazy:
-        z1 = jnp.zeros((NB, 1), jnp.int32)
-        ln_next = jnp.concatenate([ln[:, 1:], z1], axis=1)
-        sat_next = jnp.concatenate(
-            [sat[:, 1:], jnp.zeros((NB, 1), bool)], axis=1)
-        probe_would = ((ln > 0) & (ln < jnp.int32(max_lazy))
-                       & (pos + 1 < blen_col))
-        demote = probe_would & ~sat_next & (ln_next > ln)
-        flagged = sat | (probe_would & sat_next)
-    else:
-        demote = jnp.zeros((NB, N), bool)
-        flagged = sat
-    mark = jnp.where(demote | (ln == 0), (ln << 10) | 1,
-                     (dist << 10) | (ln + 1))
-    w1 = jnp.where(flagged, pk1 | RAW, mark)
-
-    NBp = -(-NB // nblk) * nblk
-    if NBp != NB:
-        pad = NBp - NB
-        w1 = jnp.concatenate([w1, jnp.zeros((pad, N), w1.dtype)], axis=0)
-        pk2 = jnp.concatenate(
-            [pk2, jnp.zeros((pad, N), pk2.dtype)], axis=0)
-        words = jnp.concatenate(
-            [words, jnp.zeros((pad, M), words.dtype)], axis=0)
-        block_len = jnp.concatenate(
-            [block_len, jnp.zeros((pad, 1), block_len.dtype)], axis=0)
-    comb = jnp.concatenate(
-        [w1.reshape(NBp, r_n, 128), pk2.reshape(NBp, r_n, 128),
-         words.reshape(NBp, r_m, 128)], axis=1)
-    R = 2 * r_n + r_m
-    WOFF = 2 * r_n
-    SENT = 1 << 20
-    SMASK = (1 << 20) - 1
-
-    def kernel(blen_ref, comb_ref, out_ref):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        out_ref[...] = jnp.zeros_like(out_ref)
-        g = pl.program_id(0)
-        zero = jnp.int32(0)
-
-        blens = [blen_ref[g * nblk + c // nsub, 0] for c in range(W)]
-        pends = [jnp.minimum(jnp.int32((c % nsub + 1) * restart), blens[c])
-                 for c in range(W)]
-
-        def lzbytes(x):
-            b0 = (x & 0xFF) == 0
-            b1 = (x & 0xFFFF) == 0
-            b2 = (x & 0xFFFFFF) == 0
-            return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
-                    + b2.astype(jnp.int32))
-
-        def rules(ln_i, j_i, nz_i, q_i):
-            lnf = jnp.where(nz_i, 0, ln_i)
-            df = q_i + jnp.int32(window) - j_i
-            lnf = jnp.where((lnf == 3) & (df > too_far), 0, lnf)
-            df = jnp.where(lnf > 0, df, 0)
-            return lnf, df
-
-        def cap_of(q_i, blen):
-            cp = jnp.minimum(jnp.int32(max_match), blen - q_i)
-            if nsub > 1:
-                cp = jnp.minimum(
-                    cp, jnp.int32(restart) - (q_i & jnp.int32(restart - 1)))
-            return cp
-
-        def mark_ln(m):
-            """Probe length from a neighbour's precomputed mark: demoted/
-            literal marks carry the raw length at bits 10+."""
-            v = m & 1023
-            return jnp.where(v == 1, m >> 10, v - 1)
-
-        def step_chain(c, s):
-            blk = c // nsub
-            blen = blens[c]
-            pend = pends[c]
-            (p, st, tgt, cand, k, j, cap, scap_r, nz, res1, jres1,
-             s2v, j2v, ln0, dist0, pkl1, pkl2, ro, orow) = s
-            act = p < pend
-            is_ext = act & (st == 1)
-            is_tok = act & (st == 0)
-
-            def rd(row, lanv):
-                rrow = comb_ref[blk, pl.ds(row, 1), :]
-                return jnp.sum(jnp.where(lane == lanv, rrow, 0))
-
-            q = p + tgt
-            p0c = jnp.minimum(p, jnp.int32(N - 1))
-            p1c = jnp.minimum(p + 1, jnp.int32(N - 1))
-            ea = jnp.minimum(q + jnp.int32(window) + k, jnp.int32(M - 1))
-            eb = jnp.clip(j + k, 0, jnp.int32(M - 1))
-
-            # Port A: ext word 1 | W1[p]
-            rowA = jnp.where(is_ext, WOFF + (ea >> 7), p0c >> 7)
-            lanA = jnp.where(is_ext, ea & 127, p0c & 127)
-            a = rd(rowA, lanA)
-
-            rawA = is_tok & ((a & RAW) != 0)
-            fastA = is_tok & ((a & RAW) == 0)
-            step1 = jnp.maximum((a & 1023) - 1, 1)
-            pF2 = p + step1
-            pF2c = jnp.minimum(pF2, jnp.int32(N - 1))
-
-            if chase >= 2:
-                # Port B: ext word 2 | fast prefetch W1[pF2] | P2[p]
-                rowB = jnp.where(
-                    is_ext, WOFF + (eb >> 7),
-                    jnp.where(fastA, pF2c >> 7, r_n + (p0c >> 7)))
-                lanB = jnp.where(is_ext, eb & 127,
-                                 jnp.where(fastA, pF2c & 127, p0c & 127))
-                b = rd(rowB, lanB)
-                fastB = fastA & ((b & RAW) == 0) & (pF2 < pend)
-                step2 = jnp.maximum((b & 1023) - 1, 1)
-                pF3 = pF2 + step2
-                pF3c = jnp.minimum(pF3, jnp.int32(N - 1))
-
-                # Port C: fast prefetch W1[pF3] | slow probe W1[p+1]
-                rowC = jnp.where(is_ext, zero,
-                                 jnp.where(fastB, pF3c >> 7, p1c >> 7))
-                lanC = jnp.where(is_ext, zero,
-                                 jnp.where(fastB, pF3c & 127, p1c & 127))
-                cv = rd(rowC, lanC)
-                fastC = fastB & ((cv & RAW) == 0) & (pF3 < pend)
-                step3 = jnp.maximum((cv & 1023) - 1, 1)
-            else:
-                # Port B: ext word 2 | P2[p]
-                rowB = jnp.where(is_ext, WOFF + (eb >> 7),
-                                 r_n + (p0c >> 7))
-                lanB = jnp.where(is_ext, eb & 127, p0c & 127)
-                b = rd(rowB, lanB)
-                fastB = fastA & False
-                step2 = step1
-                pF3 = pF2
-                pF3c = pF2c
-                # Port C: slow probe W1[p+1]
-                rowC = jnp.where(is_ext, zero, p1c >> 7)
-                lanC = jnp.where(is_ext, zero, p1c & 127)
-                cv = rd(rowC, lanC)
-                fastC = fastB
-                step3 = step1
-
-            # Port D: slow probe P2[p+1]
-            rowD = jnp.where(is_ext, zero, r_n + (p1c >> 7))
-            lanD = jnp.where(is_ext, zero, p1c & 127)
-            dv = rd(rowD, lanD)
-
-            # ---- slow TOK: unpack screens at p ----
-            apk = a & jnp.int32(RAW - 1)
-            ss1 = (apk & 63) - 1
-            jj1 = (apk >> 6) - 1
-            ss2 = (b & 63) - 1
-            jj2 = (b >> 6) - 1
-            cap_p = cap_of(p, blen)
-            scap_p = jnp.minimum(jnp.int32(screen_bytes), cap_p)
-            no1 = (jj1 < 0) | (ss1 < 3)
-            sat_p = (ss1 >= scap_p) & (jj1 >= 0)
-            go_ext = rawA & sat_p
-            fin_tok = rawA & ~sat_p
-
-            # ---- EXT step ----
-            x = a ^ b
-            adv = jnp.where(x == 0, 4, lzbytes(x))
-            k2 = jnp.minimum(k + adv, cap)
-            kn = jnp.where(x == 0, k2, k2 + SENT)
-            edone = is_ext & (kn >= cap)
-            lnc = jnp.minimum(kn & SMASK, cap)
-            need2 = (j2v >= 0) & (s2v >= scap_r) & (lnc < cap)
-            b_to2 = edone & (cand == 1) & need2
-            b_fin1 = edone & (cand == 1) & ~need2
-            b_fin2 = edone & (cand == 2)
-            use2 = lnc > res1
-            ext_fin = b_fin1 | b_fin2
-            ext_ln = jnp.where(b_fin2, jnp.maximum(lnc, res1), lnc)
-            ext_j = jnp.where(b_fin2 & ~use2, jres1, j)
-
-            # ---- F0: primary result ready ----
-            F0 = fin_tok | (ext_fin & (tgt == 0))
-            ln_p0 = jnp.where(fin_tok, ss1, ext_ln)
-            j_p0 = jnp.where(fin_tok, jj1, ext_j)
-            nz_p0 = jnp.where(fin_tok, no1, nz != 0)
-            lnf0, distf0 = rules(ln_p0, j_p0, nz_p0, p)
-
-            pkl1_n = jnp.where(fin_tok | go_ext, cv, pkl1)
-            pkl2_n = jnp.where(fin_tok | go_ext, dv, pkl2)
-            if lazy:
-                golazy = (F0 & (lnf0 > 0) & (lnf0 < jnp.int32(max_lazy))
-                          & (p + 1 < blen))
-            else:
-                golazy = F0 & False
-            praw = (pkl1_n & RAW) != 0
-            qpk = pkl1_n & jnp.int32(RAW - 1)
-            ss1q = (qpk & 63) - 1
-            jj1q = (qpk >> 6) - 1
-            ss2q = (pkl2_n & 63) - 1
-            jj2q = (pkl2_n >> 6) - 1
-            cap_q = cap_of(p + 1, blen)
-            scap_q = jnp.minimum(jnp.int32(screen_bytes), cap_q)
-            no1q = (jj1q < 0) | (ss1q < 3)
-            sat_q = praw & (ss1q >= scap_q) & (jj1q >= 0)
-            lnq_raw, _ = rules(ss1q, jj1q, no1q, p + 1)
-            ln2 = jnp.where(praw, lnq_raw, mark_ln(qpk))
-            enter_probe = golazy & sat_q
-            resolved0 = F0 & ~enter_probe
-            demote0 = golazy & ~enter_probe & (ln2 > lnf0)
-            lnE_A = jnp.where(demote0, zero, lnf0)
-            dE_A = jnp.where(demote0, zero, distf0)
-
-            # ---- F1: probe extension finished ----
-            F1 = ext_fin & (tgt == 1)
-            lnf1, _ = rules(ext_ln, ext_j, nz != 0, p + 1)
-            demote1 = lnf1 > ln0
-            lnE_B = jnp.where(demote1, zero, ln0)
-            dE_B = jnp.where(demote1, zero, dist0)
-
-            emit_slow = resolved0 | F1
-            lnE = jnp.where(F1, lnE_B, lnE_A)
-            dE = jnp.where(F1, dE_B, dE_A)
-
-            # ---- emission (fast multi-mark + slow single mark) ----
-            r1 = p >> 7
-            use2m = fastB & ((pF2 >> 7) == r1)
-            use3m = fastC & use2m & ((pF3 >> 7) == r1)
-            do1 = fastA | emit_slow
-            m1 = jnp.where(fastA, a, (dE << 10) | (lnE + 1))
-            changed = do1 & (r1 != ro)
-
-            if cond_store:
-                @pl.when(changed)
-                def _():
-                    out_ref[blk, pl.ds(ro, 1), :] = orow
-
-            orow_n = jnp.where(changed, jnp.zeros_like(orow), orow)
-            orow_n = jnp.where(do1 & (lane == (p & 127)), m1, orow_n)
-            orow_n = jnp.where(use2m & (lane == (pF2 & 127)), b, orow_n)
-            orow_n = jnp.where(use3m & (lane == (pF3 & 127)), cv, orow_n)
-            ro_n = jnp.where(changed, r1, ro)
-            if not cond_store:
-                out_ref[blk, pl.ds(ro_n, 1), :] = orow_n
-
-            p_fast = jnp.where(use3m, pF3 + step3,
-                               jnp.where(use2m, pF3, pF2))
-            p_n = jnp.where(fastA, p_fast,
-                            jnp.where(emit_slow,
-                                      p + jnp.maximum(lnE, 1), p))
-
-            # ---- next state ----
-            go_pext = enter_probe
-            st_n = jnp.where(go_ext | b_to2 | go_pext, 1,
-                             jnp.where(ext_fin | fin_tok, 0, st))
-            tgt_n = jnp.where(go_pext, 1, jnp.where(emit_slow, zero, tgt))
-            cand_n = jnp.where(go_ext | go_pext, 1,
-                               jnp.where(b_to2, 2, cand))
-            k_n = jnp.where(go_ext, ss1,
-                            jnp.where(go_pext, ss1q,
-                                      jnp.where(b_to2, s2v,
-                                                jnp.where(is_ext & ~edone,
-                                                          kn, k))))
-            j_n = jnp.where(go_ext, jj1,
-                            jnp.where(go_pext, jj1q,
-                                      jnp.where(b_to2, j2v, j)))
-            cap_n = jnp.where(go_ext, cap_p, jnp.where(go_pext, cap_q, cap))
-            scap_n = jnp.where(go_ext, scap_p,
-                               jnp.where(go_pext, scap_q, scap_r))
-            nz_n = jnp.where(go_ext, no1.astype(jnp.int32),
-                             jnp.where(go_pext, no1q.astype(jnp.int32), nz))
-            res1_n = jnp.where(b_to2, lnc, res1)
-            jres1_n = jnp.where(b_to2, j, jres1)
-            s2v_n = jnp.where(go_ext, ss2, jnp.where(go_pext, ss2q, s2v))
-            j2v_n = jnp.where(go_ext, jj2, jnp.where(go_pext, jj2q, j2v))
-            ln0_n = jnp.where(enter_probe, lnf0, ln0)
-            dist0_n = jnp.where(enter_probe, distf0, dist0)
-            return (p_n, st_n, tgt_n, cand_n, k_n, j_n, cap_n, scap_n,
-                    nz_n, res1_n, jres1_n, s2v_n, j2v_n, ln0_n, dist0_n,
-                    pkl1_n, pkl2_n, ro_n, orow_n)
-
-        def init_chain(c):
-            p0 = jnp.int32((c % nsub) * restart)
-            return (p0, zero, zero, zero, zero, zero, jnp.int32(1),
-                    zero, zero, zero, zero, zero, zero, zero, zero,
-                    zero, zero, p0 >> 7, jnp.zeros((1, 128), jnp.int32))
-
-        def cond(states):
-            alive = states[0][0] < pends[0]
-            for c in range(1, W):
-                alive = alive | (states[c][0] < pends[c])
-            return alive
-
-        def body(states):
-            return tuple(step_chain(c, states[c]) for c in range(W))
-
-        fin = jax.lax.while_loop(cond, body,
-                                 tuple(init_chain(c) for c in range(W)))
-        for c in range(W):
-            blk = c // nsub
-            out_ref[blk, pl.ds(fin[c][-2], 1), :] = fin[c][-1]
 
     out = pl.pallas_call(
         kernel,

@@ -120,6 +120,17 @@ def lib() -> ctypes.CDLL:
         L.tpz_deflate_encode_flush.restype = ctypes.c_int
         L.tpz_deflate_encode_flush.argtypes = [
             u8p, ctypes.c_size_t, i32p, u8p, szp]
+        L.tpz_inflate_stream_new.restype = ctypes.c_void_p
+        L.tpz_inflate_stream_new.argtypes = []
+        L.tpz_inflate_stream_free.restype = None
+        L.tpz_inflate_stream_free.argtypes = [ctypes.c_void_p]
+        L.tpz_inflate_stream_feed.restype = ctypes.c_int
+        L.tpz_inflate_stream_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), i64p, i64p]
+        L.tpz_inflate_stream_take.restype = ctypes.c_int64
+        L.tpz_inflate_stream_take.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64]
         L.tpz_lzss_pack.restype = ctypes.c_int
         L.tpz_lzss_pack.argtypes = [
             i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
@@ -668,6 +679,51 @@ def lzhuf_plan(c_freq: np.ndarray, p_freq: np.ndarray,
         "c_len": c_len, "c_code": c_code, "p_len": p_len, "p_code": p_code,
         "header": header,
     }
+
+
+class InflateStream:
+    """Resumable raw-DEFLATE decoder (cpp InflateStream): feed input
+    increments, collect decoded bytes as they become available. O(total)
+    across many small feeds — the streaming decode facade's engine."""
+
+    def __init__(self) -> None:
+        self._h = lib().tpz_inflate_stream_new()
+        self.finished = False
+        self.consumed = 0  # input bytes spanned once finished
+
+    def feed(self, data: bytes) -> bytes:
+        """Feed compressed bytes; returns newly decoded plaintext.
+        Raises DataError via raise_for_status on corrupt input."""
+        if self._h is None:
+            raise RuntimeError("inflate stream closed")
+        a = _u8(data)
+        fin = ctypes.c_int32(0)
+        consumed = ctypes.c_int64(0)
+        pending = ctypes.c_int64(0)
+        st = lib().tpz_inflate_stream_feed(
+            self._h, _u8ptr(a), a.size, ctypes.byref(fin),
+            ctypes.byref(consumed), ctypes.byref(pending))
+        raise_for_status(st, "inflate_stream")
+        self.finished = bool(fin.value)
+        self.consumed = int(consumed.value)
+        n = int(pending.value)
+        if n == 0:
+            return b""
+        out = np.empty(n, dtype=np.uint8)
+        got = lib().tpz_inflate_stream_take(
+            self._h, _ptr(out, ctypes.c_uint8), n)
+        return out[:got].tobytes()
+
+    def close(self) -> None:
+        if self._h is not None:
+            lib().tpz_inflate_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def inflate(data, max_out: int | None = None) -> tuple[bytes, int]:
