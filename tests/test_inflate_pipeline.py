@@ -90,3 +90,19 @@ def test_scan_headers_matches_inflate():
     dyn = scan["btype"] != 0
     assert (scan["body_bit"][dyn] > starts[dyn]).all()
     assert (scan["body_bit"][dyn] < np.asarray(bits)[dyn]).all()
+
+
+def test_decompress_many_indexed_batch():
+    """Round-3: many independent streams decode in ONE fused device
+    program (shared flat pointer space; short last blocks padded)."""
+    from tpz.kernels import inflate_pipeline as ip
+
+    datas = [corpus.text(100_000), corpus.repetitive(70_001),
+             corpus.mixed(130_000), b"tiny", corpus.random_bytes(66_000)]
+    items = []
+    for d in datas:
+        stream, bits, lens = deflate.compress_indexed(d)
+        items.append((stream, bits, lens))
+    outs = ip.decompress_many_indexed(items, interpret=True)
+    for d, o in zip(datas, outs):
+        assert o == d

@@ -167,6 +167,10 @@ def decompress_member_prefix(data: bytes, off: int = 0,
             and (int(end_bits[-1]) + 7) // 8 <= body_cap
             and bool((out_lens[:-1] == inflate_pipeline.BLOCK).all())
             and 0 <= int(out_lens[-1]) <= inflate_pipeline.BLOCK
+            # One decode dispatch's packed pointer space (host path
+            # handles bigger members).
+            and len(end_bits) * inflate_pipeline.BLOCK
+            <= inflate_pipeline.MAX_DECODE_SPAN
         )
         if ok and inflate_pipeline.usable():
             nbytes = (int(end_bits[-1]) + 7) // 8

@@ -200,10 +200,25 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
 
 
 def _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
-                out_len, n_out: int):
-    """XLA stage: stored-block byte fill + match expansion + pointer
-    doubling. markers [NB, BLOCK]; slices [NB, SLICE_BYTES] uint8;
-    *_l offsets local to each slice. Returns [n_out_pad] uint8."""
+                out_len):
+    """XLA stage: stored-block byte fill + match expansion + packed-state
+    pointer doubling (round-3 rewrite; the round-2 version cost THREE
+    whole-array gathers per round — val, resolved, ptr[ptr] — at this
+    chip's ~0.14 G elem/s gather floor).
+
+    Two changes make rounds ~3x cheaper and bound their count:
+      1. state = ptr << 8 | val packed in ONE uint32 ("resolved" is
+         ptr == own index), so a doubling round is a SINGLE gather.
+         Requires N <= 2^24 (MAX_DECODE_SPAN).
+      2. self-overlapping matches (dist < len, the RLE-style runs that
+         create byte chains as deep as the run) collapse in closed form:
+         byte i of match (start, len, dist) reads start - dist +
+         ((i - start) mod dist), which always lands BEFORE the match, so
+         chain depth is bounded by the token chain (~hundreds measured),
+         not the byte chain (~64 K worst case) => <= ~9 doubling rounds.
+
+    markers [NB, BLOCK]; slices [NB, SLICE_BYTES] uint8; *_l offsets local
+    to each slice. Returns [NB*BLOCK] uint8."""
     NB = markers.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
 
@@ -235,25 +250,46 @@ def _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
     mlen = smark & 511
     mdist = (smark >> 9) & 0xFFFF
     inside = in_match & (gpos < start + mlen)
-    ptr = jnp.where(inside, gpos - mdist, gpos)
-    val = jnp.where(inside, 0, flat & 0xFF).astype(jnp.int32)
-    resolved = ~inside
+    k = gpos - start
+    d = jnp.maximum(mdist, 1)
+    src = start - mdist + (k - (k // d) * d)  # mod-collapse (see above)
+    # Corrupt streams can point before the batch start; clamping keeps the
+    # gather safe and the walk monotone (CRC checks reject the garbage).
+    ptr = jnp.clip(jnp.where(inside, src, gpos), 0, N - 1)
+    val = jnp.where(inside, 0, flat & 0xFF)
+    state = ((ptr.astype(jnp.uint32) << 8)
+             | val.astype(jnp.uint32))
+    self_hi = gpos.astype(jnp.uint32) << 8
 
-    def cond(c):
-        return ~jnp.all(c[2])
+    def cond(s):
+        return ~jnp.all((s & jnp.uint32(0xFFFFFF00)) == self_hi)
 
-    def body(c):
-        val, ptr, resolved = c
-        pv = val[ptr]
-        pr = resolved[ptr]
-        val = jnp.where(resolved, val, pv)
-        resolved2 = resolved | pr
-        ptr = jnp.where(resolved, ptr, ptr[ptr])
-        return val, ptr, resolved2
+    def body(s):
+        p = (s >> 8).astype(jnp.int32)
+        g = s[p]  # the round's single gather
+        tgt_resolved = (g >> 8) == (s >> 8)
+        return jnp.where(tgt_resolved,
+                         self_hi | (g & jnp.uint32(0xFF)),
+                         g & jnp.uint32(0xFFFFFF00))
 
-    val, ptr, resolved = jax.lax.while_loop(cond, body,
-                                            (val, ptr, resolved))
-    return val.astype(jnp.uint8)
+    state = jax.lax.while_loop(cond, body, state)
+    return (state & jnp.uint32(0xFF)).astype(jnp.uint8)
+
+
+def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
+                     dist_tab, lit_mask, dist_mask, len_base, len_extra,
+                     dist_base, dist_extra, slices, btype, c0_pos_l,
+                     c0_len, c1_pos_l, out_len, interpret: bool = False,
+                     nblk: int = 8):
+    """Whole decode as ONE device program: Pallas symbol walk -> marker
+    resolution — one dispatch, no host round-trip between stages (the
+    relay charges ~0.6 s per invocation, BASELINE.md)."""
+    markers = _symbol_walk(stream_words, body_bit_local, walk_out_len,
+                           lit_tab, dist_tab, lit_mask, dist_mask,
+                           len_base, len_extra, dist_base, dist_extra,
+                           interpret=interpret, nblk=nblk)
+    return _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
+                       out_len)
 
 
 def usable() -> bool:
@@ -262,69 +298,140 @@ def usable() -> bool:
     return enc_usable()
 
 
-_resolve_jit = jax.jit(_resolve_fn, static_argnames=("n_out",))
+_resolve_jit = jax.jit(_resolve_fn)
 _walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
+_decode_fused = jax.jit(_decode_fused_fn,
+                        static_argnames=("interpret", "nblk"))
+
+# Packed resolution state (ptr << 8 | val in uint32) caps one decode
+# dispatch at 2^24 output bytes (16 MiB); decompress_many sub-batches.
+MAX_DECODE_SPAN = 1 << 24
 
 
 def decompress_indexed(stream: bytes, end_bits: np.ndarray,
                        out_lens: np.ndarray,
                        interpret: bool | None = None) -> bytes:
     """Decode an encoder-indexed raw DEFLATE stream on device."""
+    return decompress_many_indexed(
+        [(stream, end_bits, out_lens)], interpret=interpret)[0]
+
+
+def decompress_many_indexed(items, interpret: bool | None = None):
+    """Batch-decode many indexed raw DEFLATE streams in ONE device
+    program (walk + resolution fused): the production serving shape —
+    the per-invocation relay dispatch cost amortizes over the batch.
+
+    items: list of (stream_bytes, end_bits, out_lens). Pointer packing
+    bounds one dispatch at MAX_DECODE_SPAN output bytes; bigger batches
+    split. Match sources never cross buffer starts (each stream's window
+    resets), so a shared flat output space is safe."""
     from tpz import oracle
 
     if interpret is None:
         # The symbol walk is a Mosaic kernel; off-TPU it runs in the
         # Pallas interpreter (slow but exact — used by the CPU tests).
         interpret = jax.default_backend() != "tpu"
-    nb = len(end_bits)
-    n_out = int(np.sum(out_lens))
-    if nb == 0 or n_out == 0:
-        return b""
-    if np.any(out_lens[:-1] != BLOCK):
-        raise DataError("index block lengths must be 64 KiB except last")
-    scan = oracle.inflate_scan_headers(stream, np.asarray(end_bits))
+    results = [None] * len(items)
+    idxs = []
+    for i, (stream, end_bits, out_lens) in enumerate(items):
+        nb = len(end_bits)
+        if nb == 0 or int(np.sum(out_lens)) == 0:
+            results[i] = b""
+            continue
+        if np.any(np.asarray(out_lens)[:-1] != BLOCK):
+            raise DataError("index block lengths must be 64 KiB except last")
+        idxs.append(i)
+    if not idxs:
+        return results
 
-    sb = np.frombuffer(stream, np.uint8)
-    slices = np.zeros((nb, SLICE_BYTES), np.uint8)
-    slice_start = np.zeros(nb, np.int64)
-    starts = np.concatenate([[0], np.asarray(end_bits)[:-1]])
-    for b in range(nb):
-        s0 = int(starts[b]) // 8
-        s1 = min(len(sb), (int(end_bits[b]) + 7) // 8 + 8)
-        take = min(s1 - s0, SLICE_BYTES)
-        slices[b, :take] = sb[s0:s0 + take]
-        slice_start[b] = s0
+    # Split oversized batches; an oversized SINGLE stream cannot split
+    # (pointer space must cover its whole output) — callers route those
+    # to the host decoder.
+    total_out = sum(len(items[i][1]) * BLOCK for i in idxs)
+    if total_out > MAX_DECODE_SPAN:
+        group, group_out = [], 0
+        for i in idxs:
+            need = len(items[i][1]) * BLOCK
+            if need > MAX_DECODE_SPAN:
+                raise DataError("stream exceeds MAX_DECODE_SPAN")
+            if group and group_out + need > MAX_DECODE_SPAN:
+                for gi, out in zip(group, decompress_many_indexed(
+                        [items[g] for g in group], interpret)):
+                    results[gi] = out
+                group, group_out = [], 0
+            group.append(i)
+            group_out += need
+        if group:
+            for gi, out in zip(group, decompress_many_indexed(
+                    [items[g] for g in group], interpret)):
+                results[gi] = out
+        return results
 
-    body_bit_local = (scan["body_bit"] - 8 * slice_start).astype(np.int32)
-    c0_pos_l = (scan["c0_pos"] - slice_start).astype(np.int32)
-    c1_pos_l = (scan["c1_pos"] - slice_start).astype(np.int32)
-    walk_out_len = np.where(scan["btype"] == 0, 0,
-                            np.asarray(out_lens)).astype(np.int32)
-
-    lit_mask = ((1 << scan["lit_bits"]) - 1).astype(np.int32)
-    dist_mask = np.where(scan["dist_bits"] > 0,
-                         (1 << scan["dist_bits"]) - 1, 0).astype(np.int32)
-    len_base = np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)
-    len_extra = np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)
-    dist_base = np.asarray(C.DEFLATE_DIST_BASE, np.int32)
-    dist_extra = np.asarray(C.DEFLATE_DIST_EXTRA, np.int32)
+    nbs = [len(items[i][1]) for i in idxs]
+    NB = sum(nbs)
+    slices = np.zeros((NB, SLICE_BYTES), np.uint8)
+    body_bit_local = np.zeros(NB, np.int32)
+    c0_pos_l = np.zeros(NB, np.int32)
+    c0_len = np.zeros(NB, np.int32)
+    c1_pos_l = np.zeros(NB, np.int32)
+    walk_out_len = np.zeros(NB, np.int32)
+    out_len_all = np.zeros(NB, np.int32)
+    btype = np.zeros(NB, np.int32)
+    lit_mask = np.zeros(NB, np.int32)
+    dist_mask = np.zeros(NB, np.int32)
+    lit_tab = np.zeros((NB, TAB), np.int32)
+    dist_tab = np.zeros((NB, TAB), np.int32)
+    b0 = 0
+    for i, nb in zip(idxs, nbs):
+        stream, end_bits, out_lens = items[i]
+        scan = oracle.inflate_scan_headers(stream, np.asarray(end_bits))
+        sb = np.frombuffer(stream, np.uint8)
+        slice_start = np.zeros(nb, np.int64)
+        starts = np.concatenate([[0], np.asarray(end_bits)[:-1]])
+        for b in range(nb):
+            s0 = int(starts[b]) // 8
+            s1 = min(len(sb), (int(end_bits[b]) + 7) // 8 + 8)
+            take = min(s1 - s0, SLICE_BYTES)
+            slices[b0 + b, :take] = sb[s0:s0 + take]
+            slice_start[b] = s0
+        sl = slice(b0, b0 + nb)
+        body_bit_local[sl] = (scan["body_bit"] - 8 * slice_start)
+        c0_pos_l[sl] = scan["c0_pos"] - slice_start
+        c0_len[sl] = scan["c0_len"]
+        c1_pos_l[sl] = scan["c1_pos"] - slice_start
+        out_len_all[sl] = np.asarray(out_lens)
+        walk_out_len[sl] = np.where(scan["btype"] == 0, 0,
+                                    np.asarray(out_lens))
+        btype[sl] = scan["btype"]
+        lit_mask[sl] = (1 << scan["lit_bits"]) - 1
+        dist_mask[sl] = np.where(scan["dist_bits"] > 0,
+                                 (1 << scan["dist_bits"]) - 1, 0)
+        lit_tab[sl] = scan["lit_tab"]
+        dist_tab[sl] = scan["dist_tab"]
+        b0 += nb
 
     sw = np.ascontiguousarray(slices).view("<u4").astype(np.int32)
-
-    markers = _walk_jit(
+    out = _decode_fused(
         jnp.asarray(sw), jnp.asarray(body_bit_local),
-        jnp.asarray(walk_out_len),
-        jnp.asarray(scan["lit_tab"].astype(np.int32)),
-        jnp.asarray(scan["dist_tab"].astype(np.int32)),
-        jnp.asarray(lit_mask), jnp.asarray(dist_mask),
-        jnp.asarray(len_base), jnp.asarray(len_extra),
-        jnp.asarray(dist_base), jnp.asarray(dist_extra),
-        interpret=interpret)
-
-    out = _resolve_jit(
-        markers, jnp.asarray(slices), jnp.asarray(scan["btype"]),
-        jnp.asarray(c0_pos_l), jnp.asarray(scan["c0_len"]),
-        jnp.asarray(c1_pos_l),
-        jnp.asarray(np.asarray(out_lens).astype(np.int32)),
-        n_out=nb * BLOCK)
-    return np.asarray(fetch(out))[:n_out].tobytes()
+        jnp.asarray(walk_out_len), jnp.asarray(lit_tab),
+        jnp.asarray(dist_tab), jnp.asarray(lit_mask),
+        jnp.asarray(dist_mask),
+        jnp.asarray(np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)),
+        jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
+        jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),
+        jnp.asarray(np.asarray(C.DEFLATE_DIST_EXTRA, np.int32)),
+        jnp.asarray(slices), jnp.asarray(btype), jnp.asarray(c0_pos_l),
+        jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
+        jnp.asarray(out_len_all), interpret=interpret)
+    flat = np.asarray(fetch(out))
+    b0 = 0
+    for i, nb in zip(idxs, nbs):
+        span = flat[b0 * BLOCK:(b0 + nb) * BLOCK].reshape(nb, BLOCK)
+        n_out = int(np.sum(items[i][2]))
+        if int(items[i][2][-1]) == BLOCK:
+            results[i] = span.reshape(-1)[:n_out].tobytes()
+        else:
+            results[i] = (span[:-1].reshape(-1).tobytes()
+                          + span[-1, :int(items[i][2][-1])].tobytes())
+        b0 += nb
+    return results
