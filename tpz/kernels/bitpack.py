@@ -103,90 +103,6 @@ def token_slots(data_block, is_token, mlen, mdist, lit_cl, dist_cl):
     return vals, nbits
 
 
-def assemble_stream(vals, nbits, eob_val, eob_n, body_off, btype,
-                    data_block, block_len, chunk1_off, total_words,
-                    header=None, out_buf=None):
-    """Pack all blocks' body bits into one u32 word array.
-
-    vals/nbits: [NB, 2*BLOCK] token slots (fixed/dynamic path)
-    eob_val/eob_n: [NB] end-of-block code (bit-reversed) and its length
-    body_off: [NB] absolute bit offset of block body (or stored chunk 0)
-    btype: [NB] (0 stored / 1 fixed / 2 dynamic)
-    data_block: [NB, BLOCK] bytes; block_len: [NB]
-    chunk1_off: [NB] absolute bit offset of stored chunk 1 data (or -1)
-    total_words: static int — output size in u32 words
-    header: optional (hvals u32, hnbits i32, hoffs i32) [NB, H] slot
-    arrays at explicit absolute offsets (device-plan header bits) — merged
-    into the same scatter so the fused pipeline emits the complete stream
-    out_buf: optional zeroed uint32 buffer of total_words + 2 elements;
-    when given, total_words is taken from its shape (passing capacity as
-    an array shape keeps it out of the static-arg cache key — jax 0.9.0's
-    jit fastpath mis-dispatches when several static variants share one
-    input signature)
-    """
-    NB = vals.shape[0]
-    stored = (btype == 0)[:, None]
-
-    # --- fixed/dynamic path: offsets via exclusive prefix sum ---
-    excl = jnp.cumsum(nbits, axis=1) - nbits
-    tok_off = body_off[:, None] + excl
-    # EOB as an extra slot at the end of each block's body.
-    eob_off = body_off + excl[:, -1] + nbits[:, -1]
-
-    # --- stored path: byte slots at formula offsets ---
-    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
-    in_c0 = pos < STORED_CHUNK
-    s_off = jnp.where(
-        in_c0,
-        body_off[:, None] + 8 * pos,
-        chunk1_off[:, None] + 8 * (pos - STORED_CHUNK),
-    )
-    s_val = data_block.astype(jnp.uint32)
-    s_n = jnp.where(pos < block_len[:, None], 8, 0)
-    # Expand stored slots into the same [NB, 2*BLOCK] geometry (odd slots
-    # unused).
-    zero = jnp.zeros_like(s_off)
-    s_off2 = jnp.stack([s_off, zero], axis=2).reshape(NB, 2 * BLOCK)
-    s_val2 = jnp.stack([s_val, jnp.zeros_like(s_val)], axis=2).reshape(NB, 2 * BLOCK)
-    s_n2 = jnp.stack([s_n, zero], axis=2).reshape(NB, 2 * BLOCK)
-
-    off = jnp.where(stored, s_off2, tok_off)
-    val = jnp.where(stored, s_val2, vals)
-    nb_ = jnp.where(stored, s_n2, nbits)
-
-    # Append EOB slots (one per block; stored blocks get nbits 0).
-    off = jnp.concatenate([off, eob_off[:, None]], axis=1)
-    val = jnp.concatenate(
-        [val, jnp.where(btype == 0, 0, eob_val)[:, None].astype(jnp.uint32)], axis=1)
-    nb_ = jnp.concatenate(
-        [nb_, jnp.where(btype == 0, 0, eob_n)[:, None]], axis=1)
-
-    if header is not None:
-        hv, hn, ho = header
-        off = jnp.concatenate([off, ho], axis=1)
-        val = jnp.concatenate([val, hv.astype(jnp.uint32)], axis=1)
-        nb_ = jnp.concatenate([nb_, hn], axis=1)
-
-    # --- scatter-add into words ---
-    if out_buf is not None:
-        total_words = out_buf.shape[0] - 2
-    flat_off = off.reshape(-1)
-    flat_val = val.reshape(-1)
-    flat_n = nb_.reshape(-1)
-    w0 = flat_off >> 5
-    sh = (flat_off & 31).astype(jnp.uint32)
-    v = flat_val.astype(jnp.uint32)
-    # 64-bit shifted payload via two 32-bit words (no x64 needed).
-    lo = jnp.where(flat_n > 0, v << sh, 0)
-    hi = jnp.where((flat_n > 0) & (sh > 0), v >> (jnp.uint32(32) - sh), 0)
-    w0 = jnp.where(flat_n > 0, w0, total_words)  # park dead slots
-    words = (out_buf if out_buf is not None
-             else jnp.zeros((total_words + 2,), jnp.uint32))
-    words = words.at[w0].add(lo, mode="drop")
-    words = words.at[w0 + 1].add(hi, mode="drop")
-    return words[:total_words]
-
-
 def assemble_stream_v2(data_block, is_token, mlen, mdist, table320,
                        body_off, btype, block_len, chunk1_off,
                        header, out_buf):
@@ -270,21 +186,59 @@ def assemble_stream_v2(data_block, is_token, mlen, mdist, table320,
     off = off + jnp.where(stored[:, :1] & ((scol >> 1) >= STORED_CHUNK),
                           gap[:, None], 0)
 
-    # --- scatter (2 updates per compacted slot + header slots) ---
+    # --- assemble words (round 3): compacted slot offsets are MONOTONE in
+    # row-major order (positions ascend within a row, blocks are laid out
+    # in stream order), and contributions to one word occupy disjoint bit
+    # ranges, so sum == or. That turns the former 2-scatter (~33 M updates
+    # at this chip's per-UPDATE scatter pricing, the round-2 stage2 floor)
+    # into: cumsum over the contribution stream -> per-word value =
+    # difference of the prefix at consecutive segment-lasts -> one parking
+    # sort + a scatter of only ~cap_words updates. Headers (few, at
+    # absolute offsets) keep a plain scatter.
     total_words = out_buf.shape[0] - 2
+    n = off.size
+    w0 = (off >> 5).reshape(-1)
+    sh = (off & 31).astype(jnp.uint32).reshape(-1)
+    v = val.reshape(-1)
+    live = (nbits > 0).reshape(-1)
+    lo = jnp.where(live, v << sh, jnp.uint32(0))
+    hi = jnp.where(live & (sh > 0), v >> (jnp.uint32(32) - sh),
+                   jnp.uint32(0))
+    # Dead slots' offsets are NOT monotone for stored rows (the chunk-1
+    # gap applies only to live columns); since they contribute 0, park
+    # their word index on a sentinel — the extra zero-valued segments
+    # land on the spare slot and every real difference stays exact.
+    w0 = jnp.where(live, w0, jnp.int32(1 << 29))
+    K = min(n, total_words + 2)
+    words = out_buf
+    for w, contrib in ((w0, lo), (w0 + 1, hi)):
+        # u32 cumsum wraps mod 2^32; differences between segment-lasts
+        # recover the exact word value (each true word value < 2^32).
+        pref = jnp.cumsum(contrib)
+        last = jnp.concatenate([w[1:] != w[:-1],
+                                jnp.ones((1,), bool)])
+        key = jnp.where(last, w, jnp.int32(1 << 30))
+        skey, spref = jax.lax.sort((key, pref), num_keys=1,
+                                   is_stable=True)
+        skey, spref = skey[:K], spref[:K]
+        wv = spref - jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), spref[:-1]])
+        # Parked keys (and any out-of-range word) land on the spare slot
+        # past total_words; it is sliced off below.
+        idx = jnp.where(skey <= total_words, skey, total_words + 1)
+        words = words.at[idx].add(wv, mode="drop")
     hv, hn, ho = header
-    flat_off = jnp.concatenate([off.reshape(-1), ho.reshape(-1)])
-    flat_val = jnp.concatenate([val.reshape(-1),
-                                hv.astype(jnp.uint32).reshape(-1)])
-    flat_n = jnp.concatenate([nbits.reshape(-1), hn.reshape(-1)])
-    w0 = flat_off >> 5
-    sh = (flat_off & 31).astype(jnp.uint32)
-    v = flat_val
-    lo = jnp.where(flat_n > 0, v << sh, 0)
-    hi = jnp.where((flat_n > 0) & (sh > 0), v >> (jnp.uint32(32) - sh), 0)
-    w0 = jnp.where(flat_n > 0, w0, total_words)
-    words = out_buf.at[w0].add(lo, mode="drop")
-    words = words.at[w0 + 1].add(hi, mode="drop")
+    hoff = ho.reshape(-1)
+    hw0 = hoff >> 5
+    hsh = (hoff & 31).astype(jnp.uint32)
+    hvv = hv.astype(jnp.uint32).reshape(-1)
+    hlive = hn.reshape(-1) > 0
+    hlo = jnp.where(hlive, hvv << hsh, jnp.uint32(0))
+    hhi = jnp.where(hlive & (hsh > 0), hvv >> (jnp.uint32(32) - hsh),
+                    jnp.uint32(0))
+    hw = jnp.where(hlive, hw0, total_words)
+    words = words.at[hw].add(hlo, mode="drop")
+    words = words.at[hw + 1].add(hhi, mode="drop")
     return words[:total_words]
 
 
@@ -314,8 +268,23 @@ def assemble_stream_msb(vals, nbits, body_off, total_words):
     live = n > 0
     hi = jnp.where(live, hi, 0)
     lo = jnp.where(live, lo, 0)
-    w0 = jnp.where(live, w0, total_words)
+    # Same monotone-stream assembly as the LSB path (cumsum + parking
+    # sort beats the per-update-priced scatter). Unlike the stored-chunk
+    # LSB layout, MSB slot offsets are monotone even for dead slots (pure
+    # cumsum), so deads keep their word and create no extra segments.
+    # K slack: a word shared across a row boundary yields one duplicate
+    # segment-last per row (the stable sort + scatter-add sums partials).
+    K = min(w0.size, total_words + 2 + vals.shape[0])
     words = jnp.zeros((total_words + 2,), jnp.uint32)
-    words = words.at[w0].add(hi, mode="drop")
-    words = words.at[w0 + 1].add(lo, mode="drop")
+    for w, contrib in ((w0, hi), (w0 + 1, lo)):
+        pref = jnp.cumsum(contrib)
+        last = jnp.concatenate([w[1:] != w[:-1], jnp.ones((1,), bool)])
+        key = jnp.where(last, w, jnp.int32(1 << 30))
+        skey, spref = jax.lax.sort((key, pref), num_keys=1,
+                                   is_stable=True)
+        skey, spref = skey[:K], spref[:K]
+        wv = spref - jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), spref[:-1]])
+        idx = jnp.where(skey <= total_words, skey, total_words + 1)
+        words = words.at[idx].add(wv, mode="drop")
     return words[:total_words]

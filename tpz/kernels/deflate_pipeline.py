@@ -181,19 +181,6 @@ _stage1 = functools.partial(
                               "restart"))(_stage1_core)
 
 
-@functools.partial(jax.jit, static_argnames=("total_words",))
-def _stage2(words, is_token, mlen, mdist, lit_cl, dist_cl,
-            eob_val, eob_n, body_off, btype, block_len,
-            chunk1_off, total_words: int):
-    data_block = (words[:, WINDOW:WINDOW + BLOCK]
-                  & jnp.uint32(0xFF)).astype(jnp.int32)
-    vals, nbits = bitpack.token_slots(
-        data_block, is_token, mlen, mdist, lit_cl, dist_cl)
-    return bitpack.assemble_stream(
-        vals, nbits, eob_val, eob_n, body_off, btype, data_block, block_len,
-        chunk1_off, total_words)
-
-
 def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
                      out_buf, tables, k: int, use_pallas: bool, lazy: bool,
                      suffix: bool = False, screen_bytes: int = 16,
