@@ -125,3 +125,25 @@ def test_scan_to_last_multistream_falls_back():
     a = oracle.bzip2_encode(corpus.text(2000), 1)
     b = oracle.bzip2_encode(corpus.repetitive(2000), 1)
     assert oracle.bzip2_scan_to_last(a + b) is None
+
+
+def test_device_coder_edge_shapes():
+    """Full-device coder vs oracle on shapes that stress the partition
+    and table-count rules: tiny streams (2 tables), full 256-symbol
+    alphabets, concentrated frequencies, and multi-block buffers."""
+    from tpz.kernels import bzip2_pipeline as bp
+
+    rng = np.random.default_rng(9)
+    cases = [
+        b"a",                                   # alpha=3, n_mtf tiny
+        b"ab" * 60,                             # n_mtf < 200 -> 2 tables
+        bytes(range(256)) * 40,                 # all 256 symbols used
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),  # incompressible
+        (b"\x00" * 5000) + bytes(range(256)),   # concentrated freq
+        corpus.mixed(300_000, seed=77),         # multi-group, 6 tables
+    ]
+    for level in (1, 9):
+        ours = bp.compress_many(cases, level)
+        for d, o in zip(cases, ours):
+            ref = oracle.bzip2_encode(d, level)
+            assert o == ref, (level, len(d))

@@ -78,7 +78,8 @@ def _sort1(x):
     return jax.lax.sort(x, dimension=1)
 
 
-def package_merge_lengths(freqs: jax.Array, limit: int) -> jax.Array:
+def package_merge_lengths(freqs: jax.Array, limit: int,
+                          pad: int = 1 << 29) -> jax.Array:
     """freqs [NB, NS] int32 (>=0) -> lengths [NB, NS] int32.
 
     Bit-identical to cpp/huffman.cc PackageMergeLengths (n > 2^limit cannot
@@ -91,6 +92,10 @@ def package_merge_lengths(freqs: jax.Array, limit: int) -> jax.Array:
     structurally (<= 65536 tokens + EOB per 64 KiB block => sum <= 65537 <
     2^19); a bigger BLOCK or frequency scaling needs a wider key packing.
     """
+    # `pad` must exceed every real key (weight << 10 | flag/sym): DEFLATE
+    # uses _PAD = 1<<29 (sum <= 65537 < 2^19); bzip2 blocks pass 1<<30
+    # (sum <= ~900k + 258 < 2^20 keeps keys < 2^30). Symbols need <= 9
+    # bits either way (288/258 alphabets).
     from tpz.kernels.matchfinder import BLOCK as _BLOCK
 
     assert _BLOCK + 1 < (1 << 19), (
@@ -101,21 +106,21 @@ def package_merge_lengths(freqs: jax.Array, limit: int) -> jax.Array:
     active = freqs > 0
     n = jnp.sum(active.astype(jnp.int32), axis=1)  # [NB]
 
-    leafkey = jnp.where(active, (freqs << 10) | sym, _PAD)
+    leafkey = jnp.where(active, (freqs << 10) | sym, pad)
     leaves = _sort1(leafkey)                        # sorted by (weight, sym)
 
     # Build lists 1..limit; keep per-level package-flag prefix sums.
     pkcums = []
-    prev = jnp.concatenate([leaves, jnp.full((NB, NS), _PAD)], axis=1)  # C=2NS
+    prev = jnp.concatenate([leaves, jnp.full((NB, NS), pad)], axis=1)  # C=2NS
     pkcums.append(jnp.zeros((NB, 2 * NS), jnp.int32))  # list_1: all leaves
     for _ in range(1, limit):
         a, b = prev[:, 0::2], prev[:, 1::2]
-        valid = (b < _PAD)  # a < PAD implied (sorted); odd leftover dropped
+        valid = (b < pad)  # a < PAD implied (sorted); odd leftover dropped
         w = (a >> 10) + (b >> 10)
         msym = jnp.minimum(a & 511, b & 511)
-        pkg = jnp.where(valid, (w << 10) | (1 << 9) | msym, _PAD)
+        pkg = jnp.where(valid, (w << 10) | (1 << 9) | msym, pad)
         prev = _sort1(jnp.concatenate([leaves, pkg], axis=1))
-        is_pkg = ((prev >> 9) & 1) * (prev < _PAD)
+        is_pkg = ((prev >> 9) & 1) * (prev < pad)
         pkcums.append(jnp.cumsum(is_pkg, axis=1))
 
     # Backward selection walk: t_limit = 2(n-1).
@@ -134,7 +139,7 @@ def package_merge_lengths(freqs: jax.Array, limit: int) -> jax.Array:
 
     # Scatter rank-order lengths back to symbol order.
     sym_of_rank = (leaves & 511).astype(jnp.int32)
-    live = leaves < _PAD
+    live = leaves < pad
     bidx = jax.lax.broadcasted_iota(jnp.int32, (NB, NS), 0)
     out = jnp.zeros((NB, NS), jnp.int32)
     out = out.at[bidx, jnp.where(live, sym_of_rank, 0)].max(

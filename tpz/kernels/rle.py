@@ -84,40 +84,51 @@ def rle1_encode(d: jax.Array, length: jax.Array):
 def rle2_encode(r: jax.Array, length: jax.Array):
     """r: [NB, n] int32 MTF ranks; length: [NB]. Returns (syms [NB, n+pad]
     int32 RLE2 symbols with RUNA=0/RUNB=1 and v -> v+1, sym_len [NB]).
-    EOB is appended by the caller."""
+    EOB is appended by the caller.
+
+    Round-3 rewrite: the old kernel expanded a run's RUNA/RUNB digits with
+    21 masked scatters (~400 M priced updates per 16 MiB). A run of length
+    m emits nd = bit_length(m+1)-1 <= m digits, so digit i can ride the
+    run's i-th zero POSITION instead: every position emits at most one
+    symbol, offsets are a per-row monotone unique sequence, and one
+    inverse-permutation sort places the whole stream."""
     NB, n = r.shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (NB, n), 1)
     live = idx < length[:, None]
-    rm = jnp.where(live, r, -1 - idx)
-    is_start, start_idx = _run_starts(jnp.where(rm == 0, 0, -1 - idx))
     is_zero = live & (r == 0)
-    # zero-run end: zero position whose successor is not a zero
+    prevz = jnp.concatenate(
+        [jnp.zeros((NB, 1), bool), is_zero[:, :-1]], axis=1)
+    zstart = is_zero & ~prevz
+    start_idx = jax.lax.cummax(jnp.where(zstart, idx, -1), axis=1)
     nxt_zero = jnp.concatenate(
         [is_zero[:, 1:], jnp.zeros((NB, 1), bool)], axis=1)
     run_end = is_zero & ~nxt_zero
-    m = jnp.where(run_end, idx - start_idx + 1, 0)   # zero-run length
+    # Broadcast each run's end index back over the run (reverse cummin).
+    end_idx = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(run_end, idx, jnp.int32(n)), axis=1), axis=1),
+        axis=1)
+    m = end_idx - start_idx + 1      # full zero-run length, at every zero
     mp1 = m + 1
     # nd = bit_length(m+1) - 1 via integer compares (float log2 rounds).
     nd = jnp.zeros_like(m)
     for k in range(1, 22):
         nd = nd + (mp1 >= (1 << k)).astype(jnp.int32)
-    nd = jnp.where(run_end, nd, 0)
-    emit = jnp.where(live & ~is_zero, 1, 0) + nd
-    offs = jnp.cumsum(emit, axis=1) - emit
-    sym_len = offs[:, -1] + emit[:, -1]
+    j = idx - start_idx              # offset of this zero within its run
+    emit_digit = is_zero & (j < nd)
+    emit_plain = live & ~is_zero
+    emit = emit_plain | emit_digit
+    val = jnp.where(emit_plain, r + 1,
+                    jnp.where(emit_digit, (mp1 >> j) & 1, 0))
+    emit_i = emit.astype(jnp.int32)
+    offs = jnp.cumsum(emit_i, axis=1) - emit_i
+    sym_len = offs[:, -1] + emit_i[:, -1]
     cap = n + 8
-    out = jnp.zeros((NB, cap + 1), jnp.int32)
-    nbidx = jax.lax.broadcasted_iota(jnp.int32, (NB, n), 0)
-    # plain symbols
-    o = jnp.where(live & ~is_zero, offs, cap)
-    out = out.at[nbidx, o].max(r + 1, mode="drop")
-    # run digits: digit i = bit i of (m+1); RUNA=0, RUNB=1
-    for di in range(21):
-        mask = run_end & (di < nd)
-        val = (mp1 >> di) & 1
-        od = jnp.where(mask, offs + di, cap)
-        out = out.at[nbidx, od].max(jnp.where(mask, val, 0), mode="drop")
-    return out[:, :cap], sym_len
+    # Place by sort: emitter offsets are unique and ascending per row;
+    # non-emitters park past them (n + idx keeps keys unique).
+    key = jnp.where(emit, offs, n + idx)
+    _, out = jax.lax.sort((key, val), dimension=1, num_keys=1)
+    return jnp.concatenate(
+        [out, jnp.zeros((NB, cap - n), jnp.int32)], axis=1), sym_len
 
 
 def mtf_rle2_reference(last: np.ndarray) -> list[int]:
