@@ -8,7 +8,7 @@ oracle:
 	$(MAKE) -C cpp
 
 test: oracle
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n 4
 
 # Sanitizer pass over the C++ oracle (SURVEY.md §5 race-detection row):
 # rebuilds with ASan+UBSan and exercises every codec through the bindings.

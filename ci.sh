@@ -8,7 +8,7 @@ echo "== build oracle =="
 make -C cpp
 
 echo "== unit + interop tests (CPU, 8 virtual devices) =="
-python -m pytest tests/ -q
+python -m pytest tests/ -q -n 4
 
 echo "== sanitizer pass =="
 make test-asan

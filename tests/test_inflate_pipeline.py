@@ -106,3 +106,19 @@ def test_decompress_many_indexed_batch():
     outs = ip.decompress_many_indexed(items, interpret=True)
     for d, o in zip(datas, outs):
         assert o == d
+
+
+def test_tiered_resolution_large_batch():
+    """Round-3 tiered-compaction resolution only engages at N >= 1 MiB of
+    flat output; decode a batch crossing that bound (mixed + repetitive
+    so both shallow and deep match chains hit the tier passes)."""
+    from tpz.kernels import inflate_pipeline as ip
+
+    datas = [corpus.mixed(600_000, seed=3), corpus.repetitive(500_000)]
+    items = []
+    for d in datas:
+        stream, bits, lens = deflate.compress_indexed(d)
+        items.append((stream, bits, lens))
+    outs = ip.decompress_many_indexed(items, interpret=True)
+    for d, o in zip(datas, outs):
+        assert o == d

@@ -262,8 +262,12 @@ def decompress(data: bytes) -> bytes | None:
     """Device decode: host Huffman/MTF/RLE2 inverse to last columns (the
     bit-serial 1%-of-work stages), device iBWT (the dominant stage), host
     RLE1 inverse + CRC checks. Returns None when the stream shape isn't
-    supported (caller falls back to the serial oracle)."""
+    supported or a block defeats the walk (periodic LF map / skewed
+    segments) — the caller falls back to the serial oracle, which
+    handles every shape."""
     from tpz import oracle
+    from tpz.errors import DataError
+    from tpz.kernels.ibwt_walk import ibwt_blocks_fast
 
     scan = oracle.bzip2_scan_to_last(data)
     if scan is None:
@@ -276,7 +280,9 @@ def decompress(data: bytes) -> bytes | None:
     last = np.zeros((nb, N), np.uint8)
     for b in range(nb):
         last[b, : lens[b]] = blob[offs[b] : offs[b] + lens[b]]
-    out_rows = ibwt_blocks(last, lens, origs)
+    out_rows = ibwt_blocks_fast(last, lens, origs)
+    if out_rows is None:
+        return None
     flat = np.zeros(int(lens.sum()), np.uint8)
     pos = 0
     offs2 = np.zeros(nb, np.int64)
@@ -284,4 +290,9 @@ def decompress(data: bytes) -> bytes | None:
         offs2[b] = pos
         flat[pos : pos + lens[b]] = out_rows[b, : lens[b]]
         pos += int(lens[b])
-    return oracle.bzip2_rle1_inverse(flat, offs2, lens, crcs)
+    try:
+        return oracle.bzip2_rle1_inverse(flat, offs2, lens, crcs)
+    except DataError:
+        # A CRC miss here can mean device-path limitation rather than a
+        # corrupt stream; the host decoder re-checks and is authoritative.
+        return None
