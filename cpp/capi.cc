@@ -200,6 +200,33 @@ int tpz_inflate_scan_headers(const uint8_t* in, size_t n,
                             lit_tab, dist_tab);
 }
 
+// Segment scan: like tpz_inflate_scan_headers but with explicit per-entry
+// header/first-symbol bits (mid-block segments from tpz_inflate_index).
+int tpz_inflate_scan_segments(const uint8_t* in, size_t n,
+                              const int64_t* hdr_bits,
+                              const int64_t* seg_bits,
+                              const int64_t* end_bits, int32_t nb,
+                              int32_t* btype, int64_t* body_bit,
+                              int32_t* c0_pos, int32_t* c0_len,
+                              int32_t* c1_pos, int32_t* c1_len,
+                              int32_t* lit_bits, int32_t* dist_bits,
+                              uint32_t* lit_tab, uint32_t* dist_tab) {
+  return InflateScanHeaders(in, n, end_bits, nb, btype, body_bit, c0_pos,
+                            c0_len, c1_pos, c1_len, lit_bits, dist_bits,
+                            lit_tab, dist_tab, hdr_bits, seg_bits);
+}
+
+int tpz_inflate_index(const uint8_t* in, size_t n, int64_t seg_out,
+                      int64_t max_segs, int64_t max_span_bytes,
+                      int64_t* hdr_bits, int64_t* seg_bits,
+                      int64_t* end_bits, int64_t* out_lens,
+                      int32_t* carry_len, int32_t* carry_dist,
+                      int64_t* nseg_out, size_t* consumed_bytes) {
+  return InflateIndex(in, n, seg_out, max_segs, max_span_bytes, hdr_bits,
+                      seg_bits, end_bits, out_lens, carry_len, carry_dist,
+                      nseg_out, consumed_bytes);
+}
+
 // ------------------------------------------------------------------- bzip2
 int tpz_bzip2_encode(const uint8_t* in, size_t n, int32_t level, uint8_t* out,
                      size_t* out_len) {

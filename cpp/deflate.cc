@@ -893,10 +893,11 @@ int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
                        int32_t nb, int32_t* btype_out, int64_t* body_bit,
                        int32_t* c0_pos, int32_t* c0_len, int32_t* c1_pos,
                        int32_t* c1_len, int32_t* lit_bits, int32_t* dist_bits,
-                       uint32_t* lit_tab, uint32_t* dist_tab) {
+                       uint32_t* lit_tab, uint32_t* dist_tab,
+                       const int64_t* hdr_bits, const int64_t* seg_bits) {
   constexpr size_t kTab = 1u << 15;
   for (int32_t b = 0; b < nb; ++b) {
-    int64_t start = b == 0 ? 0 : end_bits[b - 1];
+    int64_t start = hdr_bits ? hdr_bits[b] : (b == 0 ? 0 : end_bits[b - 1]);
     int64_t end = end_bits[b];
     if (start < 0 || end > (int64_t)(8 * n) || start >= end)
       return kStatusDataError;
@@ -993,9 +994,11 @@ int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
       lit = &dyn_lit;
       dist = &dyn_dist;
     }
-    // Bit position after the header = 8*pos - buffered bits.
+    // Bit position after the header = 8*pos - buffered bits; mid-block
+    // segments (InflateIndex) override with their first symbol bit.
     br.Fill();
-    body_bit[b] = (int64_t)br.BitPos();
+    body_bit[b] = (seg_bits && seg_bits[b] >= 0) ? seg_bits[b]
+                                                 : (int64_t)br.BitPos();
     lit_bits[b] = lit->bits;
     dist_bits[b] = dist->bits;
     std::memcpy(lit_tab + (size_t)b * kTab, lit->entries.data(),
@@ -1004,6 +1007,190 @@ int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
       std::memcpy(dist_tab + (size_t)b * kTab, dist->entries.data(),
                   4 * dist->entries.size());
   }
+  return kStatusOk;
+}
+
+// ---------------------------------------------------------------------------
+// Token-aligned segment index (SURVEY.md §7.4 route 2): one symbol walk
+// without output materialization cuts any foreign/own raw DEFLATE stream
+// into device-decodable segments. See deflate.h for the record layout.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Parses a dynamic block's code-length section into decode tables.
+// Returns 0 ok / status code on malformed input.
+int ParseDynTables(BitReaderLSB* br, HuffDecodeTable* dyn_lit,
+                   HuffDecodeTable* dyn_dist) {
+  uint32_t hlit = br->Read(5) + 257;
+  uint32_t hdist = br->Read(5) + 1;
+  uint32_t hclen = br->Read(4) + 4;
+  uint8_t cl_len[19] = {0};
+  for (uint32_t i = 0; i < hclen; ++i)
+    cl_len[kClOrder[i]] = (uint8_t)br->Read(3);
+  if (br->Overrun()) return kStatusUnexpectedEof;
+  HuffDecodeTable cl;
+  if (!BuildDecodeTable(cl_len, 19, true, &cl) || cl.bits == 0)
+    return kStatusDataError;
+  uint8_t lens[288 + 32] = {0};
+  uint32_t total = hlit + hdist;
+  uint32_t i = 0;
+  while (i < total) {
+    int sym = DecodeSym(br, cl);
+    if (br->Overrun() || sym < 0) return kStatusDataError;
+    if (sym < 16) {
+      lens[i++] = (uint8_t)sym;
+    } else if (sym == 16) {
+      if (i == 0) return kStatusDataError;
+      uint32_t rep = 3 + br->Read(2);
+      if (i + rep > total) return kStatusDataError;
+      uint8_t v = lens[i - 1];
+      while (rep--) lens[i++] = v;
+    } else if (sym == 17) {
+      uint32_t rep = 3 + br->Read(3);
+      if (i + rep > total) return kStatusDataError;
+      i += rep;
+    } else {
+      uint32_t rep = 11 + br->Read(7);
+      if (i + rep > total) return kStatusDataError;
+      i += rep;
+    }
+  }
+  if (br->Overrun()) return kStatusUnexpectedEof;
+  if (!BuildDecodeTable(lens, (int)hlit, true, dyn_lit))
+    return kStatusDataError;
+  uint8_t dlens[32] = {0};
+  std::memcpy(dlens, lens + hlit, hdist);
+  if (!BuildDecodeTable(dlens, (int)hdist, true, dyn_dist))
+    return kStatusDataError;
+  if (dyn_lit->bits == 0) return kStatusDataError;
+  return kStatusOk;
+}
+
+}  // namespace
+
+int InflateIndex(const uint8_t* in, size_t n, int64_t seg_out,
+                 int64_t max_segs, int64_t max_span_bytes,
+                 int64_t* hdr_bits, int64_t* seg_bits, int64_t* end_bits,
+                 int64_t* out_lens, int32_t* carry_len, int32_t* carry_dist,
+                 int64_t* nseg_out, size_t* consumed_bytes) {
+  BitReaderLSB br(in, n);
+  int64_t nseg = 0;
+  int64_t out_pos = 0;
+  int64_t seg_start_out = 0;
+  int64_t cur_hdr = 0;
+  int64_t cur_seg_bit = -1;
+  int32_t pend_carry_len = 0, pend_carry_dist = 0;
+  bool bfinal = false;
+
+  auto close_seg = [&](int64_t end_bit, int64_t seg_len, int32_t ncl,
+                       int32_t ncd) -> int {
+    if (nseg >= max_segs) return kStatusDataError;
+    if ((end_bit + 7) / 8 - cur_seg_bit / 8 > max_span_bytes)
+      return kStatusDataError;
+    hdr_bits[nseg] = cur_hdr;
+    seg_bits[nseg] = cur_seg_bit;
+    end_bits[nseg] = end_bit;
+    out_lens[nseg] = seg_len;
+    carry_len[nseg] = pend_carry_len;
+    carry_dist[nseg] = pend_carry_dist;
+    ++nseg;
+    seg_start_out += seg_len;
+    pend_carry_len = ncl;
+    pend_carry_dist = ncd;
+    return kStatusOk;
+  };
+
+  while (!bfinal) {
+    int64_t hdr_bit = (int64_t)br.BitPos();
+    // Block boundary: tables change, so any open segment must cut here.
+    if (cur_seg_bit >= 0 && out_pos > seg_start_out) {
+      int st = close_seg(hdr_bit, out_pos - seg_start_out, 0, 0);
+      if (st != kStatusOk) return st;
+    }
+    bfinal = br.Read(1) != 0;
+    uint32_t btype = br.Read(2);
+    if (br.Overrun()) return kStatusUnexpectedEof;
+    if (btype == 3) return kStatusDataError;
+    if (btype == 0) {
+      // A stored block is one LEN<=65535 chunk — it becomes its own
+      // segment (out_len <= 64 KiB fits the device layout; the scan's
+      // stored path and the resolve's slice gather handle it natively).
+      br.AlignByte();
+      uint32_t len = br.Read(16);
+      uint32_t nlen = br.Read(16);
+      if (br.Overrun()) return kStatusUnexpectedEof;
+      if ((len ^ nlen) != 0xffff) return kStatusDataError;
+      size_t p = br.BytePos();
+      if (p + len > n) return kStatusUnexpectedEof;
+      br.SeekByte(p + len);
+      if (len == 0) continue;  // Z_SYNC_FLUSH-style marker, no output
+      cur_hdr = hdr_bit;
+      cur_seg_bit = hdr_bit;  // unused by the walk (btype 0), spans slice
+      out_pos += (int64_t)len;
+      int st = close_seg((int64_t)(8 * (p + len)), out_pos - seg_start_out,
+                         0, 0);
+      if (st != kStatusOk) return st;
+      cur_seg_bit = -1;
+      continue;
+    }
+    HuffDecodeTable dyn_lit, dyn_dist;
+    const HuffDecodeTable* lit;
+    const HuffDecodeTable* dist;
+    if (btype == 1) {
+      lit = &GetFixedTables().lit;
+      dist = &GetFixedTables().dist;
+    } else {
+      int st = ParseDynTables(&br, &dyn_lit, &dyn_dist);
+      if (st != kStatusOk) return st;
+      lit = &dyn_lit;
+      dist = &dyn_dist;
+    }
+    cur_hdr = hdr_bit;
+    br.Fill();
+    cur_seg_bit = (int64_t)br.BitPos();
+    for (;;) {
+      int sym = DecodeSym(&br, *lit);
+      if (br.Overrun()) return kStatusUnexpectedEof;
+      if (sym < 0) return kStatusDataError;
+      if (sym == 256) break;
+      uint32_t adv, d = 0;
+      if (sym < 256) {
+        adv = 1;
+      } else {
+        if (sym > 285) return kStatusDataError;
+        adv = kLengthBase[sym - 257] + br.Read(kLengthExtra[sym - 257]);
+        if (dist->bits == 0) return kStatusDataError;
+        int ds = DecodeSym(&br, *dist);
+        if (br.Overrun()) return kStatusUnexpectedEof;
+        if (ds < 0 || ds > 29) return kStatusDataError;
+        d = kDistBase[ds] + br.Read(kDistExtra[ds]);
+        if (br.Overrun()) return kStatusUnexpectedEof;
+        if ((int64_t)d > out_pos) return kStatusDataError;
+      }
+      out_pos += adv;
+      int64_t over = out_pos - (seg_start_out + seg_out);
+      if (over >= 0) {
+        // A length token can cross at most one boundary (258 < seg_out).
+        if (over > 0 && d == 0) return kStatusDataError;  // impossible
+        int64_t after = (int64_t)br.BitPos();
+        int st = close_seg(after, seg_out, (int32_t)over, (int32_t)d);
+        if (st != kStatusOk) return st;
+        cur_seg_bit = after;
+      }
+    }
+    // EOB consumed; the segment stays open — it closes at the next block
+    // header (tables cut) or at stream end below, so end_bits include
+    // the EOB bits for slice sizing.
+  }
+  if (cur_seg_bit >= 0 && out_pos > seg_start_out) {
+    int st = close_seg((int64_t)br.BitPos(), out_pos - seg_start_out, 0, 0);
+    if (st != kStatusOk) return st;
+  }
+  br.AlignByte();
+  if (br.Overrun()) return kStatusUnexpectedEof;
+  if (consumed_bytes) *consumed_bytes = br.BytePos();
+  *nseg_out = nseg;
   return kStatusOk;
 }
 

@@ -79,11 +79,40 @@ class InflateStream {
 // (end_bits from the gzip 'TZ' side-car), parse the block header and
 // export flat single-level decode tables ([nb, 1<<15] u32 entries of
 // (sym << 5 | len)), body bit offsets, and stored-chunk byte layout.
+//
+// hdr_bits (nullable): explicit per-entry header bit positions — several
+// entries may share one block header (mid-block segments from
+// InflateIndex). Default: entry b's header starts at end_bits[b-1].
+// seg_bits (nullable): explicit first-symbol bit per entry (mid-block
+// segments); -1 or absent means "first symbol right after the header".
 int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
                        int32_t nb, int32_t* btype, int64_t* body_bit,
                        int32_t* c0_pos, int32_t* c0_len, int32_t* c1_pos,
                        int32_t* c1_len, int32_t* lit_bits, int32_t* dist_bits,
-                       uint32_t* lit_tab, uint32_t* dist_tab);
+                       uint32_t* lit_tab, uint32_t* dist_tab,
+                       const int64_t* hdr_bits = nullptr,
+                       const int64_t* seg_bits = nullptr);
+
+// Token-aligned segment index over ANY raw DEFLATE stream (SURVEY.md §7.4
+// route 2: no encoder side-car needed). One symbol-walk pass (no output
+// materialization) cuts the stream into segments of exactly `seg_out`
+// output bytes, additionally cutting at block-table boundaries; a match
+// token straddling a cut is split and the remainder reported as a carry
+// (len, dist) belonging to the following segment. Per segment s:
+//   hdr_bits[s]  bit of the owning block's BFINAL bit (table source)
+//   seg_bits[s]  first symbol bit of the segment
+//   end_bits[s]  bit after the segment's last token (incl. EOB if the
+//                block ends inside the segment)
+//   out_lens[s]  output bytes (== seg_out except at cuts/stream end)
+//   carry_len/carry_dist[s]  split-match remainder entering the segment
+// Returns kStatusOk and *nseg_out; declines with kStatusDataError on
+// stored blocks, > max_segs segments, or a segment whose compressed span
+// exceeds max_span_bytes (callers fall back to the host decoder).
+int InflateIndex(const uint8_t* in, size_t n, int64_t seg_out,
+                 int64_t max_segs, int64_t max_span_bytes,
+                 int64_t* hdr_bits, int64_t* seg_bits, int64_t* end_bits,
+                 int64_t* out_lens, int32_t* carry_len, int32_t* carry_dist,
+                 int64_t* nseg_out, size_t* consumed_bytes);
 
 // Encode a pre-tokenized block sequence (for differential tests against the
 // device pipeline): tokens for one DEFLATE block + the block's input span.

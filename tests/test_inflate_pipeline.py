@@ -122,3 +122,55 @@ def test_tiered_resolution_large_batch():
     outs = ip.decompress_many_indexed(items, interpret=True)
     for d, o in zip(datas, outs):
         assert o == d
+
+
+def test_segment_index_foreign_zlib_gzip():
+    """Round-3 route 2 (SURVEY.md §7.4): FOREIGN streams — no encoder
+    side-car — device-decode via the host segment indexer, covering
+    block-table cuts, stored blocks, and split-match carries."""
+    import gzip as sysgzip
+    import zlib as syszlib
+
+    from tpz.codecs import gzip_codec, zlib_codec
+    from tpz.kernels import inflate_pipeline as ip
+
+    data = corpus.mixed(400_000, seed=13)
+    z = syszlib.compress(data, 9)
+    out = zlib_codec.decompress(z, backend="tpu")
+    assert out == data
+    g = sysgzip.compress(data, 6)
+    out = gzip_codec.decompress(g, backend="tpu")
+    assert out == data
+    # raw deflate with trailing garbage still rejected on the tpu path
+    raw = z[2:-4]
+    from tpz.codecs import deflate as dcodec
+    import pytest as _pytest
+
+    from tpz.errors import DataError as _DE
+
+    with _pytest.raises(_DE):
+        dcodec.decompress(raw + b"junk", backend="tpu")
+    # batch API
+    idx = ip.index_stream(raw)
+    assert idx is not None and idx["consumed"] == len(raw)
+
+
+def test_segment_index_own_oracle_stream():
+    """tpz's own oracle-encoded streams (the > MAX_DEVICE_SPAN fallback
+    shape, which emits no TZ side-car) device-decode via the indexer."""
+    from tpz.codecs import deflate as dcodec
+
+    data = corpus.mixed(300_000, seed=21)
+    body = dcodec.compress(data, 6, backend="oracle")
+    out = dcodec.decompress(body, backend="tpu")
+    assert out == data
+
+
+def test_api_decompress_backend_plumbing():
+    import tpz.api as api
+
+    data = corpus.text(50_000)
+    for fmt in ("gzip", "zlib", "deflate"):
+        c = api.compress(data, fmt, backend="oracle")
+        assert api.decompress(c, fmt, backend="tpu") == data
+        assert api.decompress(c, fmt) == data

@@ -32,6 +32,8 @@ def main(argv=None) -> int:
                    choices=["auto", "oracle", "tpu"])
     d = sub.add_parser("decompress", help="decompress a file")
     add_io(d)
+    d.add_argument("-b", "--backend", default="auto",
+                   choices=["auto", "oracle", "tpu"])
     s = sub.add_parser("selftest", help="round-trip every format on synthetic data")
     s.add_argument("-n", type=int, default=1 << 16)
     args = p.parse_args(argv)
@@ -66,7 +68,7 @@ def main(argv=None) -> int:
                            backend=args.backend)
         default_out = None if args.input == "-" else args.input + suffix
     else:
-        out = api.decompress(raw, args.format)
+        out = api.decompress(raw, args.format, backend=args.backend)
         default_out = (args.input[: -len(suffix)]
                        if args.input.endswith(suffix) else
                        (None if args.input == "-" else args.input + ".out"))

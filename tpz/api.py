@@ -68,11 +68,15 @@ def compress(data: bytes, format: str = "gzip", level: int = 6,
     return _FORMATS[format][0](data, level=level, backend=backend)
 
 
-def decompress(data: bytes, format: str = "gzip") -> bytes:
+def decompress(data: bytes, format: str = "gzip",
+               backend: str = "auto") -> bytes:
     _load()
     if format not in _FORMATS:
         raise ValueError(f"unknown format {format!r}; have {formats()}")
-    return _FORMATS[format][1](data)
+    fn = _FORMATS[format][1]
+    if format in ("deflate", "zlib", "gzip", "bzip2"):
+        return fn(data, backend=backend)
+    return fn(data)
 
 
 def compress_many(datas, format: str = "gzip", level: int = 6,

@@ -119,17 +119,30 @@ def compress_flush(data: bytes, level: int = 6,
     return oracle.deflate_encode_flush(data, cfg.params_array())
 
 
-def decompress(data: bytes) -> bytes:
-    plain, consumed = oracle.inflate(data)
+def decompress(data: bytes, backend: str = "auto") -> bytes:
+    plain, consumed = decompress_prefix(data, backend)
     if consumed != len(data):
         raise DataError(f"trailing garbage after deflate stream "
                         f"({len(data) - consumed} bytes)")
     return plain
 
 
-def decompress_prefix(data: bytes) -> tuple[bytes, int]:
+def decompress_prefix(data: bytes, backend: str = "auto") -> tuple[bytes, int]:
     """Decode a deflate stream that may be followed by more data (framing
-    trailers). Returns (plaintext, consumed_bytes)."""
+    trailers). Returns (plaintext, consumed_bytes).
+
+    backend="tpu": the host-side segment indexer (SURVEY.md §7.4 route 2,
+    cpp InflateIndex) cuts ANY stream — ours or foreign, no side-car
+    needed — into 64 KiB-output segments that decode block-parallel on
+    device; shapes the indexer declines fall back to the host inflate."""
+    if backend == "tpu":
+        from tpz.kernels import inflate_pipeline
+
+        if inflate_pipeline.usable():
+            idx = inflate_pipeline.index_stream(data)
+            if idx is not None:
+                plain = inflate_pipeline.decompress_segmented(data, idx)
+                return plain, idx["consumed"]
     return oracle.inflate(data)
 
 

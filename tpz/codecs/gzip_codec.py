@@ -177,6 +177,17 @@ def decompress_member_prefix(data: bytes, off: int = 0,
             plain = inflate_pipeline.decompress_indexed(
                 data[pos:pos + nbytes], end_bits, out_lens)
             consumed = nbytes
+    if plain is None and backend == "tpu":
+        # Foreign member (no TZ side-car): the host segment indexer
+        # (SURVEY.md §7.4 route 2) makes ANY member device-decodable.
+        from tpz.kernels import inflate_pipeline
+
+        if inflate_pipeline.usable():
+            idx = inflate_pipeline.index_stream(data[pos:])
+            if idx is not None:
+                plain = inflate_pipeline.decompress_segmented(
+                    data[pos:], idx)
+                consumed = idx["consumed"]
     if plain is None:
         plain, consumed = deflate.decompress_prefix(data[pos:])
     tpos = pos + consumed

@@ -45,13 +45,16 @@ def check_header(cmf: int, flg: int) -> None:
         raise DataError("preset dictionaries not supported")
 
 
-def decompress_prefix(data: bytes) -> tuple[bytes, int]:
+def decompress_prefix(data: bytes,
+                      backend: str = "auto") -> tuple[bytes, int]:
     """Decode one zlib stream that may be followed by more data.
-    Returns (plaintext, consumed_bytes incl. header and trailer)."""
+    Returns (plaintext, consumed_bytes incl. header and trailer).
+    backend="tpu" decodes the DEFLATE body device-parallel via the host
+    segment indexer (no side-car needed; Adler-32 still checked)."""
     if len(data) < 6:
         raise UnexpectedEof("zlib stream too short")
     check_header(data[0], data[1])
-    plain, consumed = deflate.decompress_prefix(data[2:])
+    plain, consumed = deflate.decompress_prefix(data[2:], backend)
     trailer = data[2 + consumed : 2 + consumed + 4]
     if len(trailer) < 4:
         raise UnexpectedEof("missing adler32 trailer")
@@ -66,8 +69,8 @@ def decompress_prefix(data: bytes) -> tuple[bytes, int]:
     return plain, 2 + consumed + 4
 
 
-def decompress(data: bytes) -> bytes:
-    plain, consumed = decompress_prefix(data)
+def decompress(data: bytes, backend: str = "auto") -> bytes:
+    plain, consumed = decompress_prefix(data, backend)
     if consumed != len(data):  # RFC 1950 streams are exactly one member
         raise DataError(f"trailing garbage after zlib stream "
                         f"({len(data) - consumed} bytes)")

@@ -34,7 +34,10 @@ from tpz.errors import DataError
 from tpz.kernels.device_quirks import fetch
 
 BLOCK = 65536
-SLICE_BYTES = BLOCK + 2048      # per-block stream slice (worst case ~64k+hdr)
+# Per-block stream slice: encoder blocks need ~64k+header; FOREIGN
+# segments (inflate_index route) may expand a few KiB past 64k inside a
+# huffman block before producers fall back to stored, so carry margin.
+SLICE_BYTES = BLOCK + 8192
 TAB = 1 << 15
 
 # marker layout: kind << 28 | payload
@@ -44,7 +47,8 @@ _KIND_MATCH = 2                  # payload = dist << 9 | len
 
 def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
                  lit_mask, dist_mask, len_base, len_extra, dist_base,
-                 dist_extra, interpret=False, nblk: int = 8):
+                 dist_extra, start_pos=None, interpret=False,
+                 nblk: int = 8):
     """Per-block Huffman symbol decode — nblk interleaved block chains per
     kernel body (the v3w/v3y walk pattern: straight-line, no lax.cond, no
     pl.when, unconditional row store; independent chains hide the 150 ns
@@ -69,6 +73,8 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
     assert SW % 128 == 0 and BLOCK % 128 == 0
     r_s, r_o = SW // 128, BLOCK // 128
     r_t = TAB // 128
+    if start_pos is None:
+        start_pos = jnp.zeros((NB,), jnp.int32)
     NBp = -(-NB // nblk) * nblk
     if NBp != NB:
         pad = NBp - NB
@@ -85,12 +91,13 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
         out_len = jnp.concatenate([out_len, zpad])
         lit_mask = jnp.concatenate([lit_mask, zpad])
         dist_mask = jnp.concatenate([dist_mask, zpad])
+        start_pos = jnp.concatenate([start_pos, zpad])
     s3 = stream_words.reshape(NBp, r_s, 128)
     l3 = lit_tab.reshape(NBp, r_t, 128)
     d3 = dist_tab.reshape(NBp, r_t, 128)
 
-    def kernel(bb_ref, ol_ref, lm_ref, dm_ref, lb_ref, le_ref, db_ref,
-               de_ref, s_ref, lt_ref, dt_ref, out_ref):
+    def kernel(bb_ref, ol_ref, lm_ref, dm_ref, sp_ref, lb_ref, le_ref,
+               db_ref, de_ref, s_ref, lt_ref, dt_ref, out_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[...] = jnp.zeros_like(out_ref)
         g = pl.program_id(0)
@@ -178,7 +185,8 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
             return tuple(step_chain(c, states[c]) for c in range(nblk))
 
         init = tuple(
-            (bb_ref[g * nblk + c], zero, zero,
+            (bb_ref[g * nblk + c], sp_ref[g * nblk + c],
+             sp_ref[g * nblk + c] >> 7,
              jnp.zeros((1, 128), jnp.int32), True)
             for c in range(nblk))
         jax.lax.while_loop(cond, body, init)
@@ -186,7 +194,7 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
     out = pl.pallas_call(
         kernel,
         grid=(NBp // nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9 + [
             pl.BlockSpec((nblk, r_s, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
@@ -194,31 +202,17 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
         out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
         interpret=interpret,
-    )(body_bit_local, out_len, lit_mask, dist_mask, len_base, len_extra,
-      dist_base, dist_extra, s3, l3, d3)
+    )(body_bit_local, out_len, lit_mask, dist_mask, start_pos, len_base,
+      len_extra, dist_base, dist_extra, s3, l3, d3)
     return out.reshape(NBp, BLOCK)[:NB]
 
 
-def _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
-                out_len):
-    """XLA stage: stored-block byte fill + match expansion + packed-state
-    pointer doubling (round-3 rewrite; the round-2 version cost THREE
-    whole-array gathers per round — val, resolved, ptr[ptr] — at this
-    chip's ~0.14 G elem/s gather floor).
-
-    Two changes make rounds ~3x cheaper and bound their count:
-      1. state = ptr << 8 | val packed in ONE uint32 ("resolved" is
-         ptr == own index), so a doubling round is a SINGLE gather.
-         Requires N <= 2^24 (MAX_DECODE_SPAN).
-      2. self-overlapping matches (dist < len, the RLE-style runs that
-         create byte chains as deep as the run) collapse in closed form:
-         byte i of match (start, len, dist) reads start - dist +
-         ((i - start) mod dist), which always lands BEFORE the match, so
-         chain depth is bounded by the token chain (~hundreds measured),
-         not the byte chain (~64 K worst case) => <= ~9 doubling rounds.
-
-    markers [NB, BLOCK]; slices [NB, SLICE_BYTES] uint8; *_l offsets local
-    to each slice. Returns [NB*BLOCK] uint8."""
+def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
+                    out_len, carry=None):
+    """Padded-stage XLA: stored-block byte fill, liveness masking, and
+    (segment mode) carry-marker synthesis. markers [NB, BLOCK]; slices
+    [NB, SLICE_BYTES] uint8; *_l offsets local to each slice; carry
+    [NB] int32 ((dist << 9) | len, 0 = none). Returns [NB, BLOCK]."""
     NB = markers.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
 
@@ -234,7 +228,37 @@ def _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
     live = pos < out_len[:, None]
     markers = jnp.where(live, markers, (_KIND_LIT << 28))
 
-    flat = markers.reshape(-1)
+    if carry is not None:
+        # A match split across the preceding segment boundary re-enters
+        # as a synthetic match marker at local position 0; the rest of
+        # its span must read as blank (the walk never wrote it).
+        clen = carry & 511
+        cmark = (_KIND_MATCH << 28) | carry
+        markers = jnp.where((carry > 0)[:, None] & (pos < clen[:, None]),
+                            jnp.where(pos == 0, cmark[:, None], 0),
+                            markers)
+    return markers
+
+
+def _resolve_fn(markers):
+    """Dense-stage XLA: match expansion + packed-state pointer doubling
+    with tiered compaction (round-3; the round-2 version cost THREE
+    whole-array gathers per round at this chip's ~0.14 G elem/s gather
+    floor).
+
+    Key facts:
+      1. state = ptr << 8 | val packed in ONE uint32 ("resolved" is
+         ptr == own index), so a doubling round is a SINGLE gather.
+         Requires N <= 2^24 (MAX_DECODE_SPAN).
+      2. self-overlapping matches (dist < len, the RLE-style runs that
+         create byte chains as deep as the run) collapse in closed form:
+         byte i of match (start, len, dist) reads start - dist +
+         ((i - start) mod dist), which always lands BEFORE the match, so
+         chain depth is bounded by the token chain (~hundreds measured),
+         not the byte chain (~64 K worst case) => <= ~9 doubling rounds.
+
+    markers: flat [N] int32 in DENSE output space. Returns [N] uint8."""
+    flat = markers
     N = flat.shape[0]
     gpos = jnp.arange(N, dtype=jnp.int32)
     kind = flat >> 28
@@ -322,13 +346,44 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
                      nblk: int = 8):
     """Whole decode as ONE device program: Pallas symbol walk -> marker
     resolution — one dispatch, no host round-trip between stages (the
-    relay charges ~0.6 s per invocation, BASELINE.md)."""
+    relay charges ~0.6 s per invocation, BASELINE.md). Entries are
+    encoder blocks: every non-final out_len == BLOCK, so padded marker
+    space IS dense output space."""
     markers = _symbol_walk(stream_words, body_bit_local, walk_out_len,
                            lit_tab, dist_tab, lit_mask, dist_mask,
                            len_base, len_extra, dist_base, dist_extra,
                            interpret=interpret, nblk=nblk)
-    return _resolve_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
-                       out_len)
+    markers = _materialize_fn(markers, slices, btype, c0_pos_l, c0_len,
+                              c1_pos_l, out_len)
+    return _resolve_fn(markers.reshape(-1))
+
+
+def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
+                         lit_tab, dist_tab, lit_mask, dist_mask, len_base,
+                         len_extra, dist_base, dist_extra, slices, btype,
+                         c0_pos_l, c0_len, c1_pos_l, out_len, start_pos,
+                         carry, dense_off, interpret: bool = False,
+                         nblk: int = 8):
+    """Segment-mode fused decode (SURVEY.md §7.4 route 2): entries come
+    from the host InflateIndex over ANY stream — ragged out_lens (block
+    cuts, stored blocks) and split-match carries. The padded [NB, BLOCK]
+    marker space is compacted to dense output space with ONE placement
+    sort before resolution."""
+    NB = walk_out_len.shape[0]
+    markers = _symbol_walk(stream_words, body_bit_local, walk_out_len,
+                           lit_tab, dist_tab, lit_mask, dist_mask,
+                           len_base, len_extra, dist_base, dist_extra,
+                           start_pos=start_pos, interpret=interpret,
+                           nblk=nblk)
+    markers = _materialize_fn(markers, slices, btype, c0_pos_l, c0_len,
+                              c1_pos_l, out_len, carry=carry)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
+    live = pos < out_len[:, None]
+    key = jnp.where(live, dense_off[:, None] + pos, jnp.int32(2**31 - 1))
+    mpark = jnp.where(live, markers, (_KIND_LIT << 28))
+    _, dense = jax.lax.sort(
+        (key.reshape(-1), mpark.reshape(-1)), dimension=0, num_keys=1)
+    return _resolve_fn(dense)
 
 
 def usable() -> bool:
@@ -341,6 +396,8 @@ _resolve_jit = jax.jit(_resolve_fn)
 _walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
 _decode_fused = jax.jit(_decode_fused_fn,
                         static_argnames=("interpret", "nblk"))
+_decode_segmented = jax.jit(_decode_segmented_fn,
+                            static_argnames=("interpret", "nblk"))
 
 # Packed resolution state (ptr << 8 | val in uint32) caps one decode
 # dispatch at 2^24 output bytes (16 MiB); decompress_many sub-batches.
@@ -472,5 +529,145 @@ def decompress_many_indexed(items, interpret: bool | None = None):
         else:
             results[i] = (span[:-1].reshape(-1).tobytes()
                           + span[-1, :int(items[i][2][-1])].tobytes())
+        b0 += nb
+    return results
+
+
+def index_stream(stream: bytes):
+    """Host-side segment index over any raw DEFLATE stream (SURVEY.md
+    §7.4 route 2; cpp InflateIndex). Returns the index dict (with
+    'consumed' bytes) or None when the stream doesn't fit the device
+    path — the caller uses the host decoder."""
+    from tpz import oracle
+
+    if not oracle.available():
+        return None
+    idx = oracle.inflate_index(stream, seg_out=BLOCK,
+                               max_span_bytes=SLICE_BYTES - 1024)
+    if idx is None or len(idx["out_lens"]) == 0:
+        return None
+    if int(np.sum(idx["out_lens"])) > MAX_DECODE_SPAN:
+        return None
+    return idx
+
+
+def decompress_segmented(stream: bytes, idx: dict,
+                         interpret: bool | None = None) -> bytes:
+    """Decode one indexed stream via the segment route."""
+    return decompress_many_segmented([(stream, idx)], interpret)[0]
+
+
+def decompress_many_segmented(items, interpret: bool | None = None):
+    """Batch-decode host-indexed streams (index_stream) in ONE fused
+    device program. Unlike the encoder-TZ path, entries are SEGMENTS:
+    ragged out_lens (block-table cuts, stored blocks) and split-match
+    carries; the device program compacts padded marker space to dense
+    output space with one placement sort before resolution.
+
+    items: list of (stream_bytes, idx_dict)."""
+    from tpz import oracle
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    results = [None] * len(items)
+    idxs = [i for i, (_, idx) in enumerate(items)
+            if len(idx["out_lens"]) > 0]
+    for i, (_, idx) in enumerate(items):
+        if len(idx["out_lens"]) == 0:
+            results[i] = b""
+    if not idxs:
+        return results
+
+    total_out = sum(int(np.sum(items[i][1]["out_lens"])) for i in idxs)
+    if total_out > MAX_DECODE_SPAN:
+        group, group_out = [], 0
+        for i in idxs:
+            need = int(np.sum(items[i][1]["out_lens"]))
+            if need > MAX_DECODE_SPAN:
+                raise DataError("stream exceeds MAX_DECODE_SPAN")
+            if group and group_out + need > MAX_DECODE_SPAN:
+                for gi, out in zip(group, decompress_many_segmented(
+                        [items[g] for g in group], interpret)):
+                    results[gi] = out
+                group, group_out = [], 0
+            group.append(i)
+            group_out += need
+        if group:
+            for gi, out in zip(group, decompress_many_segmented(
+                    [items[g] for g in group], interpret)):
+                results[gi] = out
+        return results
+
+    nbs = [len(items[i][1]["out_lens"]) for i in idxs]
+    NB = sum(nbs)
+    slices = np.zeros((NB, SLICE_BYTES), np.uint8)
+    body_bit_local = np.zeros(NB, np.int32)
+    c0_pos_l = np.zeros(NB, np.int32)
+    c0_len = np.zeros(NB, np.int32)
+    c1_pos_l = np.zeros(NB, np.int32)
+    walk_out_len = np.zeros(NB, np.int32)
+    out_len_all = np.zeros(NB, np.int32)
+    start_pos = np.zeros(NB, np.int32)
+    carry = np.zeros(NB, np.int32)
+    btype = np.zeros(NB, np.int32)
+    lit_mask = np.zeros(NB, np.int32)
+    dist_mask = np.zeros(NB, np.int32)
+    lit_tab = np.zeros((NB, TAB), np.int32)
+    dist_tab = np.zeros((NB, TAB), np.int32)
+    b0 = 0
+    for i, nb in zip(idxs, nbs):
+        stream, idx = items[i]
+        scan = oracle.inflate_scan_segments(
+            stream, idx["hdr_bits"], idx["seg_bits"], idx["end_bits"])
+        sb = np.frombuffer(stream, np.uint8)
+        slice_start = np.zeros(nb, np.int64)
+        for b in range(nb):
+            s0 = int(idx["seg_bits"][b]) // 8
+            s1 = min(len(sb), (int(idx["end_bits"][b]) + 7) // 8 + 8)
+            take = min(s1 - s0, SLICE_BYTES)
+            slices[b0 + b, :take] = sb[s0:s0 + take]
+            slice_start[b] = s0
+        sl = slice(b0, b0 + nb)
+        body_bit_local[sl] = (scan["body_bit"] - 8 * slice_start)
+        c0_pos_l[sl] = scan["c0_pos"] - slice_start
+        c0_len[sl] = scan["c0_len"]
+        c1_pos_l[sl] = scan["c1_pos"] - slice_start
+        out_len_all[sl] = idx["out_lens"]
+        cl = idx["carry_len"].astype(np.int32)
+        start_pos[sl] = cl
+        carry[sl] = (idx["carry_dist"].astype(np.int32) << 9) | cl
+        walk_out_len[sl] = np.where(scan["btype"] == 0, 0,
+                                    idx["out_lens"])
+        btype[sl] = scan["btype"]
+        lit_mask[sl] = (1 << scan["lit_bits"]) - 1
+        dist_mask[sl] = np.where(scan["dist_bits"] > 0,
+                                 (1 << scan["dist_bits"]) - 1, 0)
+        lit_tab[sl] = scan["lit_tab"]
+        dist_tab[sl] = scan["dist_tab"]
+        b0 += nb
+
+    dense_off = np.cumsum(out_len_all.astype(np.int64)) - out_len_all
+    sw = np.ascontiguousarray(slices).view("<u4").astype(np.int32)
+    out = _decode_segmented(
+        jnp.asarray(sw), jnp.asarray(body_bit_local),
+        jnp.asarray(walk_out_len), jnp.asarray(lit_tab),
+        jnp.asarray(dist_tab), jnp.asarray(lit_mask),
+        jnp.asarray(dist_mask),
+        jnp.asarray(np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)),
+        jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
+        jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),
+        jnp.asarray(np.asarray(C.DEFLATE_DIST_EXTRA, np.int32)),
+        jnp.asarray(slices), jnp.asarray(btype), jnp.asarray(c0_pos_l),
+        jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
+        jnp.asarray(out_len_all), jnp.asarray(start_pos),
+        jnp.asarray(carry), jnp.asarray(dense_off.astype(np.int32)),
+        interpret=interpret)
+    flat = np.asarray(fetch(out))
+    b0 = 0
+    pos = 0
+    for i, nb in zip(idxs, nbs):
+        n_out = int(np.sum(items[i][1]["out_lens"]))
+        results[i] = flat[pos:pos + n_out].tobytes()
+        pos += n_out
         b0 += nb
     return results

@@ -117,6 +117,14 @@ def lib() -> ctypes.CDLL:
         L.tpz_inflate_scan_headers.argtypes = [
             u8p, ctypes.c_size_t, i64p, ctypes.c_int32, i32p, i64p,
             i32p, i32p, i32p, i32p, i32p, i32p, u32p, u32p]
+        L.tpz_inflate_scan_segments.restype = ctypes.c_int
+        L.tpz_inflate_scan_segments.argtypes = [
+            u8p, ctypes.c_size_t, i64p, i64p, i64p, ctypes.c_int32, i32p,
+            i64p, i32p, i32p, i32p, i32p, i32p, i32p, u32p, u32p]
+        L.tpz_inflate_index.restype = ctypes.c_int
+        L.tpz_inflate_index.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i64p, i64p, i64p, i64p, i32p, i32p, i64p, szp]
         L.tpz_deflate_encode_flush.restype = ctypes.c_int
         L.tpz_deflate_encode_flush.argtypes = [
             u8p, ctypes.c_size_t, i32p, u8p, szp]
@@ -310,6 +318,73 @@ def inflate_scan_headers(stream, end_bits: np.ndarray) -> dict:
             "c0_len": c0l, "c1_pos": c1p, "c1_len": c1l,
             "lit_bits": lbits, "dist_bits": dbits, "lit_tab": ltab,
             "dist_tab": dtab}
+
+
+def inflate_scan_segments(stream, hdr_bits: np.ndarray,
+                          seg_bits: np.ndarray,
+                          end_bits: np.ndarray) -> dict:
+    """Like inflate_scan_headers, but entries may share a block header
+    and start mid-block (segments from inflate_index)."""
+    a = _u8(stream)
+    hb = np.ascontiguousarray(hdr_bits, dtype=np.int64)
+    sb = np.ascontiguousarray(seg_bits, dtype=np.int64)
+    eb = np.ascontiguousarray(end_bits, dtype=np.int64)
+    nb = eb.shape[0]
+    btype = np.zeros(nb, np.int32)
+    body_bit = np.zeros(nb, np.int64)
+    c0p = np.zeros(nb, np.int32)
+    c0l = np.zeros(nb, np.int32)
+    c1p = np.zeros(nb, np.int32)
+    c1l = np.zeros(nb, np.int32)
+    lbits = np.zeros(nb, np.int32)
+    dbits = np.zeros(nb, np.int32)
+    ltab = np.zeros((nb, 1 << 15), np.uint32)
+    dtab = np.zeros((nb, 1 << 15), np.uint32)
+    st = lib().tpz_inflate_scan_segments(
+        _u8ptr(a), a.size, _ptr(hb, ctypes.c_int64),
+        _ptr(sb, ctypes.c_int64), _ptr(eb, ctypes.c_int64), nb,
+        _ptr(btype, ctypes.c_int32), _ptr(body_bit, ctypes.c_int64),
+        _ptr(c0p, ctypes.c_int32), _ptr(c0l, ctypes.c_int32),
+        _ptr(c1p, ctypes.c_int32), _ptr(c1l, ctypes.c_int32),
+        _ptr(lbits, ctypes.c_int32), _ptr(dbits, ctypes.c_int32),
+        _ptr(ltab, ctypes.c_uint32), _ptr(dtab, ctypes.c_uint32))
+    raise_for_status(st, "inflate_scan_segments")
+    return {"btype": btype, "body_bit": body_bit, "c0_pos": c0p,
+            "c0_len": c0l, "c1_pos": c1p, "c1_len": c1l,
+            "lit_bits": lbits, "dist_bits": dbits, "lit_tab": ltab,
+            "dist_tab": dtab}
+
+
+def inflate_index(stream, seg_out: int = 1 << 16,
+                  max_span_bytes: int = (1 << 16) + 6144):
+    """Token-aligned segment index over ANY raw DEFLATE stream (cpp
+    InflateIndex; SURVEY.md §7.4 route 2): one host symbol walk, no
+    output materialization. Returns a dict of per-segment arrays
+    (hdr_bits, seg_bits, end_bits, out_lens, carry_len, carry_dist,
+    consumed) or None when the stream doesn't fit the device path
+    (stored blocks, oversized segment spans)."""
+    a = _u8(stream)
+    max_segs = max(16, 2 * (a.size // 1024) + 64 * 1024)
+    hb = np.zeros(max_segs, np.int64)
+    sb = np.zeros(max_segs, np.int64)
+    eb = np.zeros(max_segs, np.int64)
+    ol = np.zeros(max_segs, np.int64)
+    cl = np.zeros(max_segs, np.int32)
+    cd = np.zeros(max_segs, np.int32)
+    nseg = np.zeros(1, np.int64)
+    consumed = ctypes.c_size_t(0)
+    st = lib().tpz_inflate_index(
+        _u8ptr(a), a.size, seg_out, max_segs, max_span_bytes,
+        _ptr(hb, ctypes.c_int64), _ptr(sb, ctypes.c_int64),
+        _ptr(eb, ctypes.c_int64), _ptr(ol, ctypes.c_int64),
+        _ptr(cl, ctypes.c_int32), _ptr(cd, ctypes.c_int32),
+        _ptr(nseg, ctypes.c_int64), ctypes.byref(consumed))
+    if st != 0:
+        return None
+    k = int(nseg[0])
+    return {"hdr_bits": hb[:k], "seg_bits": sb[:k], "end_bits": eb[:k],
+            "out_lens": ol[:k], "carry_len": cl[:k], "carry_dist": cd[:k],
+            "consumed": int(consumed.value)}
 
 
 def deflate_encode_flush(data, params: np.ndarray | None = None) -> bytes:
