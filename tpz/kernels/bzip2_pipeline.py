@@ -33,7 +33,8 @@ def compress(data: bytes, level: int = 9) -> bytes:
     return compress_many([data], level)[0]
 
 
-def _fused_full_fn(d_pad, n, crc, buf_start, rounds: int, cap_words: int):
+def _fused_full_fn(d_pad, n, crc, buf_start, rounds: int, cap_words: int,
+                   live=None):
     """The WHOLE bzip2 encode as ONE device program (round 3; closes the
     SURVEY §2.1 BZip2 row): BWT + used-map + MTF + RLE2 + multi-table
     Huffman coder + MSB bitpack. Only framing (the 4-byte 'BZh<level>'
@@ -49,6 +50,11 @@ def _fused_full_fn(d_pad, n, crc, buf_start, rounds: int, cap_words: int):
 
     vals, nbits, total_bits = encode_blocks(
         syms, sym_len, used, n_used, orig, crc)
+    if live is not None:
+        # Mesh padding rows (sharded_compress_bzip2): dead blocks emit
+        # zero bits so they never reach the assembled stream.
+        nbits = jnp.where(live[:, None], nbits, 0)
+        total_bits = jnp.where(live, total_bits, 0)
     # Per-buffer stream layout: each buffer starts word-aligned with a
     # 32-bit gap for the host-written 'BZh<level>' header; blocks inside
     # a buffer are bit-concatenated.
