@@ -41,3 +41,30 @@ def test_pipeline_empty():
     from tpz.kernels import lzhuf_pipeline
 
     assert lzhuf_pipeline.compress(b"", "lh5") == oracle.lzhuf_encode(b"", 13)
+
+
+def test_compress_many_batched_identity():
+    """Round-3 batching (VERDICT r2 #5): one stage-1/stage-2 invocation
+    covers many buffers; bytes identical to the per-buffer path and the
+    oracle round-trips them."""
+    import tpz.api as api
+    from tpz import oracle
+    from tpz.kernels import lzhuf_pipeline as lp
+    from tpz.utils import corpus
+
+    datas = [corpus.text(50_000), b"", corpus.mixed(120_000, seed=3),
+             corpus.repetitive(40_000), b"x"]
+    for method in ("lh5", "lh7"):
+        outs = lp.compress_many(datas, method=method)
+        for d, o in zip(datas, outs):
+            if not d:
+                assert o == b""
+                continue
+            assert oracle.lzhuf_decode(
+                o, len(d), {"lh5": 13, "lh7": 16}[method]) == d
+        singles = [lp.compress(d, method) for d in datas]
+        assert outs == singles
+    # api-level batch wraps containers per buffer
+    outs = api.compress_many([d for d in datas if d], "lh5")
+    for d, o in zip([d for d in datas if d], outs):
+        assert api.decompress(o, "lh5") == d

@@ -94,6 +94,11 @@ def compress_many(datas, format: str = "gzip", level: int = 6,
         from tpz.codecs import bzip2 as _bz
 
         return _bz.compress_many(list(datas), level=level, backend=backend)
+    if format in ("lh4", "lh5", "lh6", "lh7"):
+        from tpz.codecs import lzhuf as _lz
+
+        return _lz.compress_many(list(datas), method=format, level=level,
+                                 backend=backend)
     return [compress(d, format, level=level, backend=backend) for d in datas]
 
 

@@ -54,6 +54,32 @@ def compress(data: bytes, method: str = "lh5", level: int = 6,
     return _MAGIC + method.encode() + struct.pack("<Q", len(data)) + body
 
 
+def compress_many(datas, method: str = "lh5", level: int = 6,
+                  backend: str = "auto") -> list[bytes]:
+    """Batched lzhuf: one device stage-1/stage-2 invocation for every
+    buffer (VERDICT r2 next #5 — amortizes the per-dispatch relay
+    floor), oracle per-buffer fallback otherwise."""
+    _ = level
+    datas = list(datas)
+    bodies = None
+    if backend in ("auto", "tpu"):
+        try:
+            from tpz.kernels import lzhuf_pipeline
+
+            if lzhuf_pipeline.usable():
+                bodies = lzhuf_pipeline.compress_many(datas, method)
+            elif backend == "tpu":
+                raise RuntimeError("tpu backend requested but unusable")
+        except Exception:
+            if backend == "tpu":
+                raise
+    if bodies is None:
+        bits = _dict_bits(method)
+        bodies = [oracle.lzhuf_encode(d, bits, 16) for d in datas]
+    return [_MAGIC + method.encode() + struct.pack("<Q", len(d)) + b
+            for d, b in zip(datas, bodies)]
+
+
 def decompress(data: bytes, method: str | None = None) -> bytes:
     if len(data) < 15:  # 4 magic + 3 method + 8 size; body may be empty
         raise UnexpectedEof("lzhuf container too short")

@@ -136,45 +136,100 @@ def _stage2(blocks, is_token, mlen, mdist, c_len, c_code, p_len, p_code,
 
 
 def compress(data: bytes, method: str = "lh5", max_chain: int = 16) -> bytes:
+    return compress_many([data], method=method, max_chain=max_chain)[0]
+
+
+def compress_many(datas, method: str = "lh5",
+                  max_chain: int = 16) -> list[bytes]:
+    """Batched LZHUF encode (VERDICT r2 next #5): ALL buffers' blocks
+    share ONE stage-1 and ONE stage-2 device invocation — exactly the
+    DEFLATE/bzip2 batching shape, amortizing the per-dispatch relay
+    cost that made per-buffer lzhuf encode pay the ~0.6 s floor twice
+    per buffer. Host planning (cpp LzhufPlan) stays per buffer; each
+    buffer's bit stream packs at a word-aligned region of one shared
+    output array. Byte-identical to the per-buffer path."""
     from tpz import oracle
 
-    n = len(data)
-    if n == 0:
-        return b""
     dict_bits, np_ = LZHUF_METHODS[method]
     window = 1 << dict_bits
-    nb = (n + BLOCK - 1) // BLOCK
-    arr = np.frombuffer(memoryview(data), dtype=np.uint8)
-    span = np.zeros(window + nb * BLOCK + FWD, dtype=np.uint8)
-    span[window:window + n] = arr
-    blocks = _make_blocks(jnp.asarray(span), window)
-    span_off = jnp.asarray((np.arange(nb) * BLOCK).astype(np.int32))
-    block_len_np = np.minimum(n - np.arange(nb) * BLOCK, BLOCK).astype(np.int32)
+    results = [None] * len(datas)
+    idxs = [i for i, d in enumerate(datas) if len(d) > 0]
+    for i, d in enumerate(datas):
+        if len(d) == 0:
+            results[i] = b""
+    if not idxs:
+        return results
+
+    metas = []  # (i, nb, n)
+    nbs = []
+    for i in idxs:
+        n = len(datas[i])
+        nb = (n + BLOCK - 1) // BLOCK
+        metas.append((i, nb, n))
+        nbs.append(nb)
+    NBtot = sum(nbs)
+    M = window + BLOCK + FWD
+    blocks_np = np.zeros((NBtot, M), np.uint8)
+    span_off = np.zeros(NBtot, np.int32)
+    span_len = np.zeros(NBtot, np.int32)
+    block_len = np.zeros(NBtot, np.int32)
+    r0 = 0
+    for i, nb, n in metas:
+        arr = np.frombuffer(memoryview(datas[i]), dtype=np.uint8)
+        span = np.zeros(window + nb * BLOCK + FWD, dtype=np.uint8)
+        span[window:window + n] = arr
+        for b in range(nb):
+            blocks_np[r0 + b] = span[b * BLOCK:b * BLOCK + M]
+        span_off[r0:r0 + nb] = np.arange(nb) * BLOCK
+        span_len[r0:r0 + nb] = n
+        block_len[r0:r0 + nb] = np.minimum(
+            n - np.arange(nb) * BLOCK, BLOCK)
+        r0 += nb
 
     use_pallas = jax.default_backend() == "tpu"
+    blocks = jnp.asarray(blocks_np.astype(np.int32))
     mlen, mdist, is_token, c_hist, p_hist, ntokens = _stage1(
-        blocks, span_off, jnp.int32(n), jnp.asarray(block_len_np),
-        max_chain, window, use_pallas, np_)
+        blocks, jnp.asarray(span_off), jnp.asarray(span_len),
+        jnp.asarray(block_len), max_chain, window, use_pallas, np_)
 
     c_hist_np = fetch(c_hist).astype(np.uint32)
     p_hist_np = fetch(p_hist).astype(np.uint32)
     ntokens_np = fetch(ntokens).astype(np.uint32)
 
-    plan = oracle.lzhuf_plan(c_hist_np, p_hist_np, ntokens_np, dict_bits)
-    total_bits = plan["total_bits"]
-    total_words = (total_bits + 31) // 32 or 1
+    # Per-buffer host plans; each buffer's stream at a word-aligned
+    # region of the shared output.
+    body_off = np.zeros(NBtot, np.int64)
+    plans = []
+    region_bits = []
+    pos_bits = 0
+    r0 = 0
+    for i, nb, n in metas:
+        sl = slice(r0, r0 + nb)
+        plan = oracle.lzhuf_plan(c_hist_np[sl], p_hist_np[sl],
+                                 ntokens_np[sl], dict_bits)
+        body_off[sl] = plan["body_off"] + pos_bits
+        plans.append(plan)
+        region_bits.append(pos_bits)
+        pos_bits += (plan["total_bits"] + 31) // 32 * 32
+        r0 += nb
+    total_words = pos_bits // 32 or 1
 
     words = _stage2(
         blocks, is_token, mlen, mdist,
-        jnp.asarray(plan["c_len"].astype(np.int32)),
-        jnp.asarray(plan["c_code"].astype(np.int32)),
-        jnp.asarray(plan["p_len"].astype(np.int32)),
-        jnp.asarray(plan["p_code"].astype(np.int32)),
-        jnp.asarray(plan["body_off"].astype(np.int32)),
-        total_words, window)
+        jnp.asarray(np.concatenate(
+            [p["c_len"] for p in plans]).astype(np.int32)),
+        jnp.asarray(np.concatenate(
+            [p["c_code"] for p in plans]).astype(np.int32)),
+        jnp.asarray(np.concatenate(
+            [p["p_len"] for p in plans]).astype(np.int32)),
+        jnp.asarray(np.concatenate(
+            [p["p_code"] for p in plans]).astype(np.int32)),
+        jnp.asarray(body_off.astype(np.int32)), total_words, window)
     body = fetch(words).astype(">u4").view(np.uint8)  # MSB-first bytes
 
-    total_bytes = (total_bits + 7) // 8
-    out = plan["header"][:total_bytes].copy()
-    out |= body[:total_bytes]
-    return out.tobytes()
+    for (i, nb, n), plan, rb in zip(metas, plans, region_bits):
+        total_bytes = (plan["total_bits"] + 7) // 8
+        out = plan["header"][:total_bytes].copy()
+        out |= body[rb // 8:rb // 8 + total_bytes]
+        results[i] = out.tobytes()
+    return results
