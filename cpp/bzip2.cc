@@ -1012,4 +1012,93 @@ int Bzip2Decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
   return Bzip2DecodeSerial(in, n, out);
 }
 
+int Bzip2ScanHeaders(const uint8_t* in, size_t n, int32_t cap,
+                     int64_t* sym_bits, int64_t* slice_end_bits,
+                     uint32_t* origs, uint32_t* crcs, int32_t* n_useds,
+                     int32_t* nts, int32_t* nsels, uint8_t* mtf_init,
+                     uint8_t* selectors, uint8_t* lens_out,
+                     int32_t* nblocks) {
+  *nblocks = 0;
+  if (n < 10 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h' ||
+      in[3] < '1' || in[3] > '9')
+    return kStatusUnexpected;
+  std::vector<uint64_t> magics;
+  FindBlockMagics(in, n, &magics);
+  if (magics.empty() || magics.front() != 32 || (int32_t)magics.size() > cap)
+    return kStatusUnexpected;
+  const int32_t nb = (int32_t)magics.size();
+  for (int32_t b = 0; b < nb; ++b) {
+    uint64_t body_bit = magics[b] + 48;
+    size_t byte0 = (size_t)(body_bit >> 3);
+    BitReaderMSB br(in + byte0, n - byte0);
+    if (body_bit & 7) br.Read((int)(body_bit & 7));
+
+    crcs[b] = br.Read(32);
+    if (br.Read(1)) return kStatusUnexpected;  // randomized: deprecated
+    origs[b] = br.Read(24);
+    if (br.Overrun()) return kStatusUnexpectedEof;
+
+    uint8_t* init = mtf_init + (size_t)b * 256;
+    int n_used = 0;
+    uint16_t used16 = (uint16_t)br.Read(16);
+    for (int i = 0; i < 16; ++i) {
+      if (!(used16 & (1 << (15 - i)))) continue;
+      uint16_t m = (uint16_t)br.Read(16);
+      for (int j = 0; j < 16; ++j)
+        if (m & (1 << (15 - j))) init[n_used++] = (uint8_t)(16 * i + j);
+    }
+    if (br.Overrun()) return kStatusUnexpectedEof;
+    if (n_used == 0) return kStatusUnexpected;
+    n_useds[b] = n_used;
+    const int alpha = n_used + 2;
+
+    int n_tables = (int)br.Read(3);
+    int n_sel = (int)br.Read(15);
+    if (n_tables < 2 || n_tables > 6 || n_sel < 1 || n_sel > kBzSelCap)
+      return kStatusUnexpected;
+    nts[b] = n_tables;
+    nsels[b] = n_sel;
+    uint8_t* sel = selectors + (size_t)b * kBzSelCap;
+    {
+      uint8_t order[6];
+      for (int i = 0; i < n_tables; ++i) order[i] = (uint8_t)i;
+      for (int g = 0; g < n_sel; ++g) {
+        int j = 0;
+        while (br.Read(1) == 1) {
+          ++j;
+          if (j >= n_tables) return kStatusUnexpected;
+          if (br.Overrun()) return kStatusUnexpectedEof;
+        }
+        uint8_t v = order[j];
+        std::memmove(order + 1, order, j);
+        order[0] = v;
+        sel[g] = v;
+      }
+    }
+    if (br.Overrun()) return kStatusUnexpectedEof;
+
+    for (int t = 0; t < n_tables; ++t) {
+      uint8_t* lr = lens_out + ((size_t)b * 6 + t) * 258;
+      int cur = (int)br.Read(5);
+      for (int s = 0; s < alpha; ++s) {
+        for (;;) {
+          if (cur < 1 || cur > kMaxCodeLen) return kStatusUnexpected;
+          if (br.Read(1) == 0) break;
+          if (br.Read(1) == 0) ++cur;
+          else --cur;
+          if (br.Overrun()) return kStatusUnexpectedEof;
+        }
+        if (cur > 17) return kStatusUnexpected;  // device table split
+        lr[s] = (uint8_t)cur;
+      }
+      if (br.Overrun()) return kStatusUnexpectedEof;
+    }
+    sym_bits[b] = (int64_t)(8ull * byte0 + br.BitsConsumed());
+    slice_end_bits[b] = (b + 1 < nb) ? (int64_t)magics[b + 1]
+                                     : (int64_t)(8 * n);
+  }
+  *nblocks = nb;
+  return kStatusOk;
+}
+
 }  // namespace tpz

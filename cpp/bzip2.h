@@ -35,6 +35,24 @@ int Bzip2Rle1Inverse(const uint8_t* bwt_blob, const int64_t* offs,
                      const int64_t* lens, const uint32_t* crcs, int32_t nb,
                      uint8_t* out, size_t* out_len);
 
+// Header-ONLY scan for the all-device decode (round 3): per block of one
+// single-stream .bz2, parse through the selector/table section — no
+// symbol decode — exporting everything the device symbol walk needs.
+// Blocks are delimited by the lbzip2-style magic splitter; a false
+// positive surfaces as a header parse error or a downstream CRC miss and
+// the caller falls back. Declines (status 3) multi-stream shapes,
+// randomized blocks, and code lengths > 17 (neither our encoder nor
+// libbzip2 emits them; the device tables use a 15+2-bit split).
+// selectors: [cap * kSelCap] table ids; lens: [cap * 6 * 258];
+// mtf_init: [cap * 256] initial MTF list (used bytes ascending).
+constexpr int kBzSelCap = 18432;
+int Bzip2ScanHeaders(const uint8_t* in, size_t n, int32_t cap,
+                     int64_t* sym_bits, int64_t* slice_end_bits,
+                     uint32_t* origs, uint32_t* crcs, int32_t* n_useds,
+                     int32_t* nts, int32_t* nsels, uint8_t* mtf_init,
+                     uint8_t* selectors, uint8_t* lens_out,
+                     int32_t* nblocks);
+
 }  // namespace tpz
 
 namespace tpz {

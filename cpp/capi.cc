@@ -275,6 +275,20 @@ int tpz_lzhuf_decode(const uint8_t* in, size_t n, int32_t dict_bits,
   return CopyOut(v, out, out_len);
 }
 
+int tpz_lzhuf_index(const uint8_t* in, size_t n, int32_t dict_bits,
+                    size_t orig_size, int64_t seg_out, int64_t max_segs,
+                    int64_t max_blocks, int64_t* seg_bits,
+                    int64_t* end_bits, int64_t* out_lens,
+                    int32_t* carry_len, int32_t* carry_dist,
+                    int32_t* block_ids, uint8_t* c_lens, uint8_t* p_lens,
+                    int32_t* c_consts, int32_t* p_consts,
+                    int64_t* nseg_out, int64_t* nblk_out) {
+  return LzhufIndex(in, n, LzhufMethodFor(dict_bits), orig_size, seg_out,
+                    max_segs, max_blocks, seg_bits, end_bits, out_lens,
+                    carry_len, carry_dist, block_ids, c_lens, p_lens,
+                    c_consts, p_consts, nseg_out, nblk_out);
+}
+
 int tpz_deflate_plan(const uint32_t* lit_freq, const uint32_t* dist_freq,
                      const int64_t* block_lens, int32_t nb, int32_t* btype,
                      int64_t* body_bit_offset, int64_t* chunk1_bit_offset,
@@ -354,6 +368,21 @@ extern "C" int tpz_bzip2_scan_to_last(const uint8_t* in, size_t n,
                                       int32_t* nblocks /* cap in/out */) {
   return tpz::Bzip2ScanToLast(in, n, last_blob, blob_cap, offs, lens, origs,
                               crcs, nblocks);
+}
+
+// All-device bzip2 decode (round 3): header-only scan feeding the device
+// symbol walk (tables/selectors/MTF init per block; no symbol decode).
+extern "C" int tpz_bzip2_scan_headers(const uint8_t* in, size_t n,
+                                      int32_t cap, int64_t* sym_bits,
+                                      int64_t* slice_end_bits,
+                                      uint32_t* origs, uint32_t* crcs,
+                                      int32_t* n_useds, int32_t* nts,
+                                      int32_t* nsels, uint8_t* mtf_init,
+                                      uint8_t* selectors, uint8_t* lens_out,
+                                      int32_t* nblocks) {
+  return tpz::Bzip2ScanHeaders(in, n, cap, sym_bits, slice_end_bits, origs,
+                               crcs, n_useds, nts, nsels, mtf_init,
+                               selectors, lens_out, nblocks);
 }
 
 // Device bzip2 decode, stage 3 (host): RLE1^-1 + per-block CRC check over

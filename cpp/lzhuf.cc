@@ -589,4 +589,134 @@ int LzhufDecode(const uint8_t* in, size_t n, const LzhufMethod& m,
   return kStatusOk;
 }
 
+int LzhufIndex(const uint8_t* in, size_t n, const LzhufMethod& m,
+               size_t orig_size, int64_t seg_out, int64_t max_segs,
+               int64_t max_blocks, int64_t* seg_bits, int64_t* end_bits,
+               int64_t* out_lens, int32_t* carry_len, int32_t* carry_dist,
+               int32_t* block_ids, uint8_t* c_lens, uint8_t* p_lens,
+               int32_t* c_consts, int32_t* p_consts, int64_t* nseg_out,
+               int64_t* nblk_out) {
+  BitReaderMSB br(in, n);
+  int64_t nseg = 0, nblk = 0;
+  int64_t produced = 0, seg_start_out = 0;
+  int64_t cur_seg_bit = -1;
+  int32_t pend_cl = 0, pend_cd = 0;
+
+  auto close_seg = [&](int64_t end_bit, int64_t seg_len, int32_t ncl,
+                       int32_t ncd) -> int {
+    if (nseg >= max_segs) return kStatusDataError;
+    seg_bits[nseg] = cur_seg_bit;
+    end_bits[nseg] = end_bit;
+    out_lens[nseg] = seg_len;
+    carry_len[nseg] = pend_cl;
+    carry_dist[nseg] = pend_cd;
+    block_ids[nseg] = (int32_t)(nblk - 1);
+    ++nseg;
+    seg_start_out += seg_len;
+    pend_cl = ncl;
+    pend_cd = ncd;
+    return kStatusOk;
+  };
+
+  while (produced < (int64_t)orig_size) {
+    int64_t hdr_bit = (int64_t)br.BitsConsumed();
+    if (cur_seg_bit >= 0 && produced > seg_start_out) {
+      int st = close_seg(hdr_bit, produced - seg_start_out, 0, 0);
+      if (st != kStatusOk) return st;
+    }
+    uint32_t cnt = br.Read(16);
+    if (br.Overrun()) return kStatusUnexpectedEof;
+    if (cnt == 0) return kStatusDataError;
+    if (nblk >= max_blocks) return kStatusDataError;
+    uint8_t tlen[kNT];
+    uint16_t t_const;
+    int st = ReadTLens(&br, tlen, &t_const);
+    if (st) return st;
+    HuffDecodeTable ttab;
+    if (t_const == 0xffff) {
+      if (!BuildDecodeTable(tlen, kNT, /*lsb=*/false, &ttab))
+        return kStatusDataError;
+    }
+    uint8_t* clen = c_lens + (size_t)nblk * kNC;
+    uint16_t c_const;
+    st = ReadCLens(&br, ttab, t_const, clen, &c_const);
+    if (st) return st;
+    HuffDecodeTable ctab;
+    if (c_const == 0xffff) {
+      if (!BuildDecodeTable(clen, kNC, /*lsb=*/false, &ctab) ||
+          ctab.bits == 0)
+        return kStatusDataError;
+      for (int s = 0; s < kNC; ++s)
+        if (clen[s] > 17) return kStatusDataError;  // device table split
+    }
+    uint8_t* plen = p_lens + (size_t)nblk * 20;
+    uint16_t p_const;
+    st = ReadPLens(&br, m.np, m.pbit, plen, &p_const);
+    if (st) return st;
+    HuffDecodeTable ptab;
+    if (p_const == 0xffff) {
+      if (!BuildDecodeTable(plen, m.np, /*lsb=*/false, &ptab))
+        return kStatusDataError;
+      for (int s = 0; s < m.np; ++s)
+        if (plen[s] > 17) return kStatusDataError;
+    }
+    c_consts[nblk] = c_const == 0xffff ? -1 : (int32_t)c_const;
+    p_consts[nblk] = p_const == 0xffff ? -1 : (int32_t)p_const;
+    ++nblk;
+    cur_seg_bit = (int64_t)br.BitsConsumed();
+
+    for (uint32_t t = 0; t < cnt && produced < (int64_t)orig_size; ++t) {
+      int sym;
+      if (c_const != 0xffff) {
+        sym = c_const;
+      } else {
+        uint32_t e = ctab.entries[br.Peek(ctab.bits)];
+        int len = (int)(e & 0x1f);
+        if (len == 0) return kStatusDataError;
+        br.Consume(len);
+        sym = (int)(e >> 5);
+      }
+      if (br.Overrun()) return kStatusUnexpectedEof;
+      uint32_t adv = 1, dist = 0;
+      if (sym >= 256) {
+        if (sym >= kNC) return kStatusDataError;
+        adv = sym - 256 + 3;
+        int c;
+        if (p_const != 0xffff) {
+          c = (int)p_const;
+        } else {
+          uint32_t e = ptab.entries[br.Peek(ptab.bits)];
+          int len = (int)(e & 0x1f);
+          if (len == 0) return kStatusDataError;
+          br.Consume(len);
+          c = (int)(e >> 5);
+        }
+        uint32_t p = (uint32_t)c;
+        if (c > 1) p = (1u << (c - 1)) | br.Read(c - 1);
+        if (br.Overrun()) return kStatusUnexpectedEof;
+        dist = p + 1;
+        if ((int64_t)dist > produced) return kStatusDataError;
+      }
+      produced += adv;
+      int64_t over = produced - (seg_start_out + seg_out);
+      if (over >= 0) {
+        if (over > 0 && dist == 0) return kStatusDataError;
+        int64_t after = (int64_t)br.BitsConsumed();
+        int st2 = close_seg(after, seg_out, (int32_t)over, (int32_t)dist);
+        if (st2 != kStatusOk) return st2;
+        cur_seg_bit = after;
+      }
+    }
+  }
+  if (cur_seg_bit >= 0 && produced > seg_start_out) {
+    int st = close_seg((int64_t)br.BitsConsumed(),
+                       produced - seg_start_out, 0, 0);
+    if (st != kStatusOk) return st;
+  }
+  if (produced != (int64_t)orig_size) return kStatusDataError;
+  *nseg_out = nseg;
+  *nblk_out = nblk;
+  return kStatusOk;
+}
+
 }  // namespace tpz

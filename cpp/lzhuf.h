@@ -49,6 +49,21 @@ void LzhufEncodeBytes(const uint8_t* in, size_t n, const LzhufMethod& m,
 int LzhufDecode(const uint8_t* in, size_t n, const LzhufMethod& m,
                 size_t orig_size, std::vector<uint8_t>* out);
 
+// Token-aligned segment index for the device decode (round 3; the lzhuf
+// analogue of deflate.h InflateIndex): one host token walk, no output
+// materialization. Segments cut at seg_out output bytes and at block
+// (table) boundaries; a match straddling a cut re-enters the next
+// segment as a (len, dist) carry. Per block: 510 c lens + 20 p lens and
+// the constant-code escapes (-1 = real table). Declines (status 1) on
+// code lengths > 17 (the device 15+2-bit table split).
+int LzhufIndex(const uint8_t* in, size_t n, const LzhufMethod& m,
+               size_t orig_size, int64_t seg_out, int64_t max_segs,
+               int64_t max_blocks, int64_t* seg_bits, int64_t* end_bits,
+               int64_t* out_lens, int32_t* carry_len, int32_t* carry_dist,
+               int32_t* block_ids, uint8_t* c_lens, uint8_t* p_lens,
+               int32_t* c_consts, int32_t* p_consts, int64_t* nseg_out,
+               int64_t* nblk_out);
+
 }  // namespace tpz
 
 namespace tpz {

@@ -43,7 +43,8 @@ def _load():
                 m,
                 (lambda d, level=6, backend="auto", _m=m:
                  _lzhuf.compress(d, method=_m, backend=backend)),
-                (lambda d, _m=m: _lzhuf.decompress(d, method=_m)),
+                (lambda d, backend="auto", _m=m:
+                 _lzhuf.decompress(d, method=_m, backend=backend)),
             )
     except ImportError:
         pass
@@ -74,7 +75,8 @@ def decompress(data: bytes, format: str = "gzip",
     if format not in _FORMATS:
         raise ValueError(f"unknown format {format!r}; have {formats()}")
     fn = _FORMATS[format][1]
-    if format in ("deflate", "zlib", "gzip", "bzip2"):
+    if format in ("deflate", "zlib", "gzip", "bzip2",
+                  "lh4", "lh5", "lh6", "lh7"):
         return fn(data, backend=backend)
     return fn(data)
 

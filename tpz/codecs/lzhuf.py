@@ -43,7 +43,16 @@ def raw_compress(data: bytes, method: str = "lh5", max_chain: int = 16,
     return oracle.lzhuf_encode(data, bits, max_chain)
 
 
-def raw_decompress(data: bytes, orig_size: int, method: str = "lh5") -> bytes:
+def raw_decompress(data: bytes, orig_size: int, method: str = "lh5",
+                   backend: str = "auto") -> bytes:
+    if backend == "tpu":
+        from tpz.kernels import lzhuf_pipeline, lzhuf_walk
+
+        if lzhuf_pipeline.usable():
+            out = lzhuf_walk.decompress(data, orig_size,
+                                        _dict_bits(method))
+            if out is not None:
+                return out
     return oracle.lzhuf_decode(data, orig_size, _dict_bits(method))
 
 
@@ -80,7 +89,8 @@ def compress_many(datas, method: str = "lh5", level: int = 6,
             for d, b in zip(datas, bodies)]
 
 
-def decompress(data: bytes, method: str | None = None) -> bytes:
+def decompress(data: bytes, method: str | None = None,
+               backend: str = "auto") -> bytes:
     if len(data) < 15:  # 4 magic + 3 method + 8 size; body may be empty
         raise UnexpectedEof("lzhuf container too short")
     if data[:4] != _MAGIC:
@@ -89,4 +99,4 @@ def decompress(data: bytes, method: str | None = None) -> bytes:
     if method is not None and m != method:
         raise DataError(f"container method {m} != requested {method}")
     (size,) = struct.unpack_from("<Q", data, 7)
-    return raw_decompress(data[15:], size, m)
+    return raw_decompress(data[15:], size, m, backend=backend)

@@ -77,8 +77,12 @@ def _walk_kernel(n_ref, sg_ref, w_ref, out_ref, rec_ref, ovf_ref, *,
 
     rec_ref[...] = jnp.zeros_like(rec_ref)
 
+    RW = w_ref.shape[1]
+
     def rd(pos):
-        row = w_ref[0, pl.ds(pos >> 7, 1), :]
+        # Clamp: corrupt inputs can momentarily produce a pointer into
+        # pad space before the coverage check rejects the block.
+        row = w_ref[0, pl.ds(jnp.minimum(pos >> 7, RW - 1), 1), :]
         return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
 
     def chain_start(cid):
@@ -140,8 +144,13 @@ def _walk_kernel(n_ref, sg_ref, w_ref, out_ref, rec_ref, ovf_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("N", "interpret"))
 def _ibwt_fused(last, length, orig, *, N: int, interpret: bool = False):
+    return ibwt_body(last, length, orig, N=N, interpret=interpret)
+
+
+def ibwt_body(last, length, orig, *, N: int, interpret: bool = False):
     """last [NB, N] int32 (0-padded), length [NB], orig [NB] ->
-    (out [NB, N] uint8 plaintext rows, ovf [NB] int32)."""
+    (out [NB, N] uint8 plaintext rows, ovf [NB] int32). Traceable body —
+    the all-device bzip2 decode fuses it after its symbol walk."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

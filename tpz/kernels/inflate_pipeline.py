@@ -240,7 +240,7 @@ def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
     return markers
 
 
-def _resolve_fn(markers):
+def _resolve_fn(markers, dist_bias: int = 0):
     """Dense-stage XLA: match expansion + packed-state pointer doubling
     with tiered compaction (round-3; the round-2 version cost THREE
     whole-array gathers per round at this chip's ~0.14 G elem/s gather
@@ -272,7 +272,9 @@ def _resolve_fn(markers):
     start = jnp.maximum(seg, 0)
     smark = flat[start]
     mlen = smark & 511
-    mdist = (smark >> 9) & 0xFFFF
+    # dist_bias: LZHUF markers store dist-1 (its 2^16 window exceeds the
+    # 16-bit marker field by one).
+    mdist = ((smark >> 9) & 0xFFFF) + dist_bias
     inside = in_match & (gpos < start + mlen)
     k = gpos - start
     d = jnp.maximum(mdist, 1)
@@ -392,7 +394,7 @@ def usable() -> bool:
     return enc_usable()
 
 
-_resolve_jit = jax.jit(_resolve_fn)
+_resolve_jit = jax.jit(_resolve_fn, static_argnames=("dist_bias",))
 _walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
 _decode_fused = jax.jit(_decode_fused_fn,
                         static_argnames=("interpret", "nblk"))

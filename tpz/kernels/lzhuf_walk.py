@@ -1,0 +1,296 @@
+"""Device LZHUF decode (round 3; VERDICT r2 next #5's decode half).
+
+The lzhuf analogue of the DEFLATE segment route: the host LzhufIndex
+(cpp/lzhuf.cc) walks the token stream once — no output materialization —
+cutting 64 KiB-output, token-aligned segments (also at every block's
+table change) with split-match carries; this Mosaic walk then decodes
+every segment's tokens in parallel, writing (kind, dist-1, len) markers
+at output positions, and the shared dense resolution
+(inflate_pipeline._resolve_fn with dist_bias=1) expands matches.
+
+MSB-first bit order (LHA), c alphabet 510 (literals + lengths 3..256),
+p alphabet <= 20 giving the distance's bit count. Tables use the same
+15-bit level-1 + 2-bit level-2 split as the bzip2 walk; constant-code
+blocks (single-symbol tables) become tables whose entries consume 0
+bits — the walk's natural semantics for them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpz.kernels.inflate_pipeline import (BLOCK, _KIND_LIT, _KIND_MATCH,
+                                          _materialize_fn, _resolve_fn)
+
+L2_CAP = 1152
+NC = 510
+
+
+def build_tables(lens: np.ndarray, consts: np.ndarray, nsym: int):
+    """lens [NBLK, nsym] uint8 -> (l1 [NBLK, 1<<15], l2 [NBLK, L2_CAP])
+    int32 MSB canonical decode tables; consts[b] >= 0 fills the whole
+    level-1 with (const << 5 | 0) — a 0-bit always-match entry."""
+    NB = lens.shape[0]
+    l1 = np.zeros((NB, 1 << 15), np.int32)
+    l2 = np.zeros((NB, L2_CAP), np.int32)
+    for b in range(NB):
+        if consts[b] >= 0:
+            l1[b, :] = int(consts[b]) << 5
+            continue
+        lr = lens[b, :nsym].astype(np.int64)
+        order = np.lexsort((np.arange(nsym), lr))
+        order = order[lr[order] > 0]
+        if order.size == 0:
+            continue
+        ls = lr[order]
+        c = 0
+        prev = int(ls[0])
+        l2n = 0
+        esc = {}
+        for i in range(ls.size):
+            L = int(ls[i])
+            c <<= L - prev
+            prev = L
+            sym = int(order[i])
+            if L <= 15:
+                lo = c << (15 - L)
+                l1[b, lo:lo + (1 << (15 - L))] = (sym << 5) | L
+            else:
+                pre = c >> (L - 15)
+                if pre not in esc:
+                    esc[pre] = l2n
+                    l1[b, pre] = (l2n << 5) | 31
+                    l2n += 4
+                suf = c & ((1 << (L - 15)) - 1)
+                w = 1 << (17 - L)
+                s0 = esc[pre] + (suf << (17 - L))
+                l2[b, s0:s0 + w] = (sym << 5) | L
+            c += 1
+    return l1, l2
+
+
+def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
+          pl1, pl2, interpret=False, nblk: int = 8):
+    """MSB token walk -> markers [NB, BLOCK] (dist stored as dist-1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB, SW = stream_words.shape
+    r_s, r_o = SW // 128, BLOCK // 128
+    NBp = -(-NB // nblk) * nblk
+    if NBp != NB:
+        pad = NBp - NB
+
+        def padz(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        stream_words, cl1, cl2, pl1, pl2 = map(
+            padz, (stream_words, cl1, cl2, pl1, pl2))
+        zp = jnp.zeros((pad,), jnp.int32)
+        body_bit_local = jnp.concatenate([body_bit_local, zp])
+        out_len = jnp.concatenate([out_len, zp])
+        start_pos = jnp.concatenate([start_pos, zp])
+
+    def kernel(bb_ref, ol_ref, sp_ref, s_ref, c1_ref, c2_ref, p1_ref,
+               p2_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        g = pl.program_id(0)
+        zero = jnp.int32(0)
+        one31 = jnp.int32(31)
+
+        outls = [ol_ref[g * nblk + c] for c in range(nblk)]
+
+        def srl(x, s):
+            return jax.lax.shift_right_logical(x, s)
+
+        def step_chain(c, st):
+            bitpos, out_pos, ro, orow, ok = st
+            act = ok & (out_pos < outls[c])
+
+            def rd(ref, pos):
+                row = ref[c, pl.ds(pos >> 7, 1), :]
+                return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
+
+            w = bitpos >> 5
+            sh = bitpos & 31
+            wc = jnp.minimum(w, jnp.int32(SW - 3))
+            w0 = rd(s_ref, wc)
+            w1 = rd(s_ref, wc + 1)
+            w2 = rd(s_ref, wc + 2)
+
+            def bits_at(off, n):
+                # MSB: n bits starting sh+off into the 96-bit window.
+                b = sh + off
+                wi = b >> 5
+                s2 = b & 31
+                lo = jnp.where(wi == 0, w0, jnp.where(wi == 1, w1, w2))
+                hi = jnp.where(wi == 0, w1, jnp.where(wi == 1, w2, zero))
+                v = jax.lax.shift_left(lo, s2) | jnp.where(
+                    s2 > 0, srl(hi, (32 - s2) & one31), 0)
+                return jnp.where(n > 0, srl(v, (32 - n) & one31), 0)
+
+            peekc = bits_at(zero, jnp.int32(15))
+            e1 = rd(c1_ref, peekc)
+            esc = (e1 & 31) == 31
+            e2 = rd(c2_ref, srl(e1, 5) + bits_at(jnp.int32(15),
+                                                 jnp.int32(2)))
+            e = jnp.where(esc, e2, e1)
+            clen = e & 31
+            csym = srl(e, 5)
+            # The host indexer already token-walked these exact bits, so
+            # invalid codes cannot occur here (const tables legitimately
+            # have clen == 0); adv >= 1 bounds the loop regardless.
+            okn = ok
+
+            is_match = csym >= 256
+            mlen = jnp.clip(csym - 256 + 3, 3, 258)
+            pk = bits_at(clen, jnp.int32(15))
+            pe1 = rd(p1_ref, pk)
+            pesc = (pe1 & 31) == 31
+            pe2 = rd(p2_ref, srl(pe1, 5) + bits_at(clen + jnp.int32(15),
+                                                   jnp.int32(2)))
+            pe = jnp.where(pesc, pe2, pe1)
+            plen_ = pe & 31
+            pc = srl(pe, 5)
+            raw_n = jnp.maximum(pc - 1, 0)
+            raw = bits_at(clen + plen_, raw_n)
+            pval = jnp.where(pc > 1,
+                             jax.lax.shift_left(jnp.int32(1), pc - 1)
+                             | raw, pc)
+            # dist = pval + 1; markers store pval (= dist - 1).
+            nbits = jnp.where(is_match, clen + plen_ + raw_n, clen)
+            adv = jnp.where(is_match, mlen, 1)
+            mark = jnp.where(is_match,
+                             (_KIND_MATCH << 28)
+                             | jax.lax.shift_left(pval, 9) | mlen,
+                             (_KIND_LIT << 28) | csym)
+
+            r1 = out_pos >> 7
+            changed = act & (r1 != ro)
+            orow_n = jnp.where(changed, jnp.zeros_like(orow), orow)
+            orow_n = jnp.where(act & (lane == (out_pos & 127)), mark,
+                               orow_n)
+            ro_n = jnp.where(changed, r1, ro)
+            out_ref[c, pl.ds(ro_n, 1), :] = orow_n
+            return (jnp.where(act, bitpos + nbits, bitpos),
+                    jnp.where(act, out_pos + adv, out_pos),
+                    ro_n, orow_n, jnp.where(act, okn, ok))
+
+        def cond(states):
+            alive = states[0][4] & (states[0][1] < outls[0])
+            for c in range(1, nblk):
+                alive = alive | (states[c][4] & (states[c][1] < outls[c]))
+            return alive
+
+        def body(states):
+            return tuple(step_chain(c, states[c]) for c in range(nblk))
+
+        init = tuple(
+            (bb_ref[g * nblk + c], sp_ref[g * nblk + c],
+             sp_ref[g * nblk + c] >> 7, jnp.zeros((1, 128), jnp.int32),
+             True)
+            for c in range(nblk))
+        jax.lax.while_loop(cond, body, init)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NBp // nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
+            pl.BlockSpec((nblk, r_s, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, 256, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, L2_CAP // 128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, 256, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nblk, L2_CAP // 128, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
+        interpret=interpret,
+    )(body_bit_local, out_len, start_pos,
+      stream_words.reshape(NBp, r_s, 128),
+      cl1.reshape(NBp, 256, 128),
+      cl2.reshape(NBp, L2_CAP // 128, 128),
+      pl1.reshape(NBp, 256, 128),
+      pl2.reshape(NBp, L2_CAP // 128, 128))
+    return out.reshape(NBp, BLOCK)[:NB]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nblk"))
+def _decode_fn(stream_words, body_bit_local, out_len, start_pos, carry,
+               dense_off, cl1, cl2, pl1, pl2, interpret: bool = False,
+               nblk: int = 8):
+    NB = out_len.shape[0]
+    markers = _walk(stream_words, body_bit_local, out_len, start_pos,
+                    cl1, cl2, pl1, pl2, interpret=interpret, nblk=nblk)
+    slices0 = jnp.zeros((NB, 1), jnp.uint8)  # no stored blocks in lzhuf
+    zeros = jnp.zeros((NB,), jnp.int32)
+    markers = _materialize_fn(markers, slices0, zeros + 1, zeros, zeros,
+                              zeros, out_len, carry=carry)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
+    live = pos < out_len[:, None]
+    key = jnp.where(live, dense_off[:, None] + pos, jnp.int32(2**31 - 1))
+    mpark = jnp.where(live, markers, (_KIND_LIT << 28))
+    _, dense = jax.lax.sort(
+        (key.reshape(-1), mpark.reshape(-1)), dimension=0, num_keys=1)
+    return _resolve_fn(dense, dist_bias=1)
+
+
+SLICE_BYTES = BLOCK + 16384  # lzhuf worst expansion ~ 9/8 + tables
+
+
+def decompress(data: bytes, orig_size: int, dict_bits: int,
+               interpret: bool | None = None) -> bytes | None:
+    """Device decode of one lzhuf body. None = declined (caller uses the
+    host decoder)."""
+    from tpz import oracle
+    from tpz.kernels.device_quirks import fetch
+
+    if orig_size == 0:
+        return b""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if orig_size > (1 << 24):  # packed-pointer resolution bound
+        return None
+    idx = oracle.lzhuf_index(data, orig_size, dict_bits, seg_out=BLOCK)
+    if idx is None:
+        return None
+    nseg = len(idx["out_lens"])
+    if nseg == 0:
+        return None
+    spans = ((idx["end_bits"] + 7) // 8 + 1 - idx["seg_bits"] // 8)
+    if int(spans.max()) > SLICE_BYTES:
+        return None
+    from tpz.constants import LZHUF_METHODS
+
+    np_ = next(v[1] for v in LZHUF_METHODS.values() if v[0] == dict_bits)
+    cl1, cl2 = build_tables(idx["c_lens"], idx["c_consts"], NC)
+    pl1, pl2 = build_tables(idx["p_lens"], idx["p_consts"], np_)
+    bid = idx["block_ids"]
+    slices = np.zeros((nseg, SLICE_BYTES), np.uint8)
+    sb = np.frombuffer(data, np.uint8)
+    for s in range(nseg):
+        s0 = int(idx["seg_bits"][s]) // 8
+        take = min(int(spans[s]), len(data) - s0)
+        slices[s, :take] = sb[s0:s0 + take]
+    sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
+    carry = ((idx["carry_dist"].astype(np.int32) - 1).clip(0) << 9) \
+        | idx["carry_len"].astype(np.int32)
+    carry = np.where(idx["carry_len"] > 0, carry, 0).astype(np.int32)
+    ol = idx["out_lens"].astype(np.int32)
+    dense_off = (np.cumsum(ol, dtype=np.int64) - ol).astype(np.int32)
+    out = _decode_fn(
+        jnp.asarray(sw),
+        jnp.asarray((idx["seg_bits"] & 7).astype(np.int32)),
+        jnp.asarray(ol),
+        jnp.asarray(idx["carry_len"].astype(np.int32)),
+        jnp.asarray(carry), jnp.asarray(dense_off),
+        jnp.asarray(cl1[bid]), jnp.asarray(cl2[bid]),
+        jnp.asarray(pl1[bid]), jnp.asarray(pl2[bid]),
+        interpret=interpret)
+    flat = np.asarray(fetch(out))
+    return flat[:orig_size].tobytes()

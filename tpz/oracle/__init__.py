@@ -117,6 +117,15 @@ def lib() -> ctypes.CDLL:
         L.tpz_inflate_scan_headers.argtypes = [
             u8p, ctypes.c_size_t, i64p, ctypes.c_int32, i32p, i64p,
             i32p, i32p, i32p, i32p, i32p, i32p, u32p, u32p]
+        L.tpz_lzhuf_index.restype = ctypes.c_int
+        L.tpz_lzhuf_index.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int32, ctypes.c_size_t,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+            i64p, i32p, i32p, i32p, u8p, u8p, i32p, i32p, i64p, i64p]
+        L.tpz_bzip2_scan_headers.restype = ctypes.c_int
+        L.tpz_bzip2_scan_headers.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int32, i64p, i64p, u32p, u32p,
+            i32p, i32p, i32p, u8p, u8p, u8p, i32p]
         L.tpz_inflate_scan_segments.restype = ctypes.c_int
         L.tpz_inflate_scan_segments.argtypes = [
             u8p, ctypes.c_size_t, i64p, i64p, i64p, ctypes.c_int32, i32p,
@@ -318,6 +327,46 @@ def inflate_scan_headers(stream, end_bits: np.ndarray) -> dict:
             "c0_len": c0l, "c1_pos": c1p, "c1_len": c1l,
             "lit_bits": lbits, "dist_bits": dbits, "lit_tab": ltab,
             "dist_tab": dtab}
+
+
+BZ_SEL_CAP = 18432
+
+
+def bzip2_scan_headers(data):
+    """Header-only scan for the all-device bzip2 decode (cpp
+    Bzip2ScanHeaders): per block, symbol-stream bit offset, slice end,
+    orig/crc, alphabet, initial MTF list, selectors and the 6x258 code
+    lengths. Returns a dict or None on unsupported shapes."""
+    from tpz.errors import STATUS_UNEXPECTED
+
+    a = _u8(data)
+    cap = max(4, a.size // 100 + 8)
+    sym_bits = np.zeros(cap, np.int64)
+    end_bits = np.zeros(cap, np.int64)
+    origs = np.zeros(cap, np.uint32)
+    crcs = np.zeros(cap, np.uint32)
+    n_useds = np.zeros(cap, np.int32)
+    nts = np.zeros(cap, np.int32)
+    nsels = np.zeros(cap, np.int32)
+    mtf_init = np.zeros((cap, 256), np.uint8)
+    selectors = np.zeros((cap, BZ_SEL_CAP), np.uint8)
+    lens = np.zeros((cap, 6, 258), np.uint8)
+    nb = np.zeros(1, np.int32)
+    st = lib().tpz_bzip2_scan_headers(
+        _u8ptr(a), a.size, cap, _ptr(sym_bits, ctypes.c_int64),
+        _ptr(end_bits, ctypes.c_int64), _ptr(origs, ctypes.c_uint32),
+        _ptr(crcs, ctypes.c_uint32), _ptr(n_useds, ctypes.c_int32),
+        _ptr(nts, ctypes.c_int32), _ptr(nsels, ctypes.c_int32),
+        _ptr(mtf_init, ctypes.c_uint8), _ptr(selectors, ctypes.c_uint8),
+        _ptr(lens, ctypes.c_uint8), _ptr(nb, ctypes.c_int32))
+    if st == STATUS_UNEXPECTED:
+        return None
+    raise_for_status(st, "bzip2_scan_headers")
+    k = int(nb[0])
+    return {"sym_bits": sym_bits[:k], "end_bits": end_bits[:k],
+            "origs": origs[:k], "crcs": crcs[:k], "n_useds": n_useds[:k],
+            "nts": nts[:k], "nsels": nsels[:k], "mtf_init": mtf_init[:k],
+            "selectors": selectors[:k], "lens": lens[:k]}
 
 
 def inflate_scan_segments(stream, hdr_bits: np.ndarray,
@@ -715,6 +764,43 @@ def lzhuf_decode(data, orig_size: int, dict_bits: int = 13) -> bytes:
                                 _ptr(out, ctypes.c_uint8), ctypes.byref(n))
     raise_for_status(st, "lzhuf_decode")
     return out[: n.value].tobytes()
+
+
+def lzhuf_index(data, orig_size: int, dict_bits: int,
+                seg_out: int = 1 << 16):
+    """Token-aligned segment index over an lzhuf body (cpp LzhufIndex)
+    for the device decode walk. Returns a dict or None when declined."""
+    a = _u8(data)
+    max_segs = max(8, 2 * (orig_size // seg_out) + 16)
+    max_blocks = max(8, orig_size // 4096 + 16)
+    sb = np.zeros(max_segs, np.int64)
+    eb = np.zeros(max_segs, np.int64)
+    ol = np.zeros(max_segs, np.int64)
+    cl = np.zeros(max_segs, np.int32)
+    cd = np.zeros(max_segs, np.int32)
+    bid = np.zeros(max_segs, np.int32)
+    clens = np.zeros((max_blocks, 510), np.uint8)
+    plens = np.zeros((max_blocks, 20), np.uint8)
+    ccon = np.zeros(max_blocks, np.int32)
+    pcon = np.zeros(max_blocks, np.int32)
+    nseg = np.zeros(1, np.int64)
+    nblk = np.zeros(1, np.int64)
+    st = lib().tpz_lzhuf_index(
+        _u8ptr(a), a.size, dict_bits, orig_size, seg_out, max_segs,
+        max_blocks, _ptr(sb, ctypes.c_int64), _ptr(eb, ctypes.c_int64),
+        _ptr(ol, ctypes.c_int64), _ptr(cl, ctypes.c_int32),
+        _ptr(cd, ctypes.c_int32), _ptr(bid, ctypes.c_int32),
+        _ptr(clens, ctypes.c_uint8), _ptr(plens, ctypes.c_uint8),
+        _ptr(ccon, ctypes.c_int32), _ptr(pcon, ctypes.c_int32),
+        _ptr(nseg, ctypes.c_int64), _ptr(nblk, ctypes.c_int64))
+    if st != 0:
+        return None
+    ks, kb = int(nseg[0]), int(nblk[0])
+    return {"seg_bits": sb[:ks], "end_bits": eb[:ks], "out_lens": ol[:ks],
+            "carry_len": cl[:ks], "carry_dist": cd[:ks],
+            "block_ids": bid[:ks], "c_lens": clens[:kb],
+            "p_lens": plens[:kb], "c_consts": ccon[:kb],
+            "p_consts": pcon[:kb]}
 
 
 def lzhuf_plan(c_freq: np.ndarray, p_freq: np.ndarray,
