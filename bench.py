@@ -85,6 +85,16 @@ def extra_metrics(size: int):
     run("deflate_decode_device", dsize,
         lambda: gz.decompress(gz_blob, backend="tpu"), warm=True)
 
+    # Foreign-stream device decode (round 3, SURVEY §7.4 route 2): no
+    # side-car — host segment indexer + the same fused device program.
+    import zlib as _zlib
+
+    z_blob = _zlib.compress(corpus.mixed(dsize, seed=48), 6)
+    from tpz.codecs import zlib_codec as zc
+
+    run("deflate_decode_device_foreign", dsize,
+        lambda: zc.decompress(z_blob, backend="tpu"), warm=True)
+
     # BZip2 — device encode (batched BWT) and device decode (iBWT).
     bsize = min(size, 4 << 20)
     bdata = corpus.mixed(bsize, seed=43)
@@ -129,6 +139,20 @@ def extra_metrics(size: int):
         lambda: lh.compress(ldata, method="lh5", backend="tpu"))
     if lh_cold is not None and "MB_s" in out.get("lzhuf_encode_device", {}):
         out["lzhuf_encode_device"]["MB_s_cold"] = lh_cold
+
+    # Batched lzhuf encode (round 3): every buffer in ONE stage-1/stage-2
+    # invocation — the dispatch-floor-amortized serving shape.
+    lbatch = [corpus.mixed(lsize // 2, seed=51 + i) for i in range(4)]
+    run("lzhuf_encode_device_batched", lsize * 2,
+        lambda: lh.compress_many(lbatch, method="lh5", backend="tpu"))
+
+    # LZHUF device decode (round 3): host token indexer + MSB walk +
+    # shared dense resolution.
+    lz_blob = lh.compress(ldata, method="lh5", backend="oracle")
+    run("lzhuf_decode_device", lsize,
+        lambda: lh.decompress(lz_blob, backend="tpu"), warm=True)
+    run("lzhuf_decode_host", lsize,
+        lambda: lh.decompress(lz_blob, backend="auto"))
     return out
 
 
