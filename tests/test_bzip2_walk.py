@@ -96,3 +96,22 @@ def test_records_match_reference_last_columns():
         byt = (recs[b, :nr] & 255).astype(np.uint8)
         last = np.repeat(byt, cnt)
         assert np.array_equal(last, blob[offs[b]:offs[b] + lens[b]]), b
+
+
+def test_walk_fuzz_vs_bz2():
+    """Foreign bz2 streams across levels and content shapes: the
+    all-device route either declines or decodes byte-exactly."""
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(1, 260_000))
+        kind = trial % 3
+        if kind == 0:
+            data = bytes(corpus.mixed(n, seed=100 + trial))
+        elif kind == 1:
+            data = bytes(rng.integers(0, 8, n, dtype=np.uint8))
+        else:
+            data = bytes(corpus.text(n))
+        lvl = int(rng.integers(1, 10))
+        enc = bz2.compress(data, lvl)
+        out = bzip2_pipeline.decompress_walk(enc)
+        assert out is None or out == data, (trial, n, lvl)

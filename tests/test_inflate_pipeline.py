@@ -174,3 +174,30 @@ def test_api_decompress_backend_plumbing():
         c = api.compress(data, fmt, backend="oracle")
         assert api.decompress(c, fmt, backend="tpu") == data
         assert api.decompress(c, fmt) == data
+
+
+def test_segment_indexer_fuzz_vs_stdlib():
+    """Foreign zlib streams across levels/strategies/sizes: the segment
+    route either declines or decodes byte-exactly (never silently
+    wrong)."""
+    import zlib as z
+
+    from tpz.kernels import inflate_pipeline as ip
+
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        n = int(rng.integers(1, 300_000))
+        kind = trial % 3
+        if kind == 0:
+            data = bytes(corpus.mixed(n, seed=trial))
+        elif kind == 1:
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        else:
+            data = bytes(corpus.text(n))
+        lvl = int(rng.integers(1, 10))
+        raw = z.compress(data, lvl)[2:-4]
+        idx = ip.index_stream(raw)
+        if idx is None:
+            continue
+        out = ip.decompress_segmented(raw, idx, interpret=True)
+        assert out == data, (trial, n, lvl)
