@@ -293,3 +293,15 @@ def test_decode_stream_empty_finish():
     for fmt in ("gzip", "zlib", "deflate"):
         d = api.DecodeStream(fmt)
         assert d.finish() == b""
+
+
+def test_zlib_compress_many():
+    import zlib as _z
+
+    import tpz.api as api
+    from tpz.utils import corpus
+
+    datas = [corpus.text(40_000), b"", corpus.mixed(90_000, seed=2)]
+    outs = api.compress_many(datas, "zlib", backend="oracle")
+    for d, o in zip(datas, outs):
+        assert _z.decompress(o) == d

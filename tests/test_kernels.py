@@ -269,3 +269,35 @@ def test_parse_extend_pallas_v3y_matches_oracle_tokens(lazy):
             else:
                 dev_tokens.append((pos, 0, int(data[pos]), 0))
     assert dev_tokens == [tuple(t) for t in ref.tolist()]
+
+
+def test_suffix_screen_chunked_identity():
+    """lax.map-chunked screening (HBM-bounded, round 3) is bit-identical
+    to the unchunked screen across a chunk boundary with ragged
+    last-chunk padding."""
+    import jax.numpy as jnp
+
+    from tpz.kernels.matchfinder import (suffix_screen_w,
+                                         suffix_screen_w_chunked)
+    from tpz.utils import corpus
+
+    window, block, fwd = 512, 1024, 512
+    nb = 11
+    data = np.frombuffer(corpus.mixed(nb * block, seed=31), np.uint8)
+    span = np.zeros(window + nb * block + fwd, np.uint8)
+    span[window:window + data.size] = data
+    d = span.astype(np.uint32)
+    w = (d | (np.roll(d, -1) << 8) | (np.roll(d, -2) << 16)
+         | (np.roll(d, -3) << 24))
+    M = window + block + fwd
+    words = np.zeros((nb, M), np.uint32)
+    for b in range(nb):
+        words[b] = w[b * block:b * block + M]
+    so = jnp.asarray((np.arange(nb) * block).astype(np.int32))
+    slen = jnp.int32(data.size)
+    a = suffix_screen_w(jnp.asarray(words), so, slen, 4, window, block,
+                        258, 16)
+    c = suffix_screen_w_chunked(jnp.asarray(words), so, slen, 4, window,
+                                block, 258, 16, chunk=4)
+    for x, y in zip(a, c):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -87,10 +87,12 @@ def compress_many(datas, format: str = "gzip", level: int = 6,
     DEFLATE-family formats (the production serving shape); other formats
     fall back to a per-buffer loop."""
     _load()
-    if format in ("deflate", "gzip"):
+    if format in ("deflate", "gzip", "zlib"):
         from tpz.codecs import deflate as _d, gzip_codec as _g
+        from tpz.codecs import zlib_codec as _z
 
-        fn = _g.compress_many if format == "gzip" else _d.compress_many
+        fn = {"gzip": _g.compress_many, "deflate": _d.compress_many,
+              "zlib": _z.compress_many}[format]
         return fn(list(datas), level=level, backend=backend)
     if format == "bzip2":
         from tpz.codecs import bzip2 as _bz

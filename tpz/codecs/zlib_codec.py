@@ -35,6 +35,26 @@ def compress(data: bytes, level: int = 6, backend: str = "auto") -> bytes:
     return header_bytes(level) + body + struct.pack(">I", adler)
 
 
+def compress_many(datas, level: int = 6,
+                  backend: str = "auto") -> list[bytes]:
+    """Batched zlib: device-batched DEFLATE bodies + per-buffer framing
+    (the gzip compress_many shape)."""
+    import struct as _struct
+
+    bodies = deflate.compress_many(list(datas), level=level,
+                                   backend=backend)
+    out = []
+    hdr = header_bytes(level)
+    for d, body in zip(datas, bodies):
+        adler = oracle.adler32(d) if oracle.available() else None
+        if adler is None:
+            from tpz.kernels.checksums import adler32 as _a32
+
+            adler = _a32(d)
+        out.append(hdr + body + _struct.pack(">I", adler))
+    return out
+
+
 def check_header(cmf: int, flg: int) -> None:
     """Validate the 2-byte CMF/FLG header (RFC 1950 §2.2)."""
     if (cmf * 256 + flg) % 31 != 0:

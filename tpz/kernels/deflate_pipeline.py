@@ -92,12 +92,13 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     hash screen (still used by LZHUF)."""
     NB = words.shape[0]
     if suffix and use_pallas:
-        from tpz.kernels.matchfinder import suffix_screen_w
         from tpz.kernels.parse import parse_extend_pallas_v3y
 
-        pk1, pk2, cap_at = suffix_screen_w(
-            words, span_off, span_len, k, WINDOW, BLOCK, 258, screen_bytes,
-            restart)
+        from tpz.kernels.matchfinder import suffix_screen_w_chunked
+
+        pk1, pk2, cap_at = suffix_screen_w_chunked(
+            words, span_off, span_len, k, WINDOW, BLOCK, 258,
+            screen_bytes, restart)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         sl = slice(WINDOW, WINDOW + BLOCK)
         reach, mlen, mdist = parse_extend_pallas_v3y(

@@ -238,6 +238,45 @@ def suffix_screen_w(words: jax.Array, span_off: jax.Array,
     return opk1, opk2, cap_at
 
 
+def suffix_screen_w_chunked(words, span_off, span_len, r_neighbors,
+                            window, block, max_match, screen_bytes,
+                            restart: int = 0, chunk: int = 64):
+    """suffix_screen_w with bounded HBM liveness: rows are independent,
+    so batches larger than `chunk` run through lax.map over row groups
+    INSIDE the same program — the screen sort's ~6-operand working set
+    (the whole pipeline's HBM peak, BASELINE.md) shrinks to one chunk
+    while outputs accumulate. Bit-identical to the unchunked screen."""
+    NB, M = words.shape
+    if NB <= chunk:
+        return suffix_screen_w(words, span_off, span_len, r_neighbors,
+                               window, block, max_match, screen_bytes,
+                               restart)
+    G = -(-NB // chunk)
+    padn = G * chunk - NB
+
+    def padr(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((padn,) + x.shape[1:], x.dtype)], axis=0) \
+            if padn else x
+
+    sl_nd = getattr(span_len, "ndim", 0)
+    slc = padr(span_len) if sl_nd else jnp.broadcast_to(
+        jnp.asarray(span_len), (G * chunk,))
+    args = (padr(words).reshape(G, chunk, M),
+            padr(span_off).reshape(G, chunk),
+            slc.reshape(G, chunk))
+
+    def one(a):
+        w, so, sl_ = a
+        return suffix_screen_w(w, so, sl_, r_neighbors, window, block,
+                               max_match, screen_bytes, restart)
+
+    pk1, pk2, cap_at = jax.lax.map(one, args)
+    return (pk1.reshape(G * chunk, M)[:NB],
+            pk2.reshape(G * chunk, M)[:NB],
+            cap_at.reshape(G * chunk, M)[:NB])
+
+
 def find_matches_v3(words: jax.Array, span_off: jax.Array,
                     span_len: jax.Array, r_neighbors: int = 8,
                     window: int = WINDOW, block: int = BLOCK,
