@@ -33,10 +33,15 @@ from tpz.kernels.parse import greedy_parse
 # stored blocks) costs just over 8 bits/byte, so bound at 9 bits/byte to
 # keep 32*total_words + 31 inside int32 (ADVICE r1: 1<<28 was ~0.4% over).
 MAX_SPAN = (2**31 - 1) // 9
-# Single fused-invocation span bound: the screen-sort working set costs
-# ~0.4 GB HBM per MiB of span; 64 MiB needs ~27 GB and OOMs this 16 GB
-# chip. Bigger batches split into sequential dispatches (compress_many).
-MAX_DEVICE_SPAN = 32 << 20
+# Single fused-invocation span bound. The screen sort used to cost
+# ~0.4 GB HBM per MiB of span (64 MiB wanted ~27 GB and OOMed this
+# 16 GB chip); round 3's lax.map chunking removed that term, but the
+# bound stays at the measured-safe 32 MiB until the bigger span is
+# re-validated on hardware (override: TPZ_MAX_DEVICE_SPAN). Bigger
+# batches split into sequential dispatches (compress_many).
+import os as _os
+
+MAX_DEVICE_SPAN = int(_os.environ.get("TPZ_MAX_DEVICE_SPAN", 32 << 20))
 
 
 def usable() -> bool:
