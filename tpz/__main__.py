@@ -36,7 +36,24 @@ def main(argv=None) -> int:
                    choices=["auto", "oracle", "tpu"])
     s = sub.add_parser("selftest", help="round-trip every format on synthetic data")
     s.add_argument("-n", type=int, default=1 << 16)
+    b = sub.add_parser("bench", help="one-line JSON benchmark (bench.py)")
+    b.add_argument("--bytes", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import os as _os
+
+        if args.bytes:
+            _os.environ["TPZ_BENCH_BYTES"] = str(args.bytes)
+        import importlib.util as _ilu
+        import pathlib
+
+        spec = _ilu.spec_from_file_location(
+            "tpz_bench", pathlib.Path(__file__).parent.parent / "bench.py")
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
 
     import tpz.api as api
 
