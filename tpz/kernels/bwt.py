@@ -32,10 +32,15 @@ INF = np.int32(2**31 - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("rounds",))
-def _bwt_batched(d: jax.Array, n: jax.Array, rounds: int):
-    """d: [NB, N] int32 blocks (zero-padded); n: [NB] int32 real lengths.
-    Returns (last [NB, N], orig [NB])."""
-    NB, N = d.shape
+def _bwt_batched(w: jax.Array, n: jax.Array, rounds: int):
+    """w: [NB, N] uint32 CYCLIC 4-byte big-endian words (w[i] packs
+    s[i], s[(i+1) mod n], ..., built host-side by cyclic_words — same
+    h2d volume as int32 bytes, but the initial rank sort starts at
+    depth 4 instead of 2, saving a doubling round); n: [NB] int32 real
+    lengths. Bytes derive as w >> 24. Returns (last [NB, N], orig [NB])."""
+    NB, N = w.shape
+    w = w.astype(jnp.uint32)
+    d = jax.lax.shift_right_logical(w, jnp.uint32(24)).astype(jnp.int32)
     idx = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
     live = idx < n[:, None]
 
@@ -73,8 +78,13 @@ def _bwt_batched(d: jax.Array, n: jax.Array, rounds: int):
         mx = jnp.max(jnp.where(live, r, 0), axis=1)
         return jnp.all(mx >= n)
 
-    b = jnp.where(live, d, INF)
-    r = assign_ranks(b, cyc_shift(b, jnp.int32(1)))  # depth-2 init
+    # Depth-4 init: ONE single-key rank sort over the cyclic words.
+    wkey = jnp.where(live, w, jnp.uint32(0xFFFFFFFF))
+    swk, sidx0 = jax.lax.sort((wkey, idx), dimension=1, num_keys=1)
+    diff0 = swk != jnp.roll(swk, 1, axis=1)
+    diff0 = diff0.at[:, 0].set(True)
+    rs0 = jnp.cumsum(diff0.astype(jnp.int32), axis=1)
+    _, r = jax.lax.sort((sidx0, rs0), dimension=1, num_keys=1)
 
     def cond(carry):
         r, k, i = carry
@@ -86,7 +96,7 @@ def _bwt_batched(d: jax.Array, n: jax.Array, rounds: int):
         return r2, k * 2, i + 1
 
     r, _, _ = jax.lax.while_loop(cond, body,
-                                 (r, jnp.int32(2), jnp.int32(0)))
+                                 (r, jnp.int32(4), jnp.int32(0)))
 
     # Final order: rotations ordered by (rank, idx) — the index tie-break
     # for identical rotations of periodic inputs, as in cpp BwtEncode.
@@ -101,6 +111,34 @@ def _bwt_batched(d: jax.Array, n: jax.Array, rounds: int):
     return last, orig
 
 
+def cyclic_words(blocks: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """[NB, N] uint8 + lengths -> [NB, N] uint32 big-endian 4-byte
+    CYCLIC words (w[i] = s[i..i+3 mod n]); pad cells zero."""
+    NB, N = blocks.shape
+    b = blocks.astype(np.uint32)
+    w = ((b << 24) | (np.roll(b, -1, axis=1) << 16)
+         | (np.roll(b, -2, axis=1) << 8) | np.roll(b, -3, axis=1))
+    # np.roll wraps at N; fix the per-block wrap at n (3 tail cells/row,
+    # and whole rows for n < 4).
+    for r in range(NB):
+        n = int(lengths[r])
+        if n >= 4:
+            for p in range(n - 3, n):
+                w[r, p] = ((b[r, p] << 24)
+                           | (b[r, (p + 1) % n] << 16)
+                           | (b[r, (p + 2) % n] << 8)
+                           | b[r, (p + 3) % n])
+            w[r, n:] = 0
+        else:
+            for p in range(n):
+                w[r, p] = ((b[r, p] << 24)
+                           | (b[r, (p + 1) % n] << 16)
+                           | (b[r, (p + 2) % n] << 8)
+                           | b[r, (p + 3) % n])
+            w[r, n:] = 0
+    return w
+
+
 def bwt_blocks(blocks: np.ndarray, lengths: np.ndarray):
     """blocks: [NB, N] uint8 (zero-padded); lengths: [NB]. Returns
     (last [NB, N] uint8, orig [NB] int) computed on device."""
@@ -108,6 +146,7 @@ def bwt_blocks(blocks: np.ndarray, lengths: np.ndarray):
 
     NB, N = blocks.shape
     rounds = max(1, (N - 1).bit_length())  # bound; early exit is typical
-    last, orig = _bwt_batched(jnp.asarray(blocks.astype(np.int32)),
+    w = cyclic_words(blocks, lengths)
+    last, orig = _bwt_batched(jnp.asarray(w),
                               jnp.asarray(lengths.astype(np.int32)), rounds)
     return fetch(last).astype(np.uint8), fetch(orig)

@@ -113,12 +113,14 @@ def bwt_mtf_rle2_blocks(blocks: np.ndarray, lengths: np.ndarray):
     if _fused_bwt_mtf is None:
         _fused_bwt_mtf = functools.partial(
             jax.jit, static_argnames=("rounds",))(_fused_bwt_mtf_fn)
+    from tpz.kernels.bwt import cyclic_words
+
     NB, N = blocks.shape
-    d = blocks.astype(np.int32)
+    w = cyclic_words(blocks.astype(np.uint8), lengths)
     n = lengths.astype(np.int32)
     rounds = max(1, (N - 1).bit_length())
     orig, syms, sym_len, used, n_used = _fused_bwt_mtf(
-        jnp.asarray(d), jnp.asarray(n), rounds=rounds)
+        jnp.asarray(w), jnp.asarray(n), rounds=rounds)
     sym_len_np, used_np, n_used_np, orig_np = map(
         np.asarray, fetch_many(sym_len, used, n_used, orig))
     syms_np = np.asarray(fetch(syms))
@@ -196,8 +198,10 @@ def compress_many(datas, level: int = 9) -> list[bytes]:
     # Worst-case bits: 17/symbol (code-length limit) + headers/tables.
     cap_words = (17 * NB * (N + 1) + NB * 60000 + 31) // 32 + 16
     cap_words = (cap_words + (1 << 18) - 1) >> 18 << 18
+    from tpz.kernels.bwt import cyclic_words
+
     words, body_off, end_bits = _fused_full(
-        jnp.asarray(blocks.astype(np.int32)),
+        jnp.asarray(cyclic_words(blocks, np.asarray(all_lens, np.int64))),
         jnp.asarray(np.asarray(all_lens, np.int32)),
         jnp.asarray(np.asarray(all_crcs, np.uint32)),
         jnp.asarray(np.asarray(buf_start, bool)),

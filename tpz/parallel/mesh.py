@@ -246,7 +246,7 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
     bpd = -(-nb // ndev)
     N = _bucket(int(ln.max()))
     rounds = max(1, (N - 1).bit_length())
-    blocks = np.zeros((ndev, bpd, N), np.int32)
+    blocks = np.zeros((ndev, bpd, N), np.uint8)
     lens = np.zeros((ndev, bpd), np.int32)
     crcs = np.zeros((ndev, bpd), np.uint32)
     # Dummy 1-byte blocks keep padded rows valid; host drops their output.
@@ -299,8 +299,12 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
         out_specs=(P(axis, None), P(axis, None), P(axis, None)),
         check_vma=False,
     ))
+    from tpz.kernels.bwt import cyclic_words
+
+    wcyc = cyclic_words(blocks.reshape(ndev * bpd, N),
+                        lens.reshape(-1)).reshape(ndev, bpd, N)
     gathered, all_sizes, all_ends = step(
-        jnp.asarray(blocks), jnp.asarray(lens), jnp.asarray(crcs),
+        jnp.asarray(wcyc), jnp.asarray(lens), jnp.asarray(crcs),
         jnp.asarray(buf_start), jnp.asarray(live))
     sizes = np.asarray(all_sizes)[0]
     ends = np.asarray(all_ends)[0]
