@@ -201,3 +201,23 @@ def test_segment_indexer_fuzz_vs_stdlib():
             continue
         out = ip.decompress_segmented(raw, idx, interpret=True)
         assert out == data, (trial, n, lvl)
+
+
+def test_gzip_multimember_batched_decode():
+    """Round 3: a multi-member gzip stream whose members all carry the
+    TZ index (the sharded encoder's shape) decodes in ONE device batch;
+    a corrupted member CRC still raises."""
+    from tpz.codecs import gzip_codec as gz
+    from tpz.errors import DataError as DE
+
+    parts = [corpus.text(120_000), corpus.mixed(90_000, seed=9),
+             corpus.repetitive(50_000)]
+    blob = b"".join(gz.compress(p) for p in parts)
+    out = gz.decompress(blob, backend="tpu")
+    assert out == b"".join(parts)
+    bad = bytearray(blob)
+    bad[-6] ^= 1  # last member's CRC field
+    import pytest as _pt
+
+    with _pt.raises(DE):
+        gz.decompress(bytes(bad), backend="tpu")

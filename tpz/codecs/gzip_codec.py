@@ -202,6 +202,10 @@ def decompress_member_prefix(data: bytes, off: int = 0,
 
 
 def decompress(data: bytes, backend: str = "auto") -> bytes:
+    if backend == "tpu":
+        out = _decompress_members_batched(data)
+        if out is not None:
+            return out
     out = bytearray()
     off = 0
     while off < len(data):
@@ -209,6 +213,60 @@ def decompress(data: bytes, backend: str = "auto") -> bytes:
         out += plain
     if not out and len(data) == 0:
         raise UnexpectedEof("empty gzip input")
+    return bytes(out)
+
+
+def _decompress_members_batched(data: bytes) -> bytes | None:
+    """Round 3: when EVERY member carries the TZ index (tpz's own
+    multi-member output — e.g. the sharded encoder's), the index gives
+    each body's byte length without decoding, so ALL members decode in
+    ONE fused device dispatch (decompress_many_indexed) instead of one
+    dispatch per member. Returns None when any member lacks a usable
+    index — the caller walks members individually."""
+    import struct as _s
+
+    from tpz.kernels import inflate_pipeline
+
+    if not inflate_pipeline.usable():
+        return None
+    items = []
+    metas = []  # (plain crc, isize)
+    off = 0
+    try:
+        while off < len(data):
+            pos, extra = parse_header_extra(data, off)
+            idx = parse_tz_extra(extra) if extra else None
+            if idx is None:
+                return None
+            end_bits, out_lens = idx
+            body_cap = len(data) - pos - 8
+            if not (len(end_bits) >= 1
+                    and bool((end_bits[:-1] < end_bits[1:]).all())
+                    and int(end_bits[0]) > 0
+                    and (int(end_bits[-1]) + 7) // 8 <= body_cap
+                    and bool((out_lens[:-1]
+                              == inflate_pipeline.BLOCK).all())
+                    and 0 <= int(out_lens[-1]) <= inflate_pipeline.BLOCK
+                    and len(end_bits) * inflate_pipeline.BLOCK
+                    <= inflate_pipeline.MAX_DECODE_SPAN):
+                return None
+            nbytes = (int(end_bits[-1]) + 7) // 8
+            items.append((data[pos:pos + nbytes], end_bits, out_lens))
+            tpos = pos + nbytes
+            if len(data) - tpos < 8:
+                raise UnexpectedEof("gzip trailer truncated")
+            metas.append(_s.unpack_from("<II", data, tpos))
+            off = tpos + 8
+    except (DataError, UnexpectedEof):
+        return None
+    if not items:
+        return None
+    plains = inflate_pipeline.decompress_many_indexed(items)
+    out = bytearray()
+    for plain, (crc, isize) in zip(plains, metas):
+        if crc != _crc32(plain) or isize != len(plain) & 0xFFFFFFFF:
+            raise DataError("gzip CRC mismatch")
+        out += plain
     return bytes(out)
 
 
