@@ -41,12 +41,21 @@ def _mbs(nbytes: float, secs: float) -> float:
 def extra_metrics(size: int):
     """Per-codec encode/decode rates (1 timed iteration each, sized to
     keep total bench wall time in bounds). Failures are recorded, never
-    fatal — the headline line must always print."""
+    fatal — the headline line must always print. A soft deadline
+    (TPZ_BENCH_EXTRA_DEADLINE seconds, default 900) skips remaining rows
+    once exceeded: round-3 device paths each pay a 30-300 s remote
+    compile on first dispatch, and a truncated extras dict beats a
+    driver-killed bench with no output at all."""
     from tpz.utils import corpus
 
     out = {}
+    deadline = time.time() + float(
+        os.environ.get("TPZ_BENCH_EXTRA_DEADLINE", 900))
 
     def run(name, nbytes, fn, warm=False):
+        if time.time() > deadline:
+            out[name] = {"skipped": "extras deadline"}
+            return
         """warm=True times the first call too and reports it as MB_s_cold
         alongside the warm MB_s — device paths pay a 30-300 s remote
         compile on first dispatch per shape, and hiding that spread was
@@ -101,6 +110,9 @@ def extra_metrics(size: int):
     from tpz.codecs import bzip2 as bz
 
     bz_blob = {}
+    if time.time() > deadline:
+        out["bzip2_encode_device"] = {"skipped": "extras deadline"}
+        return out
     try:
         # Cold (first dispatch, incl. remote compile) and warm steady-state
         # in ONE row — fresh bytes for the warm pass (the relay dedups
@@ -129,6 +141,8 @@ def extra_metrics(size: int):
     from tpz.codecs import lzhuf as lh
 
     try:
+        if time.time() > deadline:
+            raise RuntimeError("extras deadline")
         t0 = time.time()
         lh.compress(corpus.mixed(lsize, seed=46), method="lh5",
                     backend="tpu")
