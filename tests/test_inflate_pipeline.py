@@ -221,3 +221,26 @@ def test_gzip_multimember_batched_decode():
 
     with _pt.raises(DE):
         gz.decompress(bytes(bad), backend="tpu")
+
+
+def test_segment_route_corruption_never_silent():
+    """Bit flips anywhere in a zlib stream: the segment device route
+    must raise/decline, never return wrong bytes silently (Adler-32
+    guards the body; the indexer guards structure)."""
+    import zlib as z
+
+    from tpz.codecs import zlib_codec as zc
+    from tpz.errors import CompressionError
+
+    data = bytes(corpus.mixed(120_000, seed=55))
+    blob = z.compress(data, 6)
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        bad = bytearray(blob)
+        bad[int(rng.integers(2, len(blob) - 4))] ^= 1 << int(
+            rng.integers(0, 8))
+        try:
+            out = zc.decompress(bytes(bad), backend="tpu")
+            assert out == data  # flip was in a dont-care bit
+        except CompressionError:
+            pass
