@@ -24,6 +24,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def halo_rows(base: jax.Array, window: int, fwd: int,
+              first_halo: jax.Array | None = None) -> jax.Array:
+    """[NB, block] rows -> [NB, window+block+fwd] haloed rows: each row
+    gets the previous row's tail as its window halo (row 0: zeros or
+    `first_halo` [1, window], e.g. a ppermute-received shard boundary)
+    and the next row's head as forward pad. The byte-level layout twin
+    of deflate_pipeline._make_words (which builds u32 word rows from a
+    1-D span)."""
+    block = base.shape[1]
+    prev_tail = jnp.concatenate(
+        [jnp.zeros((1, window), base.dtype), base[:-1, block - window:]],
+        axis=0)
+    if first_halo is not None:
+        prev_tail = prev_tail.at[0:1].set(first_halo)
+    next_head = jnp.concatenate(
+        [base[1:, :fwd], jnp.zeros((1, fwd), base.dtype)], axis=0)
+    return jnp.concatenate([prev_tail, base, next_head], axis=1)
+
+
 def sharded_encode_step(mesh: Mesh, k: int = 4, window: int = 512,
                         block: int = 1024):
     """Builds the jitted sharded one-step encode: blocks sharded over `dp`,
@@ -44,25 +63,17 @@ def sharded_encode_step(mesh: Mesh, k: int = 4, window: int = 512,
     def per_shard(base, span_off, span_len):
         # base: [NBl, block] local blocks (already windowed layout without
         # halos). Halo exchange: each shard needs the last `window` bytes of
-        # the previous shard's last block.
-        NBl = base.shape[0]
-        # intra-shard halos (previous block's tail)
-        prev_tail = jnp.concatenate(
-            [jnp.zeros((1, window), base.dtype), base[:-1, block - window:]],
-            axis=0)
-        # inter-shard halo: previous shard's last-block tail via ppermute
+        # the previous shard's last block, delivered by ppermute; shard 0's
+        # halo is zeros (span start). Row layout then comes from the shared
+        # halo_rows helper (the byte-level twin of _make_words' word rows —
+        # the production sharded path, sharded_compress, reuses
+        # _fused_encode_fn directly and needs no halo logic at all).
         last_tail = base[-1:, block - window:]
         recv = jax.lax.ppermute(
             last_tail, axis, [(i, (i + 1) % ndev) for i in range(ndev)])
         first_halo = jnp.where(
             (jax.lax.axis_index(axis) == 0)[None, None], 0, recv)
-        prev_tail = prev_tail.at[0:1].set(first_halo)
-        # forward pad: next block's head (zeros at shard end — a match may
-        # not cross the shard's final block end anyway)
-        next_head = jnp.concatenate(
-            [base[1:, :fwd], jnp.zeros((1, fwd), base.dtype)], axis=0)
-        haloed = jnp.concatenate([prev_tail, base, next_head],
-                                 axis=1).astype(jnp.int32)
+        haloed = halo_rows(base, window, fwd, first_halo).astype(jnp.int32)
         mlen, mdist = find_matches(haloed, span_off, span_len, k=k,
                                    window=window, block=block)
         block_len = jnp.minimum(
