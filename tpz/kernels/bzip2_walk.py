@@ -38,8 +38,14 @@ from tpz.kernels.ibwt_walk import ibwt_body
 
 SEL_CAP = 18432
 L2_CAP = 1152
-NBLK = 2
 GROUP = 50
+
+
+def _nblk_for(N: int) -> int:
+    """Interleaved chains per kernel body, bounded by VMEM: each chain
+    holds ~(6 L1 tables 768 KB + records 4N + slice N + selectors).
+    Small (level 1-3) blocks afford 4-way interleave; 900k blocks 2."""
+    return 2 if N >= (1 << 19) else 4
 
 
 def build_tables(lens: np.ndarray, n_useds: np.ndarray):
@@ -93,7 +99,8 @@ def build_tables(lens: np.ndarray, n_useds: np.ndarray):
 
 
 def _walk_kernel(nu_ref, ns_ref, sb_ref, s_ref, l1_ref, l2_ref, sel_ref,
-                 mi_ref, out_ref, meta_ref, *, S: int, SW: int):
+                 mi_ref, out_ref, meta_ref, *, S: int, SW: int,
+                 NBLK: int):
     """One grid step = NBLK blocks' symbol walks."""
     from jax.experimental import pallas as pl
 
@@ -249,7 +256,7 @@ def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
 
 
 def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
-               *, S: int, interpret: bool):
+               *, S: int, interpret: bool, NBLK: int = 2):
     """Just the Pallas symbol walk: returns (recs [NB, S], meta
     [NB, 128]). Traceable; also used directly by tests."""
     from jax.experimental import pallas as pl
@@ -274,7 +281,7 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
         sym_local = jnp.concatenate([sym_local, zp])
 
     recs, meta = pl.pallas_call(
-        functools.partial(_walk_kernel, S=S, SW=SW),
+        functools.partial(_walk_kernel, S=S, SW=SW, NBLK=NBLK),
         grid=(NBp // NBLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
             pl.BlockSpec((NBLK, SW // 128, 128), lambda b: (b, 0, 0)),
@@ -307,7 +314,8 @@ def _decode_jit(n_used, nsel, sym_local, orig, sw, l1, l2, selectors,
                 mtf_init, *, S: int, N: int, interpret: bool):
     NB = sw.shape[0]
     recs, meta = _walk_call(n_used, nsel, sym_local, sw, l1, l2,
-                            selectors, mtf_init, S=S, interpret=interpret)
+                            selectors, mtf_init, S=S, interpret=interpret,
+                            NBLK=_nblk_for(N))
     nrec = meta[:, 0]
     err = meta[:, 1]
     endbits = meta[:, 2]
