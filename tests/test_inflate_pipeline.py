@@ -244,3 +244,18 @@ def test_segment_route_corruption_never_silent():
             assert out == data  # flip was in a dont-care bit
         except CompressionError:
             pass
+
+
+def test_api_decompress_many_gzip_batched():
+    import tpz.api as api
+
+    datas = [corpus.text(80_000), corpus.mixed(60_000, seed=1), b"",
+             corpus.repetitive(30_000)]
+    blobs = api.compress_many(datas, "gzip", backend="oracle")
+    outs = api.decompress_many(blobs, "gzip", backend="tpu")
+    assert outs == datas
+    outs = api.decompress_many(blobs, "gzip")
+    assert outs == datas
+    # other formats route per buffer
+    zb = api.compress_many(datas, "zlib", backend="oracle")
+    assert api.decompress_many(zb, "zlib", backend="tpu") == datas

@@ -106,6 +106,19 @@ def compress_many(datas, format: str = "gzip", level: int = 6,
     return [compress(d, format, level=level, backend=backend) for d in datas]
 
 
+def decompress_many(datas, format: str = "gzip",
+                    backend: str = "auto") -> list[bytes]:
+    """Batch decode (the serving shape's inverse): gzip batches every
+    TZ-indexed member across buffers into one device dispatch; other
+    formats decode per buffer."""
+    _load()
+    if format == "gzip":
+        from tpz.codecs import gzip_codec as _g
+
+        return _g.decompress_many(list(datas), backend=backend)
+    return [decompress(d, format, backend=backend) for d in datas]
+
+
 # Formats whose streams may be concatenated and decoded as one logical
 # stream by our decoder (gzip multi-member per RFC 1952 §2.2; bzip2
 # multi-stream like the `bzip2` tool).

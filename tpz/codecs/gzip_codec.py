@@ -216,19 +216,51 @@ def decompress(data: bytes, backend: str = "auto") -> bytes:
     return bytes(out)
 
 
-def _decompress_members_batched(data: bytes) -> bytes | None:
-    """Round 3: when EVERY member carries the TZ index (tpz's own
-    multi-member output — e.g. the sharded encoder's), the index gives
-    each body's byte length without decoding, so ALL members decode in
-    ONE fused device dispatch (decompress_many_indexed) instead of one
-    dispatch per member. Returns None when any member lacks a usable
-    index — the caller walks members individually."""
+def decompress_many(datas, backend: str = "auto") -> list[bytes]:
+    """Batched gzip decode (round 3 serving shape): with backend="tpu",
+    every TZ-indexed member across EVERY buffer decodes in one fused
+    device dispatch; non-indexed buffers fall back individually."""
+    datas = list(datas)
+    results = [None] * len(datas)
+    if backend == "tpu":
+        from tpz.kernels import inflate_pipeline
+
+        if inflate_pipeline.usable():
+            scans = [_scan_members_indexed(d) for d in datas]
+            items = []
+            for s in scans:
+                if s is not None:
+                    items.extend(s[0])
+            if items:
+                plains = inflate_pipeline.decompress_many_indexed(items)
+                pos = 0
+                for i, s in enumerate(scans):
+                    if s is None:
+                        continue
+                    its, metas = s
+                    out = bytearray()
+                    for plain, (crc, isize) in zip(
+                            plains[pos:pos + len(its)], metas):
+                        if (crc != _crc32(plain)
+                                or isize != len(plain) & 0xFFFFFFFF):
+                            raise DataError("gzip CRC mismatch")
+                        out += plain
+                    pos += len(its)
+                    results[i] = bytes(out)
+    for i, d in enumerate(datas):
+        if results[i] is None:
+            results[i] = decompress(d, backend=backend)
+    return results
+
+
+def _scan_members_indexed(data: bytes):
+    """Member scan without decoding: returns (items, metas) for
+    decompress_many_indexed when EVERY member carries a valid TZ index,
+    else None."""
     import struct as _s
 
     from tpz.kernels import inflate_pipeline
 
-    if not inflate_pipeline.usable():
-        return None
     items = []
     metas = []  # (plain crc, isize)
     off = 0
@@ -261,6 +293,21 @@ def _decompress_members_batched(data: bytes) -> bytes | None:
         return None
     if not items:
         return None
+    return items, metas
+
+
+def _decompress_members_batched(data: bytes) -> bytes | None:
+    """One buffer's members in ONE fused device dispatch when every
+    member carries the TZ index (tpz's own multi-member output, e.g.
+    the sharded encoder's); None -> caller walks members individually."""
+    from tpz.kernels import inflate_pipeline
+
+    if not inflate_pipeline.usable():
+        return None
+    s = _scan_members_indexed(data)
+    if s is None:
+        return None
+    items, metas = s
     plains = inflate_pipeline.decompress_many_indexed(items)
     out = bytearray()
     for plain, (crc, isize) in zip(plains, metas):
