@@ -115,3 +115,27 @@ def test_walk_fuzz_vs_bz2():
         enc = bz2.compress(data, lvl)
         out = bzip2_pipeline.decompress_walk(enc)
         assert out is None or out == data, (trial, n, lvl)
+
+
+def test_decompress_walk_many_batched():
+    """Batch decode across streams: one fused dispatch per level
+    bucket; declined streams (incompressible) fall back per stream at
+    the codec level."""
+    import tpz.api as api
+
+    rng = np.random.default_rng(2)
+    datas = [bytes(corpus.text(120_000)),
+             bytes(corpus.mixed(180_000, seed=4)),
+             b"",
+             bytes(rng.integers(0, 256, 40_000, dtype=np.uint8))]
+    blobs = [bz2.compress(d, 1) if d else oracle.bzip2_encode(b"", 1)
+             for d in datas]
+    outs = bzip2_pipeline.decompress_walk_many(blobs)
+    for d, o in zip(datas, outs):
+        assert o is None or o == d
+    assert api.decompress_many(blobs, "bzip2", backend="tpu") == datas
+    # mixed levels -> two jit groups
+    blobs2 = [bz2.compress(datas[0], 1), bz2.compress(datas[1], 9)]
+    outs2 = bzip2_pipeline.decompress_walk_many(blobs2)
+    for d, o in zip(datas[:2], outs2):
+        assert o == d

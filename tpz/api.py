@@ -116,6 +116,10 @@ def decompress_many(datas, format: str = "gzip",
         from tpz.codecs import gzip_codec as _g
 
         return _g.decompress_many(list(datas), backend=backend)
+    if format == "bzip2":
+        from tpz.codecs import bzip2 as _bz
+
+        return _bz.decompress_many(list(datas), backend=backend)
     return [decompress(d, format, backend=backend) for d in datas]
 
 

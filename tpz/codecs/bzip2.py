@@ -41,6 +41,24 @@ def compress_many(datas, level: int = 9, backend: str = "auto") -> list:
     return [oracle.bzip2_encode(d, level) for d in datas]
 
 
+def decompress_many(datas, backend: str = "auto") -> list[bytes]:
+    """Batch decode: with backend="tpu", every stream's blocks share one
+    fused device program (tpz/kernels/bzip2_pipeline.decompress_walk_many);
+    declined streams fall back to the host decoder individually."""
+    datas = list(datas)
+    results = [None] * len(datas)
+    if backend == "tpu":
+        try:
+            from tpz.kernels import bzip2_pipeline
+
+            if bzip2_pipeline.usable():
+                results = bzip2_pipeline.decompress_walk_many(datas)
+        except Exception:
+            raise
+    return [r if r is not None else oracle.bzip2_decode(d)
+            for r, d in zip(results, datas)]
+
+
 def decompress(data: bytes, backend: str = "auto") -> bytes:
     # Device decode is opt-in: over this environment's relay the host C++
     # decoder is faster end-to-end; the device path exists for

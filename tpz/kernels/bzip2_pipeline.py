@@ -268,6 +268,105 @@ def ibwt_blocks(last: np.ndarray, lengths: np.ndarray,
         jnp.asarray(origs.astype(np.int32)))))
 
 
+def decompress_walk_many(datas) -> list:
+    """Batch decode: ALL streams' blocks share ONE fused device program
+    (walk + expand + iBWT) when their level buckets match — the decode
+    side of the compress_many serving shape. Entries come back None
+    where the walk declines (caller falls back per stream)."""
+    from tpz import oracle
+    from tpz.errors import DataError
+    from tpz.kernels import bzip2_walk
+
+    results = [None] * len(datas)
+    scans = []
+    for i, data in enumerate(datas):
+        if len(data) < 4:
+            scans.append(None)
+            continue
+        s = oracle.bzip2_scan_headers(data)
+        scans.append(s if s is not None and len(s["sym_bits"]) else None)
+    # Group by bucket so one jit shape covers the batch.
+    groups = {}
+    for i, s in enumerate(scans):
+        if s is None:
+            continue
+        N = _bucket((datas[i][3] - 0x30) * 100000 + 16)
+        groups.setdefault(N, []).append(i)
+    for N, idxs in groups.items():
+        scap = N + 8192
+        cat = {k: np.concatenate([scans[i][k] for i in idxs])
+               for k in ("sym_bits", "end_bits", "origs", "crcs",
+                         "n_useds", "nts", "nsels")}
+        cat["mtf_init"] = np.concatenate(
+            [scans[i]["mtf_init"] for i in idxs])
+        cat["selectors"] = np.concatenate(
+            [scans[i]["selectors"] for i in idxs])
+        cat["lens"] = np.concatenate([scans[i]["lens"] for i in idxs])
+        counts = [len(scans[i]["sym_bits"]) for i in idxs]
+        nb = sum(counts)
+        slices = np.zeros((nb, scap), np.uint8)
+        ok_group = True
+        b0 = 0
+        for i, cnt in zip(idxs, counts):
+            s = scans[i]
+            sb = np.frombuffer(datas[i], np.uint8)
+            spans = ((s["end_bits"] + 7) // 8 + 1
+                     - s["sym_bits"] // 8).astype(np.int64)
+            if int(spans.max()) > scap:
+                ok_group = False
+                break
+            for b in range(cnt):
+                s0 = int(s["sym_bits"][b]) // 8
+                take = min(int(spans[b]), len(datas[i]) - s0)
+                slices[b0 + b, :take] = sb[s0:s0 + take]
+            b0 += cnt
+        if not ok_group:
+            continue
+        plain, lens, err, endbits, _ = bzip2_walk.decode_blocks_device(
+            cat, slices, N)
+        b0 = 0
+        for i, cnt in zip(idxs, counts):
+            s = scans[i]
+            sl = slice(b0, b0 + cnt)
+            b0 += cnt
+            if int(err[sl].sum()) != 0:
+                continue
+            end_bit = ((int(s["sym_bits"][-1]) // 8) * 8
+                       + int(endbits[b0 - 1]))
+            if not _eos_ok(datas[i], end_bit, s["crcs"]):
+                continue
+            lens_i = lens[sl]
+            flat = np.zeros(int(lens_i.sum()), np.uint8)
+            offs2 = np.zeros(cnt, np.int64)
+            pos = 0
+            for b in range(cnt):
+                offs2[b] = pos
+                flat[pos:pos + lens_i[b]] = plain[b0 - cnt + b,
+                                                  :lens_i[b]]
+                pos += int(lens_i[b])
+            try:
+                results[i] = oracle.bzip2_rle1_inverse(
+                    flat, offs2, lens_i.astype(np.int64), s["crcs"])
+            except DataError:
+                pass
+    return results
+
+
+def _eos_ok(data: bytes, end_bit: int, crcs) -> bool:
+    eb = end_bit // 8
+    tail = data[eb:eb + 11]
+    if len(tail) < 10:
+        return False
+    v = int.from_bytes(tail.ljust(11, b"\0"), "big") >> (
+        88 - 80 - (end_bit & 7))
+    v &= (1 << 80) - 1
+    combined = 0
+    for c in crcs:
+        combined = (((combined << 1) | (combined >> 31)) ^ int(c)) \
+            & 0xFFFFFFFF
+    return v == ((0x177245385090 << 32) | combined)
+
+
 def decompress_walk(data: bytes) -> bytes | None:
     """ALL-device decode (round 3; closes VERDICT r2 missing #1's decode
     half): host parses only block HEADERS (magic splitter + selector/
