@@ -93,3 +93,17 @@ def test_device_decode_walk():
     # container + api plumbing
     c = api.compress(cases[1], "lh5", backend="oracle")
     assert api.decompress(c, "lh5", backend="tpu") == cases[1]
+
+
+def test_device_decode_many_batched():
+    from tpz import oracle
+    from tpz.kernels import lzhuf_walk
+    from tpz.utils import corpus
+
+    datas = [corpus.text(90_000), corpus.mixed(150_000, seed=8), b"",
+             corpus.repetitive(50_000)]
+    items = [(oracle.lzhuf_encode(d, 13, 16) if d else b"", len(d))
+             for d in datas]
+    outs = lzhuf_walk.decompress_many(items, 13)
+    for d, o in zip(datas, outs):
+        assert o == d

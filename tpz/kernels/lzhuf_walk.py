@@ -247,50 +247,100 @@ def decompress(data: bytes, orig_size: int, dict_bits: int,
                interpret: bool | None = None) -> bytes | None:
     """Device decode of one lzhuf body. None = declined (caller uses the
     host decoder)."""
+    return decompress_many([(data, orig_size)], dict_bits, interpret)[0]
+
+
+def decompress_many(items, dict_bits: int,
+                    interpret: bool | None = None) -> list:
+    """Batch decode: all buffers' segments share ONE fused device walk +
+    resolution (valid streams' matches never reach before their own
+    start, so the dense pointer space is shared safely; the indexer
+    validated every distance). items: [(body_bytes, orig_size)].
+    Entries come back None where declined."""
     from tpz import oracle
+    from tpz.constants import LZHUF_METHODS
     from tpz.kernels.device_quirks import fetch
 
-    if orig_size == 0:
-        return b""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if orig_size > (1 << 24):  # packed-pointer resolution bound
-        return None
-    idx = oracle.lzhuf_index(data, orig_size, dict_bits, seg_out=BLOCK)
-    if idx is None:
-        return None
-    nseg = len(idx["out_lens"])
-    if nseg == 0:
-        return None
-    spans = ((idx["end_bits"] + 7) // 8 + 1 - idx["seg_bits"] // 8)
-    if int(spans.max()) > SLICE_BYTES:
-        return None
-    from tpz.constants import LZHUF_METHODS
+    results = [None] * len(items)
+    idxs = []
+    parsed = []
+    total = 0
+    for i, (data, orig_size) in enumerate(items):
+        if orig_size == 0:
+            results[i] = b""
+            continue
+        if orig_size > (1 << 24):
+            continue
+        idx = oracle.lzhuf_index(data, orig_size, dict_bits,
+                                 seg_out=BLOCK)
+        if idx is None or len(idx["out_lens"]) == 0:
+            continue
+        spans = ((idx["end_bits"] + 7) // 8 + 1 - idx["seg_bits"] // 8)
+        if int(spans.max()) > SLICE_BYTES:
+            continue
+        total += orig_size
+        idxs.append(i)
+        parsed.append((idx, spans))
+    if not idxs:
+        return results
+    if total > (1 << 24):  # packed-pointer bound: split the batch
+        half = len(idxs) // 2 or 1
+        a = decompress_many([items[i] for i in idxs[:half]], dict_bits,
+                            interpret)
+        b = decompress_many([items[i] for i in idxs[half:]], dict_bits,
+                            interpret)
+        for i, r in zip(idxs[:half] + idxs[half:], a + b):
+            results[i] = r
+        return results
 
     np_ = next(v[1] for v in LZHUF_METHODS.values() if v[0] == dict_bits)
-    cl1, cl2 = build_tables(idx["c_lens"], idx["c_consts"], NC)
-    pl1, pl2 = build_tables(idx["p_lens"], idx["p_consts"], np_)
-    bid = idx["block_ids"]
+    nseg = sum(len(p[0]["out_lens"]) for p in parsed)
     slices = np.zeros((nseg, SLICE_BYTES), np.uint8)
-    sb = np.frombuffer(data, np.uint8)
-    for s in range(nseg):
-        s0 = int(idx["seg_bits"][s]) // 8
-        take = min(int(spans[s]), len(data) - s0)
-        slices[s, :take] = sb[s0:s0 + take]
-    sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
-    carry = ((idx["carry_dist"].astype(np.int32) - 1).clip(0) << 9) \
-        | idx["carry_len"].astype(np.int32)
-    carry = np.where(idx["carry_len"] > 0, carry, 0).astype(np.int32)
-    ol = idx["out_lens"].astype(np.int32)
+    sym_local = np.zeros(nseg, np.int32)
+    ol = np.zeros(nseg, np.int32)
+    carry_len = np.zeros(nseg, np.int32)
+    carry = np.zeros(nseg, np.int32)
+    cl1r = np.zeros((nseg, 1 << 15), np.int32)
+    cl2r = np.zeros((nseg, L2_CAP), np.int32)
+    pl1r = np.zeros((nseg, 1 << 15), np.int32)
+    pl2r = np.zeros((nseg, L2_CAP), np.int32)
+    s0r = 0
+    for (i, (idx, spans)) in zip(idxs, parsed):
+        data = items[i][0]
+        k = len(idx["out_lens"])
+        sb = np.frombuffer(data, np.uint8)
+        for s in range(k):
+            p0 = int(idx["seg_bits"][s]) // 8
+            take = min(int(spans[s]), len(data) - p0)
+            slices[s0r + s, :take] = sb[p0:p0 + take]
+        sl = slice(s0r, s0r + k)
+        sym_local[sl] = (idx["seg_bits"] & 7).astype(np.int32)
+        ol[sl] = idx["out_lens"].astype(np.int32)
+        cl = idx["carry_len"].astype(np.int32)
+        carry_len[sl] = cl
+        cv = ((idx["carry_dist"].astype(np.int32) - 1).clip(0) << 9) | cl
+        carry[sl] = np.where(cl > 0, cv, 0)
+        cl1, cl2 = build_tables(idx["c_lens"], idx["c_consts"], NC)
+        pl1, pl2 = build_tables(idx["p_lens"], idx["p_consts"], np_)
+        bid = idx["block_ids"]
+        cl1r[sl] = cl1[bid]
+        cl2r[sl] = cl2[bid]
+        pl1r[sl] = pl1[bid]
+        pl2r[sl] = pl2[bid]
+        s0r += k
     dense_off = (np.cumsum(ol, dtype=np.int64) - ol).astype(np.int32)
+    sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
     out = _decode_fn(
-        jnp.asarray(sw),
-        jnp.asarray((idx["seg_bits"] & 7).astype(np.int32)),
-        jnp.asarray(ol),
-        jnp.asarray(idx["carry_len"].astype(np.int32)),
-        jnp.asarray(carry), jnp.asarray(dense_off),
-        jnp.asarray(cl1[bid]), jnp.asarray(cl2[bid]),
-        jnp.asarray(pl1[bid]), jnp.asarray(pl2[bid]),
-        interpret=interpret)
+        jnp.asarray(sw), jnp.asarray(sym_local), jnp.asarray(ol),
+        jnp.asarray(carry_len), jnp.asarray(carry),
+        jnp.asarray(dense_off), jnp.asarray(cl1r), jnp.asarray(cl2r),
+        jnp.asarray(pl1r), jnp.asarray(pl2r), interpret=interpret)
     flat = np.asarray(fetch(out))
-    return flat[:orig_size].tobytes()
+    pos = 0
+    for i, (idx, _) in zip(idxs, parsed):
+        n_out = int(idx["out_lens"].sum())
+        results[i] = flat[pos:pos + n_out].tobytes()
+        pos += n_out
+    return results
