@@ -94,6 +94,16 @@ def extra_metrics(size: int):
     run("deflate_decode_device", dsize,
         lambda: gz.decompress(gz_blob, backend="tpu"), warm=True)
 
+    # Batched decode (round 3 serving-shape inverse): every TZ-indexed
+    # member across 4 buffers in ONE fused dispatch.
+    import tpz.api as api
+
+    dbatch = [corpus.mixed(dsize // 2, seed=60 + i) for i in range(4)]
+    dblobs = api.compress_many(dbatch, "gzip")
+    run("deflate_decode_device_batched", dsize * 2,
+        lambda: api.decompress_many(dblobs, "gzip", backend="tpu"),
+        warm=True)
+
     # Foreign-stream device decode (round 3, SURVEY §7.4 route 2): no
     # side-car — host segment indexer + the same fused device program.
     import zlib as _zlib

@@ -120,6 +120,11 @@ def decompress_many(datas, format: str = "gzip",
         from tpz.codecs import bzip2 as _bz
 
         return _bz.decompress_many(list(datas), backend=backend)
+    if format in ("lh4", "lh5", "lh6", "lh7"):
+        from tpz.codecs import lzhuf as _lz
+
+        return _lz.decompress_many(list(datas), method=format,
+                                   backend=backend)
     return [decompress(d, format, backend=backend) for d in datas]
 
 

@@ -89,6 +89,38 @@ def compress_many(datas, method: str = "lh5", level: int = 6,
             for d, b in zip(datas, bodies)]
 
 
+def decompress_many(datas, method: str | None = None,
+                    backend: str = "auto") -> list[bytes]:
+    """Batch decode: with backend="tpu", every buffer's segments share
+    one fused device walk; declines fall back per buffer."""
+    datas = list(datas)
+    parsed = []
+    for d in datas:
+        if len(d) < 15 or d[:4] != _MAGIC:
+            raise DataError("bad lzhuf container magic")
+        m = d[4:7].decode()
+        if method is not None and m != method:
+            raise DataError(f"container method {m} != requested {method}")
+        (size,) = struct.unpack_from("<Q", d, 7)
+        parsed.append((m, size, d[15:]))
+    results = [None] * len(datas)
+    if backend == "tpu":
+        from tpz.kernels import lzhuf_pipeline, lzhuf_walk
+
+        if lzhuf_pipeline.usable():
+            by_bits = {}
+            for i, (m, size, body) in enumerate(parsed):
+                by_bits.setdefault(_dict_bits(m), []).append(i)
+            for bits, idxs in by_bits.items():
+                outs = lzhuf_walk.decompress_many(
+                    [(parsed[i][2], parsed[i][1]) for i in idxs], bits)
+                for i, o in zip(idxs, outs):
+                    results[i] = o
+    return [r if r is not None else
+            oracle.lzhuf_decode(b, s, _dict_bits(m))
+            for r, (m, s, b) in zip(results, parsed)]
+
+
 def decompress(data: bytes, method: str | None = None,
                backend: str = "auto") -> bytes:
     if len(data) < 15:  # 4 magic + 3 method + 8 size; body may be empty
