@@ -139,3 +139,28 @@ def test_decompress_walk_many_batched():
     outs2 = bzip2_pipeline.decompress_walk_many(blobs2)
     for d, o in zip(datas[:2], outs2):
         assert o == d
+
+
+def test_walk_multistream_and_sharded_output():
+    """Concatenated .bz2 streams — including the sharded encoder's
+    multi-stream output — decode on the all-device route with per-stream
+    EOS validation."""
+    a = bytes(corpus.text(90_000))
+    b = bytes(corpus.mixed(120_000, seed=12))
+    cat = bz2.compress(a, 1) + bz2.compress(b, 1)
+    out = bzip2_pipeline.decompress_walk(cat)
+    assert out == a + b
+    # sharded encoder output (multi-stream by construction)
+    import jax
+
+    from tpz.parallel.mesh import make_mesh, sharded_compress_bzip2
+
+    data = bytes(corpus.mixed(500_000, seed=13))
+    blob = sharded_compress_bzip2(data, make_mesh(
+        min(4, len(jax.devices()))), level=1)
+    assert bzip2_pipeline.decompress_walk(blob) == data
+    # corrupted mid-stream EOS still rejected
+    bad = bytearray(cat)
+    first_len = len(bz2.compress(a, 1))
+    bad[first_len - 3] ^= 0x10  # stream 1 combined CRC
+    assert bzip2_pipeline.decompress_walk(bytes(bad)) is None

@@ -331,9 +331,9 @@ def decompress_walk_many(datas) -> list:
             b0 += cnt
             if int(err[sl].sum()) != 0:
                 continue
-            end_bit = ((int(s["sym_bits"][-1]) // 8) * 8
-                       + int(endbits[b0 - 1]))
-            if not _eos_ok(datas[i], end_bit, s["crcs"]):
+            abs_ends = ((s["sym_bits"] // 8) * 8
+                        + endbits[sl].astype(np.int64))
+            if not _eos_ok(datas[i], abs_ends, s["crcs"]):
                 continue
             lens_i = lens[sl]
             flat = np.zeros(int(lens_i.sum()), np.uint8)
@@ -352,19 +352,36 @@ def decompress_walk_many(datas) -> list:
     return results
 
 
-def _eos_ok(data: bytes, end_bit: int, crcs) -> bool:
-    eb = end_bit // 8
-    tail = data[eb:eb + 11]
-    if len(tail) < 10:
-        return False
-    v = int.from_bytes(tail.ljust(11, b"\0"), "big") >> (
-        88 - 80 - (end_bit & 7))
-    v &= (1 << 80) - 1
+def _peek_bits(data: bytes, bit: int, n: int) -> int | None:
+    b0 = bit // 8
+    need = (bit % 8 + n + 7) // 8
+    chunk = data[b0:b0 + need]
+    if len(chunk) < need:
+        return None
+    v = int.from_bytes(chunk, "big")
+    return (v >> (8 * need - (bit % 8) - n)) & ((1 << n) - 1)
+
+
+def _eos_ok(data: bytes, end_bits_abs, crcs) -> bool:
+    """Multi-stream-aware EOS validation (ADVICE r2 medium parity, round
+    3 extension): after EVERY block, the next 48 bits must be the block
+    magic (stream continues) or the EOS magic followed by the running
+    combined CRC (stream ends, fold resets; the last block must end a
+    stream). Handles concatenated .bz2 — including our own sharded
+    encoder's output — exactly like the host decoders."""
     combined = 0
-    for c in crcs:
-        combined = (((combined << 1) | (combined >> 31)) ^ int(c)) \
-            & 0xFFFFFFFF
-    return v == ((0x177245385090 << 32) | combined)
+    for i, e in enumerate(end_bits_abs):
+        combined = (((combined << 1) | (combined >> 31))
+                    ^ int(crcs[i])) & 0xFFFFFFFF
+        nxt = _peek_bits(data, int(e), 48)
+        if nxt == 0x177245385090:                      # EOS
+            expect = _peek_bits(data, int(e) + 48, 32)
+            if expect != combined:
+                return False
+            combined = 0
+        elif nxt != 0x314159265359:                    # next block magic
+            return False
+    return combined == 0  # the final block closed its stream
 
 
 def decompress_walk(data: bytes) -> bytes | None:
@@ -403,21 +420,11 @@ def decompress_walk(data: bytes) -> bytes | None:
         scan, slices, N)
     if not ok:
         return None
-    # EOS trailer: 48-bit magic + 32-bit combined CRC right after the
-    # last block (ADVICE r2 medium parity with the host decoders).
-    end_bit = (int(scan["sym_bits"][-1]) // 8) * 8 + int(endbits[-1])
-    eb = end_bit // 8
-    tail = data[eb:eb + 11]
-    if len(tail) < 10:
-        return None
-    v = int.from_bytes(tail.ljust(11, b"\0"), "big") >> (
-        88 - 80 - (end_bit & 7))
-    v &= (1 << 80) - 1
-    combined = 0
-    for c in scan["crcs"]:
-        combined = (((combined << 1) | (combined >> 31)) ^ int(c)) \
-            & 0xFFFFFFFF
-    if v != ((0x177245385090 << 32) | combined):
+    # EOS trailers: every stream's 48-bit magic + 32-bit combined CRC
+    # (ADVICE r2 medium parity; multi-stream aware — concatenated .bz2
+    # and our own sharded output decode here too).
+    abs_ends = (scan["sym_bits"] // 8) * 8 + endbits.astype(np.int64)
+    if not _eos_ok(data, abs_ends, scan["crcs"]):
         return None
     flat = np.zeros(int(lens.sum()), np.uint8)
     pos = 0
