@@ -147,3 +147,34 @@ def test_device_coder_edge_shapes():
         for d, o in zip(cases, ours):
             ref = oracle.bzip2_encode(d, level)
             assert o == ref, (level, len(d))
+
+
+def test_assemble_mtf_alternative_route():
+    """The native-runtime assembly entry (cpp Bzip2AssembleMtf): encode
+    from an externally produced MTF/RLE2 symbol stream — here the device
+    front half's — and land byte-identical to the all-device and oracle
+    encoders. Keeps the C ABI surface a native caller would use under
+    differential coverage."""
+    from tpz.kernels import bzip2_pipeline as bp
+
+    data = corpus.mixed(260_000, seed=33)
+    level = 1
+    rle, off, ln, crc = oracle.bzip2_rle1(data, level)
+    nb = off.size
+    N = bp._bucket(int(ln.max()))
+    blocks = np.zeros((nb, N), np.uint8)
+    for b in range(nb):
+        blocks[b, : ln[b]] = rle[off[b]:off[b] + ln[b]]
+    orig, syms, sym_len, used, n_used = bp.bwt_mtf_rle2_blocks(
+        blocks, ln.astype(np.int64))
+    lens_out = sym_len.astype(np.int64) + 1
+    off2 = np.cumsum(lens_out) - lens_out
+    flat = np.zeros(int(lens_out.sum()), np.uint16)
+    for b in range(nb):
+        sl = int(sym_len[b])
+        flat[off2[b]:off2[b] + sl] = syms[b, :sl].astype(np.uint16)
+        flat[off2[b] + sl] = n_used[b] + 1
+    out = oracle.bzip2_assemble_mtf(
+        flat, off2, lens_out.astype(np.int32), used.astype(np.uint8),
+        crc, orig.astype(np.uint32), level)
+    assert out == oracle.bzip2_encode(data, level)

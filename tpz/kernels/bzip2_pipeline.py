@@ -222,52 +222,6 @@ def compress_many(datas, level: int = 9) -> list[bytes]:
     return results
 
 
-def ibwt_blocks(last: np.ndarray, lengths: np.ndarray,
-                origs: np.ndarray) -> np.ndarray:
-    """Device inverse BWT via pointer doubling (SURVEY.md §7.5, VERDICT r1
-    #4): per block, the next[] permutation comes from one stable sort of
-    (byte, index) keys; the n-step serial walk becomes log2(n) rounds of
-    distance-doubling to the origin pointer's cycle break.
-
-    last: [NB, N] uint8 last columns (padded); lengths [NB]; origs [NB].
-    Returns [NB, N] uint8 iBWT output rows (padding undefined).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    NB, N = last.shape
-    rounds = max(1, (N - 1).bit_length())
-
-    @jax.jit
-    def run(lastj, length, orig):
-        idx = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
-        li = lastj.astype(jnp.int32)
-        key = (li << 21) | idx  # N <= 2^21 (900k blocks); stable by idx
-        key = jnp.where(idx < length[:, None], key, jnp.int32(0x7FFFFFFF))
-        tvec = jax.lax.sort(key, dimension=1) & ((1 << 21) - 1)
-        # Distance to orig along the cycle, with a self-loop break there.
-        at_orig = idx == orig[:, None]
-        d = jnp.where(at_orig, 0, 1)
-        s = jnp.where(at_orig, idx, tvec)
-        for _ in range(rounds):
-            d = d + jnp.take_along_axis(d, s, axis=1)
-            d = jnp.where(at_orig, 0, d)
-            s = jnp.take_along_axis(s, s, axis=1)
-        rank = length[:, None] - 1 - d  # orig is the walk's last element
-        nbi = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 0)
-        out = jnp.zeros((NB, N), jnp.uint8)
-        live = idx < length[:, None]
-        out = out.at[nbi, jnp.where(live, rank, 0)].max(
-            jnp.where(live, lastj, 0), mode="drop")
-        return out
-
-    from tpz.kernels.device_quirks import fetch
-
-    return np.asarray(fetch(run(
-        jnp.asarray(last), jnp.asarray(lengths.astype(np.int32)),
-        jnp.asarray(origs.astype(np.int32)))))
-
-
 def decompress_walk_many(datas) -> list:
     """Batch decode: ALL streams' blocks share ONE fused device program
     (walk + expand + iBWT) when their level buckets match — the decode

@@ -267,7 +267,8 @@ def ibwt_body(last, length, orig, *, N: int, interpret: bool = False):
 def ibwt_blocks_fast(last: np.ndarray, lengths: np.ndarray,
                      origs: np.ndarray,
                      interpret: bool | None = None) -> np.ndarray | None:
-    """Drop-in for ibwt_blocks: [NB, N] last columns -> plaintext rows.
+    """[NB, N] last columns -> plaintext rows (replaces the round-2
+    pointer-doubling iBWT, deleted in round 3).
 
     Returns None when any block's walk could not cover it (slot-stream
     overflow from pathologically skewed segments, or a periodic block
