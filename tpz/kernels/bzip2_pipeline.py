@@ -1,12 +1,20 @@
-"""TPU BZip2 encode pipeline (SURVEY.md §2.1 BZip2 row, §7 PR4).
+"""TPU BZip2 pipeline, both directions (SURVEY.md §2.1 BZip2 row, §7 PR4).
 
-Round-2 split (VERDICT r1 #4): host C++ RLE1 + block split (byte-serial,
-memory-speed) -> ONE device program running batched BWT + used-map + MTF
-+ RLE2 (tpz/kernels/bwt.py, mtf.py, rle.py) -> host C++ multi-table
-Huffman coding + bit packing from the kernel-produced symbol stream
-(cpp/bzip2.cc Bzip2AssembleMtf). Byte-identical to the oracle's
-Bzip2Encode because the Huffman coder is shared and the device
-BWT/MTF/RLE2 match the C++ stages bit-for-bit (differential-tested).
+ENCODE (round 3, all-device): host C++ RLE1 + block split (byte-serial,
+memory-speed) -> ONE device program running batched BWT + used-map +
+MTF + RLE2 + the multi-table Huffman coder + MSB bitpack
+(tpz/kernels/bwt.py, mtf.py, rle.py, bzip2_plan_device.py,
+bitpack.py) -> host writes only the 4-byte 'BZh' header and the EOS
+trailer. Byte-identical to the oracle's Bzip2Encode (the coder mirrors
+cpp/bzip2.cc EncodeBlockFromMtf decision-for-decision).
+
+DECODE (round 3, all-device): host header-only scan (magic splitter +
+selectors/tables, cpp Bzip2ScanHeaders) -> ONE device program running
+the multi-table symbol walk + MTF^-1 + RLE2^-1 (bzip2_walk.py) + run
+expansion + the segment-walk iBWT (ibwt_walk.py) -> host RLE1^-1 +
+per-block CRCs + per-stream EOS combined-CRC checks. Shapes the walks
+decline (code lengths > 17, periodic blocks, corrupt streams) fall back
+to the host decoder.
 
 Blocks are padded to a power-of-two bucket so jit caches stay small.
 """

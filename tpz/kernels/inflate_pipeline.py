@@ -17,8 +17,14 @@ each 64 KiB block's end bit and output length. With the index:
          (log-depth rounds, SURVEY.md §7.5 technique applied to LZ77).
   host   fetch plaintext; the gzip layer verifies CRC32/ISIZE as usual.
 
-Streams without the side-car (other producers, zlib/raw) decode on the
-C++ host path, which remains the conformance reference.
+Streams WITHOUT the side-car — foreign gzip/zlib, raw deflate, and
+tpz's own >MAX_DEVICE_SPAN oracle output — take route 2 (round 3): the
+host segment indexer (cpp InflateIndex, index_stream below) token-walks
+the stream once at memory speed, cutting 64 KiB-output segments at
+token and block-table boundaries with split-match carries; the same
+fused device program then decodes every segment in parallel
+(decompress_many_segmented). The C++ host path remains the conformance
+reference and the fallback for declined shapes.
 """
 
 from __future__ import annotations
