@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpz.kernels import bitpack
-from tpz.kernels.device_quirks import fetch, fetch_many
+from tpz.kernels.device_quirks import fetch
 from tpz.kernels.matchfinder import BLOCK, FWD_PAD, WINDOW, find_matches
 from tpz.kernels.parse import greedy_parse
 

@@ -33,7 +33,6 @@ Formulation notes:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

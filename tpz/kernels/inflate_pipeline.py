@@ -29,7 +29,6 @@ reference and the fallback for declined shapes.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
