@@ -259,3 +259,31 @@ def test_api_decompress_many_gzip_batched():
     # other formats route per buffer
     zb = api.compress_many(datas, "zlib", backend="oracle")
     assert api.decompress_many(zb, "zlib", backend="tpu") == datas
+
+
+def test_segmented_batch_grouping(monkeypatch):
+    """Sub-batching when the batch exceeds the packed-pointer span
+    (exercised with a shrunken cap so CPU tests cover the split
+    logic)."""
+    import zlib as z
+
+    from tpz.kernels import inflate_pipeline as ip
+
+    datas = [corpus.text(90_000), corpus.mixed(80_000, seed=3),
+             corpus.repetitive(70_000)]
+    items = []
+    for d in datas:
+        raw = z.compress(d, 6)[2:-4]
+        idx = ip.index_stream(raw)
+        assert idx is not None
+        items.append((raw, idx))
+    monkeypatch.setattr(ip, "MAX_DECODE_SPAN", 150_000)
+    outs = ip.decompress_many_segmented(items, interpret=True)
+    assert outs == datas
+    # a single stream larger than the shrunken cap raises cleanly
+    import pytest as _pt
+
+    big = (items[0][0], items[0][1])
+    monkeypatch.setattr(ip, "MAX_DECODE_SPAN", 50_000)
+    with _pt.raises(Exception):
+        ip.decompress_many_segmented([big], interpret=True)
