@@ -48,13 +48,10 @@ def decompress_many(datas, backend: str = "auto") -> list[bytes]:
     datas = list(datas)
     results = [None] * len(datas)
     if backend == "tpu":
-        try:
-            from tpz.kernels import bzip2_pipeline
+        from tpz.kernels import bzip2_pipeline
 
-            if bzip2_pipeline.usable():
-                results = bzip2_pipeline.decompress_walk_many(datas)
-        except Exception:
-            raise
+        if bzip2_pipeline.usable():
+            results = bzip2_pipeline.decompress_walk_many(datas)
     return [r if r is not None else oracle.bzip2_decode(d)
             for r, d in zip(results, datas)]
 
