@@ -280,10 +280,36 @@ def test_segmented_batch_grouping(monkeypatch):
     monkeypatch.setattr(ip, "MAX_DECODE_SPAN", 150_000)
     outs = ip.decompress_many_segmented(items, interpret=True)
     assert outs == datas
-    # a single stream larger than the shrunken cap raises cleanly
+    # a single stream above the packed cap routes WIDE and still
+    # decodes; above the wide cap it raises cleanly
     import pytest as _pt
 
     big = (items[0][0], items[0][1])
     monkeypatch.setattr(ip, "MAX_DECODE_SPAN", 50_000)
+    assert ip.decompress_many_segmented([big], interpret=True)[0] \
+        == datas[0]
+    monkeypatch.setattr(ip, "MAX_DECODE_SPAN_WIDE", 50_000)
     with _pt.raises(Exception):
         ip.decompress_many_segmented([big], interpret=True)
+
+
+def test_wide_resolution_routing(monkeypatch):
+    """Streams above the packed-pointer span dispatch alone under the
+    WIDE (unpacked ptr/val) resolution — exercised by shrinking the
+    packed cap; output identical to the packed path."""
+    import zlib as z
+
+    from tpz.kernels import inflate_pipeline as ip
+
+    datas = [corpus.mixed(200_000, seed=9), corpus.text(80_000)]
+    items = []
+    for d in datas:
+        raw = z.compress(d, 6)[2:-4]
+        idx = ip.index_stream(raw)
+        assert idx is not None
+        items.append((raw, idx))
+    ref = ip.decompress_many_segmented(items, interpret=True)
+    assert ref == datas
+    monkeypatch.setattr(ip, "MAX_DECODE_SPAN", 100_000)
+    outs = ip.decompress_many_segmented(items, interpret=True)
+    assert outs == datas  # 200k stream went wide; 80k stayed packed

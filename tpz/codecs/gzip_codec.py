@@ -167,10 +167,10 @@ def decompress_member_prefix(data: bytes, off: int = 0,
             and (int(end_bits[-1]) + 7) // 8 <= body_cap
             and bool((out_lens[:-1] == inflate_pipeline.BLOCK).all())
             and 0 <= int(out_lens[-1]) <= inflate_pipeline.BLOCK
-            # One decode dispatch's packed pointer space (host path
-            # handles bigger members).
+            # Oversized members dispatch alone under the WIDE
+            # resolution (decompress_many_indexed routes them).
             and len(end_bits) * inflate_pipeline.BLOCK
-            <= inflate_pipeline.MAX_DECODE_SPAN
+            <= inflate_pipeline.MAX_DECODE_SPAN_WIDE
         )
         if ok and inflate_pipeline.usable():
             nbytes = (int(end_bits[-1]) + 7) // 8
@@ -280,7 +280,7 @@ def _scan_members_indexed(data: bytes):
                               == inflate_pipeline.BLOCK).all())
                     and 0 <= int(out_lens[-1]) <= inflate_pipeline.BLOCK
                     and len(end_bits) * inflate_pipeline.BLOCK
-                    <= inflate_pipeline.MAX_DECODE_SPAN):
+                    <= inflate_pipeline.MAX_DECODE_SPAN_WIDE):
                 return None
             nbytes = (int(end_bits[-1]) + 7) // 8
             items.append((data[pos:pos + nbytes], end_bits, out_lens))

@@ -245,7 +245,56 @@ def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
     return markers
 
 
-def _resolve_fn(markers, dist_bias: int = 0):
+def _resolve_wide(ptr, val, gpos, N):
+    """Unpacked pointer doubling with the same tier schedule as the
+    packed path; semantics mirror it exactly (resolved <=> ptr == own
+    index; a round adopts the target's value if the target is resolved,
+    else chases its pointer)."""
+
+    def full_round(carry):
+        p, v = carry
+        tp = p[p]
+        tv = v[p]
+        res = tp == p
+        return (jnp.where(res, gpos, tp), jnp.where(res, tv, v))
+
+    ptr, val = full_round(full_round((ptr, val)))
+
+    def compact(p, P):
+        _, poss = jax.lax.sort(
+            ((p == gpos).astype(jnp.int32), gpos), dimension=0,
+            num_keys=1)
+        return poss[:P]
+
+    def tier_rounds(p, v, pos_c, nrounds):
+        def one(_, carry):
+            p, v, pc, vc = carry
+            tp = p[pc]
+            tv = v[pc]
+            res = tp == pc
+            pc_n = jnp.where(res, pos_c, tp)
+            vc_n = jnp.where(res, tv, vc)
+            return (p.at[pos_c].set(pc_n), v.at[pos_c].set(vc_n),
+                    pc_n, vc_n)
+
+        p, v, _, _ = jax.lax.fori_loop(
+            0, nrounds, one, (p, v, p[pos_c], v[pos_c]))
+        return p, v
+
+    if N >= (1 << 20):
+        pos1 = compact(ptr, N // 4)
+        ptr, val = tier_rounds(ptr, val, pos1, 3)
+        pos2 = compact(ptr, N // 16)
+        ptr, val = tier_rounds(ptr, val, pos2, 8)
+
+    def cond(carry):
+        return ~jnp.all(carry[0] == gpos)
+
+    ptr, val = jax.lax.while_loop(cond, full_round, (ptr, val))
+    return val.astype(jnp.uint8)
+
+
+def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False):
     """Dense-stage XLA: match expansion + packed-state pointer doubling
     with tiered compaction (round-3; the round-2 version cost THREE
     whole-array gathers per round at this chip's ~0.14 G elem/s gather
@@ -288,6 +337,12 @@ def _resolve_fn(markers, dist_bias: int = 0):
     # gather safe and the walk monotone (CRC checks reject the garbage).
     ptr = jnp.clip(jnp.where(inside, src, gpos), 0, N - 1)
     val = jnp.where(inside, 0, flat & 0xFF)
+    if wide:
+        # WIDE mode (round 3): ptr/val as separate int32 arrays — two
+        # gathers per full round instead of one, but no 2^24 pointer
+        # bound, so single streams up to MAX_DECODE_SPAN_WIDE decode on
+        # device. Chosen per dispatch by the batch planners.
+        return _resolve_wide(ptr, val, gpos, N)
     state = ((ptr.astype(jnp.uint32) << 8)
              | val.astype(jnp.uint32))
     self_hi = gpos.astype(jnp.uint32) << 8
@@ -350,7 +405,7 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
                      dist_tab, lit_mask, dist_mask, len_base, len_extra,
                      dist_base, dist_extra, slices, btype, c0_pos_l,
                      c0_len, c1_pos_l, out_len, interpret: bool = False,
-                     nblk: int = 8):
+                     nblk: int = 8, wide: bool = False):
     """Whole decode as ONE device program: Pallas symbol walk -> marker
     resolution — one dispatch, no host round-trip between stages (the
     relay charges ~0.6 s per invocation, BASELINE.md). Entries are
@@ -362,7 +417,7 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
                            interpret=interpret, nblk=nblk)
     markers = _materialize_fn(markers, slices, btype, c0_pos_l, c0_len,
                               c1_pos_l, out_len)
-    return _resolve_fn(markers.reshape(-1))
+    return _resolve_fn(markers.reshape(-1), wide=wide)
 
 
 def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
@@ -370,7 +425,7 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
                          len_extra, dist_base, dist_extra, slices, btype,
                          c0_pos_l, c0_len, c1_pos_l, out_len, start_pos,
                          carry, dense_off, interpret: bool = False,
-                         nblk: int = 8):
+                         nblk: int = 8, wide: bool = False):
     """Segment-mode fused decode (SURVEY.md §7.4 route 2): entries come
     from the host InflateIndex over ANY stream — ragged out_lens (block
     cuts, stored blocks) and split-match carries. The padded [NB, BLOCK]
@@ -390,7 +445,7 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
     mpark = jnp.where(live, markers, (_KIND_LIT << 28))
     _, dense = jax.lax.sort(
         (key.reshape(-1), mpark.reshape(-1)), dimension=0, num_keys=1)
-    return _resolve_fn(dense)
+    return _resolve_fn(dense, wide=wide)
 
 
 def usable() -> bool:
@@ -402,13 +457,16 @@ def usable() -> bool:
 _resolve_jit = jax.jit(_resolve_fn, static_argnames=("dist_bias",))
 _walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
 _decode_fused = jax.jit(_decode_fused_fn,
-                        static_argnames=("interpret", "nblk"))
+                        static_argnames=("interpret", "nblk", "wide"))
 _decode_segmented = jax.jit(_decode_segmented_fn,
-                            static_argnames=("interpret", "nblk"))
+                            static_argnames=("interpret", "nblk", "wide"))
 
 # Packed resolution state (ptr << 8 | val in uint32) caps one decode
 # dispatch at 2^24 output bytes (16 MiB); decompress_many sub-batches.
+# Oversized SINGLE streams switch to the WIDE (unpacked) resolution,
+# bounded only by memory.
 MAX_DECODE_SPAN = 1 << 24
+MAX_DECODE_SPAN_WIDE = 1 << 27
 
 
 def decompress_indexed(stream: bytes, end_bits: np.ndarray,
@@ -419,7 +477,8 @@ def decompress_indexed(stream: bytes, end_bits: np.ndarray,
         [(stream, end_bits, out_lens)], interpret=interpret)[0]
 
 
-def decompress_many_indexed(items, interpret: bool | None = None):
+def decompress_many_indexed(items, interpret: bool | None = None,
+                            _wide: bool = False):
     """Batch-decode many indexed raw DEFLATE streams in ONE device
     program (walk + resolution fused): the production serving shape —
     the per-invocation relay dispatch cost amortizes over the batch.
@@ -448,15 +507,19 @@ def decompress_many_indexed(items, interpret: bool | None = None):
         return results
 
     # Split oversized batches; an oversized SINGLE stream cannot split
-    # (pointer space must cover its whole output) — callers route those
-    # to the host decoder.
+    # (pointer space must cover its whole output) — it dispatches alone
+    # under the WIDE (unpacked) resolution instead.
     total_out = sum(len(items[i][1]) * BLOCK for i in idxs)
-    if total_out > MAX_DECODE_SPAN:
+    if not _wide and total_out > MAX_DECODE_SPAN:
         group, group_out = [], 0
         for i in idxs:
             need = len(items[i][1]) * BLOCK
+            if need > MAX_DECODE_SPAN_WIDE:
+                raise DataError("stream exceeds MAX_DECODE_SPAN_WIDE")
             if need > MAX_DECODE_SPAN:
-                raise DataError("stream exceeds MAX_DECODE_SPAN")
+                results[i] = decompress_many_indexed(
+                    [items[i]], interpret, _wide=True)[0]
+                continue
             if group and group_out + need > MAX_DECODE_SPAN:
                 for gi, out in zip(group, decompress_many_indexed(
                         [items[g] for g in group], interpret)):
@@ -525,7 +588,7 @@ def decompress_many_indexed(items, interpret: bool | None = None):
         jnp.asarray(np.asarray(C.DEFLATE_DIST_EXTRA, np.int32)),
         jnp.asarray(slices), jnp.asarray(btype), jnp.asarray(c0_pos_l),
         jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
-        jnp.asarray(out_len_all), interpret=interpret)
+        jnp.asarray(out_len_all), interpret=interpret, wide=_wide)
     flat = np.asarray(fetch(out))
     b0 = 0
     for i, nb in zip(idxs, nbs):
@@ -553,7 +616,7 @@ def index_stream(stream: bytes):
                                max_span_bytes=SLICE_BYTES - 1024)
     if idx is None or len(idx["out_lens"]) == 0:
         return None
-    if int(np.sum(idx["out_lens"])) > MAX_DECODE_SPAN:
+    if int(np.sum(idx["out_lens"])) > MAX_DECODE_SPAN_WIDE:
         return None
     return idx
 
@@ -564,7 +627,8 @@ def decompress_segmented(stream: bytes, idx: dict,
     return decompress_many_segmented([(stream, idx)], interpret)[0]
 
 
-def decompress_many_segmented(items, interpret: bool | None = None):
+def decompress_many_segmented(items, interpret: bool | None = None,
+                              _wide: bool = False):
     """Batch-decode host-indexed streams (index_stream) in ONE fused
     device program. Unlike the encoder-TZ path, entries are SEGMENTS:
     ragged out_lens (block-table cuts, stored blocks) and split-match
@@ -586,12 +650,16 @@ def decompress_many_segmented(items, interpret: bool | None = None):
         return results
 
     total_out = sum(int(np.sum(items[i][1]["out_lens"])) for i in idxs)
-    if total_out > MAX_DECODE_SPAN:
+    if not _wide and total_out > MAX_DECODE_SPAN:
         group, group_out = [], 0
         for i in idxs:
             need = int(np.sum(items[i][1]["out_lens"]))
+            if need > MAX_DECODE_SPAN_WIDE:
+                raise DataError("stream exceeds MAX_DECODE_SPAN_WIDE")
             if need > MAX_DECODE_SPAN:
-                raise DataError("stream exceeds MAX_DECODE_SPAN")
+                results[i] = decompress_many_segmented(
+                    [items[i]], interpret, _wide=True)[0]
+                continue
             if group and group_out + need > MAX_DECODE_SPAN:
                 for gi, out in zip(group, decompress_many_segmented(
                         [items[g] for g in group], interpret)):
@@ -668,7 +736,7 @@ def decompress_many_segmented(items, interpret: bool | None = None):
         jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
         jnp.asarray(out_len_all), jnp.asarray(start_pos),
         jnp.asarray(carry), jnp.asarray(dense_off.astype(np.int32)),
-        interpret=interpret)
+        interpret=interpret, wide=_wide)
     flat = np.asarray(fetch(out))
     b0 = 0
     pos = 0
