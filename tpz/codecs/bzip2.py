@@ -50,8 +50,9 @@ def decompress_many(datas, backend: str = "auto") -> list[bytes]:
     if backend == "tpu":
         from tpz.kernels import bzip2_pipeline
 
-        if bzip2_pipeline.usable():
-            results = bzip2_pipeline.decompress_walk_many(datas)
+        if not bzip2_pipeline.usable():
+            raise RuntimeError("tpu backend requested but unusable")
+        results = bzip2_pipeline.decompress_walk_many(datas)
     return [r if r is not None else oracle.bzip2_decode(d)
             for r, d in zip(results, datas)]
 
@@ -61,14 +62,11 @@ def decompress(data: bytes, backend: str = "auto") -> bytes:
     # decoder is faster end-to-end; the device path exists for
     # accelerator-resident pipelines and capability parity.
     if backend == "tpu":
-        try:
-            from tpz.kernels import bzip2_pipeline
+        from tpz.kernels import bzip2_pipeline
 
-            if bzip2_pipeline.usable():
-                out = bzip2_pipeline.decompress(data)
-                if out is not None:  # unsupported shapes fall through
-                    return out
-        except Exception:
-            if backend == "tpu":
-                raise
+        if not bzip2_pipeline.usable():
+            raise RuntimeError("tpu backend requested but unusable")
+        out = bzip2_pipeline.decompress(data)
+        if out is not None:  # unsupported shapes fall through
+            return out
     return oracle.bzip2_decode(data)

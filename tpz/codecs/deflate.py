@@ -138,11 +138,15 @@ def decompress_prefix(data: bytes, backend: str = "auto") -> tuple[bytes, int]:
     if backend == "tpu":
         from tpz.kernels import inflate_pipeline
 
-        if inflate_pipeline.usable():
-            idx = inflate_pipeline.index_stream(data)
-            if idx is not None:
-                plain = inflate_pipeline.decompress_segmented(data, idx)
-                return plain, idx["consumed"]
+        if not inflate_pipeline.usable():
+            # Never silently time/serve the host path under an explicit
+            # device request (it would mislabel benchmarks and hide a
+            # dead backend); "auto" remains the graceful mode.
+            raise RuntimeError("tpu backend requested but unusable")
+        idx = inflate_pipeline.index_stream(data)
+        if idx is not None:
+            plain = inflate_pipeline.decompress_segmented(data, idx)
+            return plain, idx["consumed"]
     return oracle.inflate(data)
 
 

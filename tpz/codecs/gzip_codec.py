@@ -148,6 +148,14 @@ def decompress_member_prefix(data: bytes, off: int = 0,
     backend is available (backend="tpu" forces it), the DEFLATE body is
     decoded block-parallel on device (tpz/kernels/inflate_pipeline.py);
     the CRC32/ISIZE trailer check below guards the device path too."""
+    if backend == "tpu":
+        from tpz.kernels import inflate_pipeline
+
+        if not inflate_pipeline.usable():
+            # Explicit device requests fail loudly on a dead backend
+            # (silent host fallback would mislabel device benchmarks);
+            # "auto" remains the graceful mode.
+            raise RuntimeError("tpu backend requested but unusable")
     pos, extra = parse_header_extra(data, off)
     plain = None
     consumed = None

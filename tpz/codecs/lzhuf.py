@@ -48,11 +48,12 @@ def raw_decompress(data: bytes, orig_size: int, method: str = "lh5",
     if backend == "tpu":
         from tpz.kernels import lzhuf_pipeline, lzhuf_walk
 
-        if lzhuf_pipeline.usable():
-            out = lzhuf_walk.decompress(data, orig_size,
-                                        _dict_bits(method))
-            if out is not None:
-                return out
+        if not lzhuf_pipeline.usable():
+            raise RuntimeError("tpu backend requested but unusable")
+        out = lzhuf_walk.decompress(data, orig_size,
+                                    _dict_bits(method))
+        if out is not None:
+            return out
     return oracle.lzhuf_decode(data, orig_size, _dict_bits(method))
 
 

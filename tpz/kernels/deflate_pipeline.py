@@ -44,6 +44,32 @@ import os as _os
 MAX_DEVICE_SPAN = int(_os.environ.get("TPZ_MAX_DEVICE_SPAN", 32 << 20))
 
 
+def _axon_relay_down() -> bool:
+    """True when jax is configured for the axon relay backend but the
+    relay socket is not accepting connections. In that state
+    ``jax.devices()`` HANGS retrying inside the PJRT plugin instead of
+    raising (observed when the relay process dies mid-session), so
+    ``usable()`` must answer from a cheap socket probe, not from jax.
+    A live-socket probe also catches the relay dying mid-process, when
+    ``jax.devices()`` would keep returning its cached device list while
+    every dispatch stalls."""
+    import os
+    import socket
+
+    try:
+        plats = jax.config.jax_platforms or ""
+    except Exception:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+    if "axon" not in plats:
+        return False
+    port = int(os.environ.get("TPZ_AXON_PROBE_PORT", 8082))
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=2.0):
+            return False
+    except OSError:
+        return True
+
+
 def usable() -> bool:
     import os
 
@@ -53,6 +79,8 @@ def usable() -> bool:
         from tpz import oracle
 
         if not oracle.available():
+            return False
+        if _axon_relay_down():
             return False
         jax.devices()  # raises if the backend cannot initialize
         return True
