@@ -63,7 +63,10 @@ void Rle1Units(const uint8_t* in, size_t n, std::vector<Rle1Unit>* units) {
 // index — the same rule as the device kernel (tpz/kernels/bwt.py), so the
 // two produce identical (last, origPtr) pairs.
 // Returns the last column in `last` and the origin pointer.
-uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
+// Kept as (a) the tie-breaking path for periodic blocks and (b) an
+// algorithm-independent differential reference for BwtEncodeSais.
+uint32_t BwtDoublingImpl(const std::vector<uint8_t>& s,
+                         std::vector<uint8_t>* last) {
   const int n = (int)s.size();
   std::vector<int> sa(n), rank(n), tmp(n);
   for (int i = 0; i < n; ++i) {
@@ -96,6 +99,165 @@ uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
     int j = sa[i];
     (*last)[i] = s[(j + n - 1) % n];
     if (j == 0) orig = (uint32_t)i;
+  }
+  return orig;
+}
+
+// Linear-time suffix array by induced sorting (the SA-IS scheme of
+// Nong, Zhang & Chan 2009; implementation written from the published
+// algorithm description). s[0..n-1] over alphabet [0, K) where s[n-1]
+// is the unique smallest sentinel (value 0, occurring once). On return
+// sa[] holds the suffix start positions in lexicographic order.
+static void SaIs(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
+  if (n == 1) {
+    sa[0] = 0;
+    return;
+  }
+  // Type classification: S if the suffix at i sorts below the suffix at
+  // i+1. The sentinel suffix is S by convention. (uint8_t, not
+  // vector<bool>: the induced-sort inner loops are random-access-bound.)
+  std::vector<uint8_t> is_s(n);
+  is_s[n - 1] = 1;
+  for (int32_t i = n - 2; i >= 0; --i)
+    is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
+  auto is_lms = [&](int32_t i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+
+  std::vector<int32_t> bkt(K, 0), ptr(K);
+  for (int32_t i = 0; i < n; ++i) ++bkt[s[i]];
+  auto bkt_ends = [&]() {
+    int32_t sum = 0;
+    for (int32_t c = 0; c < K; ++c) {
+      sum += bkt[c];
+      ptr[c] = sum;
+    }
+  };
+  auto bkt_starts = [&]() {
+    int32_t sum = 0;
+    for (int32_t c = 0; c < K; ++c) {
+      ptr[c] = sum;
+      sum += bkt[c];
+    }
+  };
+  // Induced sort: assumes LMS suffixes are already placed at bucket
+  // ends; fills in L suffixes left-to-right, then (re-)places every S
+  // suffix right-to-left.
+  auto induce = [&]() {
+    bkt_starts();
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t j = sa[i] - 1;
+      if (sa[i] > 0 && !is_s[j]) sa[ptr[s[j]]++] = j;
+    }
+    bkt_ends();
+    for (int32_t i = n - 1; i >= 0; --i) {
+      int32_t j = sa[i] - 1;
+      if (sa[i] > 0 && is_s[j]) sa[--ptr[s[j]]] = j;
+    }
+  };
+
+  // Stage 1: sort the LMS substrings — place LMS positions at bucket
+  // ends in any order, induce, then name adjacent LMS substrings.
+  std::fill(sa, sa + n, -1);
+  bkt_ends();
+  for (int32_t i = 1; i < n; ++i)
+    if (is_lms(i)) sa[--ptr[s[i]]] = i;
+  induce();
+
+  std::vector<int32_t> lms_sorted;
+  lms_sorted.reserve(n / 2 + 1);
+  for (int32_t i = 0; i < n; ++i)
+    if (sa[i] > 0 && is_lms(sa[i])) lms_sorted.push_back(sa[i]);
+  const int32_t m = (int32_t)lms_sorted.size();
+
+  // Name LMS substrings (chars + types up to and including the next LMS
+  // position decide equality). name[] is sparse over positions.
+  std::vector<int32_t> name(n, -1);
+  int32_t cur = 0;
+  name[lms_sorted[0]] = 0;  // the sentinel's LMS substring, unique min
+  for (int32_t i = 1; i < m; ++i) {
+    int32_t a = lms_sorted[i - 1], b = lms_sorted[i];
+    bool same = true;
+    for (int32_t d = 0;; ++d) {
+      if (s[a + d] != s[b + d] || is_s[a + d] != is_s[b + d]) {
+        same = false;
+        break;
+      }
+      if (d > 0 && (is_lms(a + d) || is_lms(b + d))) {
+        same = is_lms(a + d) && is_lms(b + d);
+        break;
+      }
+    }
+    if (!same) ++cur;
+    name[b] = cur;
+  }
+
+  // Reduced string: names in LMS position order.
+  std::vector<int32_t> s1, lms_pos;
+  s1.reserve(m);
+  lms_pos.reserve(m);
+  for (int32_t i = 1; i < n; ++i)
+    if (is_lms(i)) {
+      lms_pos.push_back(i);
+      s1.push_back(name[i]);
+    }
+  std::vector<int32_t> sa1(m);
+  if (cur + 1 == m) {
+    for (int32_t i = 0; i < m; ++i) sa1[s1[i]] = i;
+  } else {
+    SaIs(s1.data(), sa1.data(), m, cur + 1);
+  }
+
+  // Stage 2: place the now fully sorted LMS suffixes at bucket ends
+  // (right-to-left keeps within-bucket order) and induce the rest.
+  std::fill(sa, sa + n, -1);
+  bkt_ends();
+  for (int32_t i = m - 1; i >= 0; --i) {
+    int32_t p = lms_pos[sa1[i]];
+    sa[--ptr[s[p]]] = p;
+  }
+  induce();
+}
+
+// Smallest period of s via the KMP failure function; s is periodic
+// (some rotation equals another) iff period < n and period | n.
+static bool IsPeriodic(const std::vector<uint8_t>& s) {
+  const int32_t n = (int32_t)s.size();
+  std::vector<int32_t> f(n, 0);
+  for (int32_t i = 1; i < n; ++i) {
+    int32_t k = f[i - 1];
+    while (k && s[i] != s[k]) k = f[k - 1];
+    if (s[i] == s[k]) ++k;
+    f[i] = k;
+  }
+  const int32_t p = n - f[n - 1];
+  return p < n && n % p == 0;
+}
+
+// BWT of the cyclic rotations of s via one SA-IS pass over s·s + a
+// sentinel: for primitive (non-periodic) s, distinct rotations differ
+// within their first n characters, so the suffix order of the doubled
+// string restricted to start positions < n IS the rotation order.
+// Periodic blocks (the only case with rotation ties, where the format
+// contract is index-ascending tie-break, matching tpz/kernels/bwt.py)
+// take the prefix-doubling path — O(n) to detect, vanishingly rare at
+// 900k block sizes.
+uint32_t BwtEncode(const std::vector<uint8_t>& s, std::vector<uint8_t>* last) {
+  const int32_t n = (int32_t)s.size();
+  if (n <= 1) return BwtDoublingImpl(s, last);
+  if (IsPeriodic(s)) return BwtDoublingImpl(s, last);
+  const int32_t N = 2 * n + 1;
+  std::vector<int32_t> t(N), sa(N);
+  for (int32_t i = 0; i < 2 * n; ++i) t[i] = (int32_t)s[i % n] + 1;
+  t[N - 1] = 0;
+  SaIs(t.data(), sa.data(), N, 257);
+  last->resize(n);
+  uint32_t orig = 0;
+  int32_t w = 0;
+  for (int32_t i = 0; i < N; ++i) {
+    int32_t j = sa[i];
+    if (j >= n) continue;  // second-copy suffixes and the sentinel
+    (*last)[w] = s[(j + n - 1) % n];
+    if (j == 0) orig = (uint32_t)w;
+    ++w;
   }
   return orig;
 }
@@ -532,6 +694,11 @@ uint32_t BwtEncodeRef(const uint8_t* in, size_t n, uint8_t* last_out) {
   uint32_t orig = BwtEncode(s, &last);
   std::memcpy(last_out, last.data(), n);
   return orig;
+}
+
+uint32_t BwtEncodeDoubling(const std::vector<uint8_t>& s,
+                           std::vector<uint8_t>* last) {
+  return BwtDoublingImpl(s, last);
 }
 
 // ------------------------------------------------------------------ decode

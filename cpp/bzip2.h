@@ -76,4 +76,9 @@ int Bzip2Assemble(const uint8_t* bwt_last, const int64_t* block_off,
                   const uint32_t* orig_ptrs, int32_t nblocks, int level,
                   std::vector<uint8_t>* out);
 uint32_t BwtEncodeRef(const uint8_t* in, size_t n, uint8_t* last_out);
+// The O(n log^2 n) prefix-doubling rotation sort: the tie-breaking path
+// for periodic blocks and the algorithm-independent differential
+// reference for the SA-IS fast path inside BwtEncode.
+uint32_t BwtEncodeDoubling(const std::vector<uint8_t>& s,
+                           std::vector<uint8_t>* last);
 }  // namespace tpz

@@ -357,6 +357,17 @@ extern "C" uint32_t tpz_bwt_ref(const uint8_t* in, size_t n,
   return tpz::BwtEncodeRef(in, n, last_out);
 }
 
+// Prefix-doubling rotation sort, exported so tests can differentially
+// check the SA-IS fast path inside BwtEncode against an independent
+// algorithm (tests/test_oracle_scans.py, test_bzip2.py).
+extern "C" uint32_t tpz_bwt_ref_doubling(const uint8_t* in, size_t n,
+                                         uint8_t* last_out) {
+  std::vector<uint8_t> s(in, in + n), last;
+  uint32_t orig = tpz::BwtEncodeDoubling(s, &last);
+  std::copy(last.begin(), last.end(), last_out);
+  return orig;
+}
+
 // Device bzip2 decode, stage 1 (host): decode every block of a single
 // bzip2 stream to its pre-iBWT last column. Returns 3 ("Unexpected") for
 // shapes the indexed path doesn't handle (multi-stream, randomized, magic

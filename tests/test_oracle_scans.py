@@ -73,3 +73,29 @@ def test_lzhuf_index_roundtrip_fields():
         # wrong size declines rather than overrunning
         assert oracle.lzhuf_index(body, len(data) + 7, bits) is None
         assert oracle.lzhuf_index(body[:100], len(data), bits) is None
+
+
+def test_bwt_sais_matches_doubling():
+    """BwtEncode's SA-IS fast path vs the prefix-doubling rotation sort:
+    identical (last column, origin) on adversarial shapes — periodic
+    blocks (the tie-break case), near-periodic, runs, tiny sizes,
+    random over several alphabet widths."""
+    rng = np.random.default_rng(11)
+    cases = []
+    for n in (1, 2, 3, 5, 17, 64, 255):
+        for alpha in (1, 2, 256):
+            cases.append(rng.integers(0, alpha, n).astype(np.uint8))
+    for plen in (1, 3, 8):
+        base = rng.integers(0, 4, plen).astype(np.uint8)
+        cases.append(np.tile(base, 6))            # periodic: doubling path
+        near = np.tile(base, 6).copy()
+        near[-1] ^= 1
+        cases.append(near)                        # primitive: SA-IS path
+    cases.append(np.zeros(4096, np.uint8))
+    cases.append(np.arange(256, dtype=np.uint8))
+    cases.append(np.frombuffer(bytes(corpus.mixed(200_000, seed=9)),
+                               np.uint8))
+    for a in cases:
+        l1, o1 = oracle.bwt_ref(bytes(a))
+        l2, o2 = oracle.bwt_ref_doubling(bytes(a))
+        assert o1 == o2 and np.array_equal(l1, l2), (a.size, a[:16])

@@ -684,6 +684,19 @@ def bwt_ref(data) -> tuple[np.ndarray, int]:
     return out[: a.size], int(orig)
 
 
+def bwt_ref_doubling(data) -> tuple[np.ndarray, int]:
+    """Prefix-doubling rotation sort — the algorithm-independent twin for
+    differentially testing BwtEncode's SA-IS fast path."""
+    a = _u8(data)
+    out = np.zeros(max(1, a.size), dtype=np.uint8)
+    L = lib()
+    fn = L.tpz_bwt_ref_doubling
+    fn.restype = ctypes.c_uint32
+    fn.argtypes = L.tpz_bwt_ref.argtypes
+    orig = fn(_u8ptr(a), a.size, _ptr(out, ctypes.c_uint8))
+    return out[: a.size], int(orig)
+
+
 def bzip2_scan_to_last(data):
     """Stage 1 of device decode: per-block pre-iBWT last columns.
     Returns (blob, offs, lens, origs, crcs) or None when the stream shape
