@@ -97,6 +97,11 @@ struct SuffixSpace {
   int nkeys = 2;
   std::vector<int32_t> rank;      // local idx -> sorted rank (-1 absent)
   std::vector<uint32_t> sorted;   // sorted rank -> local idx
+  std::vector<uint8_t> adjlcp;    // lcp(sorted[r], sorted[r+1]) capped at
+                                  // screen_bytes — candidate screens are
+                                  // running minima over these (the host
+                                  // twin of the device's sort-payload
+                                  // screens), not byte compares
   size_t halo_start = 0;
 };
 
@@ -126,16 +131,76 @@ void BuildSuffixSpace(const uint8_t* in, size_t n, const LzssParams& p,
     if (halo_start + k + (size_t)p.min_match <= n)
       s->sorted.push_back((uint32_t)k);
   const int nk = s->nkeys;
-  std::sort(s->sorted.begin(), s->sorted.end(),
-            [&](uint32_t x, uint32_t y) {
-              for (int w = 0; w < nk; ++w)
-                if (s->key[w][x] != s->key[w][y])
-                  return s->key[w][x] < s->key[w][y];
-              return x < y;
-            });
+  // Sort order: (key[0], key[1], ..., key[nk-1], local idx) ascending.
+  // The first 8 bytes almost always decide, so sort those with a stable
+  // LSB radix (ties keep insertion order = ascending idx), then refine
+  // the rare equal-key0 runs with the remaining words. This is the host
+  // encode hot spot: a comparator sort here was ~5 ms per 64 KiB block,
+  // 5x the whole match loop at level <= 6.
+  {
+    struct Rec {
+      uint64_t k;
+      uint32_t i;
+    };
+    const size_t R = s->sorted.size();
+    std::vector<Rec> a(R), b(R);
+    for (size_t r = 0; r < R; ++r)
+      a[r] = {s->key[0][s->sorted[r]], s->sorted[r]};
+    std::vector<uint32_t> cnt(1 << 16);
+    Rec* src = a.data();
+    Rec* dst = b.data();
+    for (int pass = 0; pass < 4; ++pass) {
+      const int sh = 16 * pass;
+      std::fill(cnt.begin(), cnt.end(), 0);
+      for (size_t r = 0; r < R; ++r) ++cnt[(src[r].k >> sh) & 0xFFFF];
+      uint32_t sum = 0;
+      for (size_t c = 0; c < cnt.size(); ++c) {
+        uint32_t v = cnt[c];
+        cnt[c] = sum;
+        sum += v;
+      }
+      for (size_t r = 0; r < R; ++r) dst[cnt[(src[r].k >> sh) & 0xFFFF]++] = src[r];
+      std::swap(src, dst);
+    }
+    // 4 passes = even count: result is back in a.data() == src.
+    if (nk > 1) {
+      size_t r = 0;
+      while (r < R) {
+        size_t e = r + 1;
+        while (e < R && src[e].k == src[r].k) ++e;
+        if (e - r > 1) {
+          std::sort(src + r, src + e, [&](const Rec& x, const Rec& y) {
+            for (int w = 1; w < nk; ++w)
+              if (s->key[w][x.i] != s->key[w][y.i])
+                return s->key[w][x.i] < s->key[w][y.i];
+            return x.i < y.i;
+          });
+        }
+        r = e;
+      }
+    }
+    for (size_t r = 0; r < R; ++r) s->sorted[r] = src[r].i;
+  }
   s->rank.assign(M, -1);
   for (size_t r = 0; r < s->sorted.size(); ++r)
     s->rank[s->sorted[r]] = (int32_t)r;
+  // Adjacent-LCP table from the key words (exact: keys are zero-padded
+  // past n, but every use clamps at screen_cap <= n - i).
+  const size_t cap_b = (size_t)p.screen_bytes;
+  s->adjlcp.assign(s->sorted.size() ? s->sorted.size() - 1 : 0, 0);
+  for (size_t r = 0; r + 1 < s->sorted.size(); ++r) {
+    uint32_t x = s->sorted[r], y = s->sorted[r + 1];
+    size_t l = cap_b;
+    for (int w = 0; w < nk; ++w) {
+      uint64_t d = s->key[w][x] ^ s->key[w][y];
+      if (d) {
+        size_t lw = 8 * (size_t)w + (size_t)(__builtin_clzll(d) >> 3);
+        if (lw < l) l = lw;
+        break;
+      }
+    }
+    s->adjlcp[r] = (uint8_t)l;
+  }
 }
 
 size_t BestMatchSuffix(const uint8_t* in, size_t n, const LzssParams& p,
@@ -150,11 +215,11 @@ size_t BestMatchSuffix(const uint8_t* in, size_t n, const LzssParams& p,
   if (r0 < 0) return 0;
   int64_t j1 = -1, j2 = -1;
   size_t s1 = 0, s2 = 0;
-  auto consider = [&](int64_t rr) {
+  auto consider = [&](int64_t rr, size_t lcp_s) {
     if (rr < 0 || rr >= (int64_t)S.sorted.size()) return;
     size_t j = S.halo_start + S.sorted[(size_t)rr];
     if (j >= i || i - j > (size_t)p.window) return;
-    size_t s = MatchLen(in, i, j, screen_cap);
+    size_t s = lcp_s < screen_cap ? lcp_s : screen_cap;
     if (s > s1 || (s == s1 && (int64_t)j > j1)) {
       s2 = s1;
       j2 = j1;
@@ -165,9 +230,21 @@ size_t BestMatchSuffix(const uint8_t* in, size_t n, const LzssParams& p,
       j2 = (int64_t)j;
     }
   };
+  // Screens via running minima over the adjacent-LCP table:
+  // lcp(sorted[r0], sorted[r0 +- r]) = min of the adjacent lcps between
+  // them, identical to MatchLen(i, j, screen_cap) after the clamp.
+  size_t run_up = (size_t)p.screen_bytes, run_dn = (size_t)p.screen_bytes;
   for (int r = 1; r <= p.max_chain; ++r) {
-    consider((int64_t)r0 - r);
-    consider((int64_t)r0 + r);
+    int64_t up = (int64_t)r0 - r;
+    if (up >= 0) {
+      if (S.adjlcp[(size_t)up] < run_up) run_up = S.adjlcp[(size_t)up];
+      consider(up, run_up);
+    }
+    int64_t dn = (int64_t)r0 + r;
+    if ((size_t)dn - 1 < S.adjlcp.size()) {
+      if (S.adjlcp[(size_t)dn - 1] < run_dn) run_dn = S.adjlcp[(size_t)dn - 1];
+      consider(dn, run_dn);
+    }
   }
   if (j1 < 0 || s1 < (size_t)p.min_match) return 0;
   size_t best_len = s1;
