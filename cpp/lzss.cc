@@ -138,48 +138,68 @@ void BuildSuffixSpace(const uint8_t* in, size_t n, const LzssParams& p,
   // encode hot spot: a comparator sort here was ~5 ms per 64 KiB block,
   // 5x the whole match loop at level <= 6.
   {
-    struct Rec {
-      uint64_t k;
+    struct Rec {  // 8 bytes: half the scatter traffic of {u64,u32}
+      uint32_t d;
       uint32_t i;
     };
     const size_t R = s->sorted.size();
+    const uint64_t* k0 = s->key[0].data();
     std::vector<Rec> a(R), b(R);
     for (size_t r = 0; r < R; ++r)
-      a[r] = {s->key[0][s->sorted[r]], s->sorted[r]};
+      a[r] = {(uint32_t)k0[s->sorted[r]], s->sorted[r]};
     std::vector<uint32_t> cnt(1 << 16);
     Rec* src = a.data();
     Rec* dst = b.data();
-    for (int pass = 0; pass < 4; ++pass) {
-      const int sh = 16 * pass;
-      std::fill(cnt.begin(), cnt.end(), 0);
-      for (size_t r = 0; r < R; ++r) ++cnt[(src[r].k >> sh) & 0xFFFF];
-      uint32_t sum = 0;
-      for (size_t c = 0; c < cnt.size(); ++c) {
-        uint32_t v = cnt[c];
-        cnt[c] = sum;
-        sum += v;
+    auto lsd2 = [&]() {  // 2 stable 16-bit passes over the 32-bit digit
+      for (int pass = 0; pass < 2; ++pass) {
+        const int sh = 16 * pass;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (size_t r = 0; r < R; ++r) ++cnt[(src[r].d >> sh) & 0xFFFF];
+        uint32_t sum = 0;
+        for (size_t c = 0; c < cnt.size(); ++c) {
+          uint32_t v = cnt[c];
+          cnt[c] = sum;
+          sum += v;
+        }
+        for (size_t r = 0; r < R; ++r)
+          dst[cnt[(src[r].d >> sh) & 0xFFFF]++] = src[r];
+        std::swap(src, dst);
       }
-      for (size_t r = 0; r < R; ++r) dst[cnt[(src[r].k >> sh) & 0xFFFF]++] = src[r];
-      std::swap(src, dst);
+    };
+    lsd2();  // order by low 32 bits of key0 (ties keep ascending idx)
+    for (size_t r = 0; r < R; ++r) {  // carry that order into the high half
+      src[r].d = (uint32_t)(k0[src[r].i] >> 32);
     }
-    // 4 passes = even count: result is back in a.data() == src.
+    lsd2();  // stable on high 32 => full key0 order, ties by idx
+    for (size_t r = 0; r < R; ++r) s->sorted[r] = src[r].i;
     if (nk > 1) {
+      // Refine equal-key0 runs on (key1.., idx). Pre-gather key1 into a
+      // contiguous scratch so the comparator doesn't random-access the
+      // key table per compare; deeper words (nk > 2) stay gathered —
+      // a run equal through 16 bytes is rare.
+      std::vector<std::pair<uint64_t, uint32_t>> run;
       size_t r = 0;
       while (r < R) {
         size_t e = r + 1;
-        while (e < R && src[e].k == src[r].k) ++e;
+        while (e < R && k0[s->sorted[e]] == k0[s->sorted[r]]) ++e;
         if (e - r > 1) {
-          std::sort(src + r, src + e, [&](const Rec& x, const Rec& y) {
-            for (int w = 1; w < nk; ++w)
-              if (s->key[w][x.i] != s->key[w][y.i])
-                return s->key[w][x.i] < s->key[w][y.i];
-            return x.i < y.i;
-          });
+          run.clear();
+          for (size_t q = r; q < e; ++q)
+            run.push_back({s->key[1][s->sorted[q]], s->sorted[q]});
+          std::sort(run.begin(), run.end(),
+                    [&](const std::pair<uint64_t, uint32_t>& x,
+                        const std::pair<uint64_t, uint32_t>& y) {
+                      if (x.first != y.first) return x.first < y.first;
+                      for (int w = 2; w < nk; ++w)
+                        if (s->key[w][x.second] != s->key[w][y.second])
+                          return s->key[w][x.second] < s->key[w][y.second];
+                      return x.second < y.second;
+                    });
+          for (size_t q = r; q < e; ++q) s->sorted[q] = run[q - r].second;
         }
         r = e;
       }
     }
-    for (size_t r = 0; r < R; ++r) s->sorted[r] = src[r].i;
   }
   s->rank.assign(M, -1);
   for (size_t r = 0; r < s->sorted.size(); ++r)
@@ -233,17 +253,45 @@ size_t BestMatchSuffix(const uint8_t* in, size_t n, const LzssParams& p,
   // Screens via running minima over the adjacent-LCP table:
   // lcp(sorted[r0], sorted[r0 +- r]) = min of the adjacent lcps between
   // them, identical to MatchLen(i, j, screen_cap) after the clamp.
+  //
+  // A direction dies — provably without changing the result — once its
+  // running minimum `run` satisfies
+  //   run < screen_cap  AND  (run < min_match OR run < s1):
+  // run < screen_cap means every remaining candidate there screens
+  // UNSATURATED at exactly s = run, so the extension path (which needs
+  // s >= screen_cap) is unreachable for it, its s2/j2 updates are inert
+  // (extension consults j2 only when s2 >= screen_cap), and it can't
+  // beat s1 (run < s1, strict — so no j1 tie updates either). Below
+  // min_match it can't become a returned match at all: updates only
+  // raise s1/s2, so sub-min_match pollution either stays the maximum —
+  // caller gets len 0 either way — or is displaced by a real match.
   size_t run_up = (size_t)p.screen_bytes, run_dn = (size_t)p.screen_bytes;
-  for (int r = 1; r <= p.max_chain; ++r) {
-    int64_t up = (int64_t)r0 - r;
-    if (up >= 0) {
-      if (S.adjlcp[(size_t)up] < run_up) run_up = S.adjlcp[(size_t)up];
-      consider(up, run_up);
+  bool up_alive = true, dn_alive = true;
+  const size_t mm = (size_t)p.min_match;
+  for (int r = 1; r <= p.max_chain && (up_alive || dn_alive); ++r) {
+    if (up_alive) {
+      int64_t up = (int64_t)r0 - r;
+      if (up < 0) {
+        up_alive = false;
+      } else {
+        if (S.adjlcp[(size_t)up] < run_up) run_up = S.adjlcp[(size_t)up];
+        if (run_up < screen_cap && (run_up < mm || run_up < s1))
+          up_alive = false;
+        else
+          consider(up, run_up);
+      }
     }
-    int64_t dn = (int64_t)r0 + r;
-    if ((size_t)dn - 1 < S.adjlcp.size()) {
-      if (S.adjlcp[(size_t)dn - 1] < run_dn) run_dn = S.adjlcp[(size_t)dn - 1];
-      consider(dn, run_dn);
+    if (dn_alive) {
+      int64_t dn = (int64_t)r0 + r;
+      if ((size_t)dn - 1 >= S.adjlcp.size()) {
+        dn_alive = false;
+      } else {
+        if (S.adjlcp[(size_t)dn - 1] < run_dn) run_dn = S.adjlcp[(size_t)dn - 1];
+        if (run_dn < screen_cap && (run_dn < mm || run_dn < s1))
+          dn_alive = false;
+        else
+          consider(dn, run_dn);
+      }
     }
   }
   if (j1 < 0 || s1 < (size_t)p.min_match) return 0;
