@@ -54,6 +54,9 @@ def main():
             assert out2 == data2
             print(f"bzip2_walk nblk={nblk}: cold {cold:.2f}s warm "
                   f"{warm:.2f}s ({size/warm/1e6:.2f} MB/s)", flush=True)
+        except Exception as e:  # noqa: BLE001 — a point may OOM VMEM
+            print(f"bzip2_walk nblk={nblk}: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
         finally:
             bw._nblk_for = orig
 
@@ -69,6 +72,9 @@ def main():
             assert out == data
             print(f"ibwt segdiv={segdiv}: {warm:.2f}s "
                   f"({size/warm/1e6:.2f} MB/s wall)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"ibwt segdiv={segdiv}: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
         finally:
             iw._seg_for = orig_seg
 
