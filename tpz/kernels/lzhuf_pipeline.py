@@ -212,7 +212,14 @@ def compress_many(datas, method: str = "lh5",
         region_bits.append(pos_bits)
         pos_bits += (plan["total_bits"] + 31) // 32 * 32
         r0 += nb
-    total_words = pos_bits // 32 or 1
+    # Round the shared output up to a coarse bucket (128 KiB of words):
+    # stage 2 must compile once per batch SHAPE, not once per batch
+    # CONTENT — an exact word count changes with every input's bit total,
+    # which made each "warm" call pay a fresh remote compile (the 0.13
+    # MB/s lzhuf row in BENCH r3 vs 1.35 in r2). Per-buffer regions are
+    # sliced out of the shared body below, so pad words are inert.
+    total_words = max(1, -(-pos_bits // 32))
+    total_words = -(-total_words // (1 << 15)) << 15
 
     words = _stage2(
         blocks, is_token, mlen, mdist,
