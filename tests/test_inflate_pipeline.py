@@ -108,10 +108,9 @@ def test_decompress_many_indexed_batch():
         assert o == d
 
 
-def test_tiered_resolution_large_batch():
-    """Round-3 tiered-compaction resolution only engages at N >= 1 MiB of
-    flat output; decode a batch crossing that bound (mixed + repetitive
-    so both shallow and deep match chains hit the tier passes)."""
+def test_resolution_large_batch():
+    """Decode a batch crossing 1 MiB of flat output (mixed + repetitive
+    so both shallow and deep match chains exercise the doubling loop)."""
     from tpz.kernels import inflate_pipeline as ip
 
     datas = [corpus.mixed(600_000, seed=3), corpus.repetitive(500_000)]

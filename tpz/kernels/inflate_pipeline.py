@@ -246,10 +246,9 @@ def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
 
 
 def _resolve_wide(ptr, val, gpos, N):
-    """Unpacked pointer doubling with the same tier schedule as the
-    packed path; semantics mirror it exactly (resolved <=> ptr == own
-    index; a round adopts the target's value if the target is resolved,
-    else chases its pointer)."""
+    """Unpacked pointer doubling; semantics mirror the packed path
+    exactly (resolved <=> ptr == own index; a round adopts the target's
+    value if the target is resolved, else chases its pointer)."""
 
     def full_round(carry):
         p, v = carry
@@ -260,33 +259,6 @@ def _resolve_wide(ptr, val, gpos, N):
 
     ptr, val = full_round(full_round((ptr, val)))
 
-    def compact(p, P):
-        _, poss = jax.lax.sort(
-            ((p == gpos).astype(jnp.int32), gpos), dimension=0,
-            num_keys=1)
-        return poss[:P]
-
-    def tier_rounds(p, v, pos_c, nrounds):
-        def one(_, carry):
-            p, v, pc, vc = carry
-            tp = p[pc]
-            tv = v[pc]
-            res = tp == pc
-            pc_n = jnp.where(res, pos_c, tp)
-            vc_n = jnp.where(res, tv, vc)
-            return (p.at[pos_c].set(pc_n), v.at[pos_c].set(vc_n),
-                    pc_n, vc_n)
-
-        p, v, _, _ = jax.lax.fori_loop(
-            0, nrounds, one, (p, v, p[pos_c], v[pos_c]))
-        return p, v
-
-    if N >= (1 << 20):
-        pos1 = compact(ptr, N // 4)
-        ptr, val = tier_rounds(ptr, val, pos1, 3)
-        pos2 = compact(ptr, N // 16)
-        ptr, val = tier_rounds(ptr, val, pos2, 8)
-
     def cond(carry):
         return ~jnp.all(carry[0] == gpos)
 
@@ -296,7 +268,7 @@ def _resolve_wide(ptr, val, gpos, N):
 
 def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False):
     """Dense-stage XLA: match expansion + packed-state pointer doubling
-    with tiered compaction (round-3; the round-2 version cost THREE
+    (round-3; the round-2 version cost THREE
     whole-array gathers per round at this chip's ~0.14 G elem/s gather
     floor).
 
@@ -355,44 +327,15 @@ def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False):
                          self_hi | (g & jnp.uint32(0xFF)),
                          g & jnp.uint32(0xFFFFFF00))
 
-    # Tiered compaction (round 3): gathers are priced per index element,
-    # so after two full-width rounds the (shrinking) unresolved set is
-    # sorted to a static prefix and later rounds gather/scatter only that
-    # prefix — ~75M priced elements for ~11 chain rounds at 16 MiB versus
-    # ~370M for full-width doubling. Tiers are pure optimization passes:
-    # if a prefix overflows (match-heavy data), the leftovers simply fall
-    # through to the full-width mop-up loop below, which is always
-    # correct.
+    # Full-width doubling only (round-3 final): the tiered-compaction
+    # schedule (sort the unresolved set to a static N/4, N/16 prefix and
+    # gather/scatter only that) was built from the relay-down cost model
+    # and LOST on the real chip — 1.88 s / 21 effective rounds vs 1.66 s
+    # / 10 rounds plain at 8 MiB (bench/profile_decode_stages.py,
+    # 2026-08-18): the tier sorts + .at[].set scatters cost more than the
+    # full-width gathers they save, because chain depth is ~10, not the
+    # modeled ~21.
     state = full_round(full_round(state))
-
-    def compact(s, P):
-        unres = (s & jnp.uint32(0xFFFFFF00)) != self_hi
-        _, poss = jax.lax.sort(
-            ((~unres).astype(jnp.int32), gpos), dimension=0, num_keys=1)
-        return poss[:P]
-
-    def tier_rounds(s, pos_c, nrounds):
-        def one(_, carry):
-            s, st_c = carry
-            p = (st_c >> 8).astype(jnp.int32)
-            g = s[p]
-            tgt_res = (g >> 8) == (st_c >> 8)
-            st_n = jnp.where(
-                tgt_res,
-                (pos_c.astype(jnp.uint32) << 8) | (g & jnp.uint32(0xFF)),
-                g & jnp.uint32(0xFFFFFF00))
-            return s.at[pos_c].set(st_n), st_n
-
-        st_c = state_at = s[pos_c]
-        del state_at
-        s, _ = jax.lax.fori_loop(0, nrounds, one, (s, st_c))
-        return s
-
-    if N >= (1 << 20):
-        pos1 = compact(state, N // 4)
-        state = tier_rounds(state, pos1, 3)
-        pos2 = compact(state, N // 16)
-        state = tier_rounds(state, pos2, 8)
 
     def cond(s):
         return ~jnp.all((s & jnp.uint32(0xFFFFFF00)) == self_hi)
@@ -425,7 +368,8 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
                          len_extra, dist_base, dist_extra, slices, btype,
                          c0_pos_l, c0_len, c1_pos_l, out_len, start_pos,
                          carry, dense_off, interpret: bool = False,
-                         nblk: int = 8, wide: bool = False):
+                         nblk: int = 8, wide: bool = False,
+                         out_p: int = 0):
     """Segment-mode fused decode (SURVEY.md §7.4 route 2): entries come
     from the host InflateIndex over ANY stream — ragged out_lens (block
     cuts, stored blocks) and split-match carries. The padded [NB, BLOCK]
@@ -445,6 +389,11 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
     mpark = jnp.where(live, markers, (_KIND_LIT << 28))
     _, dense = jax.lax.sort(
         (key.reshape(-1), mpark.reshape(-1)), dimension=0, num_keys=1)
+    if out_p:
+        # Live entries sort to a dense prefix (keys 0..total-1); the
+        # resolution — the expensive stage — runs over the static
+        # bucketed prefix instead of all NBp*BLOCK padded slots.
+        dense = jax.lax.slice(dense, (0,), (out_p,))
     return _resolve_fn(dense, wide=wide)
 
 
@@ -459,7 +408,8 @@ _walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
 _decode_fused = jax.jit(_decode_fused_fn,
                         static_argnames=("interpret", "nblk", "wide"))
 _decode_segmented = jax.jit(_decode_segmented_fn,
-                            static_argnames=("interpret", "nblk", "wide"))
+                            static_argnames=("interpret", "nblk", "wide",
+                                             "out_p"))
 
 # Packed resolution state (ptr << 8 | val in uint32) caps one decode
 # dispatch at 2^24 output bytes (16 MiB); decompress_many sub-batches.
@@ -675,20 +625,30 @@ def decompress_many_segmented(items, interpret: bool | None = None,
 
     nbs = [len(items[i][1]["out_lens"]) for i in idxs]
     NB = sum(nbs)
-    slices = np.zeros((NB, SLICE_BYTES), np.uint8)
-    body_bit_local = np.zeros(NB, np.int32)
-    c0_pos_l = np.zeros(NB, np.int32)
-    c0_len = np.zeros(NB, np.int32)
-    c1_pos_l = np.zeros(NB, np.int32)
-    walk_out_len = np.zeros(NB, np.int32)
-    out_len_all = np.zeros(NB, np.int32)
-    start_pos = np.zeros(NB, np.int32)
-    carry = np.zeros(NB, np.int32)
-    btype = np.zeros(NB, np.int32)
-    lit_mask = np.zeros(NB, np.int32)
-    dist_mask = np.zeros(NB, np.int32)
-    lit_tab = np.zeros((NB, TAB), np.int32)
-    dist_tab = np.zeros((NB, TAB), np.int32)
+    # Bucket the compile key: every distinct (segment count, output
+    # size) pair is a fresh XLA program otherwise — on the axon relay a
+    # ~30-60 s remote compile per FOREIGN STREAM (measured 53 s "warm"
+    # at 8 MiB, 2026-08-18). Segments pad to a power of two of dead
+    # rows (out_len 0: the walk's while-chains exit on entry, the live
+    # mask blanks them) and the resolution runs over a power-of-two
+    # bucket of the dense output, so real-world streams reuse a handful
+    # of compiled programs.
+    NBP = max(4, 1 << (NB - 1).bit_length())
+    out_p = max(1 << 16, 1 << (int(total_out) - 1).bit_length())
+    slices = np.zeros((NBP, SLICE_BYTES), np.uint8)
+    body_bit_local = np.zeros(NBP, np.int32)
+    c0_pos_l = np.zeros(NBP, np.int32)
+    c0_len = np.zeros(NBP, np.int32)
+    c1_pos_l = np.zeros(NBP, np.int32)
+    walk_out_len = np.zeros(NBP, np.int32)
+    out_len_all = np.zeros(NBP, np.int32)
+    start_pos = np.zeros(NBP, np.int32)
+    carry = np.zeros(NBP, np.int32)
+    btype = np.zeros(NBP, np.int32)
+    lit_mask = np.zeros(NBP, np.int32)
+    dist_mask = np.zeros(NBP, np.int32)
+    lit_tab = np.zeros((NBP, TAB), np.int32)
+    dist_tab = np.zeros((NBP, TAB), np.int32)
     b0 = 0
     for i, nb in zip(idxs, nbs):
         stream, idx = items[i]
@@ -736,7 +696,7 @@ def decompress_many_segmented(items, interpret: bool | None = None,
         jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
         jnp.asarray(out_len_all), jnp.asarray(start_pos),
         jnp.asarray(carry), jnp.asarray(dense_off.astype(np.int32)),
-        interpret=interpret, wide=_wide)
+        interpret=interpret, wide=_wide, out_p=out_p)
     flat = np.asarray(fetch(out))
     b0 = 0
     pos = 0
