@@ -49,7 +49,7 @@ def main():
     for rep in range(2):
         t0 = time.time()
         plain, lens, err, endbits, ok = bw.decode_blocks_device(
-            scan, slices, N)
+            scan, slices, N, rec_cap=level * 100000 + 16)
         lbl = "cold" if rep == 0 else "warm"
         print(f"fused device program ({lbl}): {time.time()-t0:.2f}s "
               f"ok={ok}", flush=True)

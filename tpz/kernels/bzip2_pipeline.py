@@ -284,8 +284,9 @@ def decompress_walk_many(datas) -> list:
             b0 += cnt
         if not ok_group:
             continue
+        rec_cap = max(datas[i][3] - 0x30 for i in idxs) * 100000 + 16
         plain, lens, err, endbits, _ = bzip2_walk.decode_blocks_device(
-            cat, slices, N)
+            cat, slices, N, rec_cap=rec_cap)
         b0 = 0
         for i, cnt in zip(idxs, counts):
             s = scans[i]
@@ -379,7 +380,7 @@ def decompress_walk(data: bytes) -> bytes | None:
         take = min(int(spans[b]), len(data) - s0)
         slices[b, :take] = sb[s0:s0 + take]
     plain, lens, err, endbits, ok = bzip2_walk.decode_blocks_device(
-        scan, slices, N)
+        scan, slices, N, rec_cap=level * 100000 + 16)
     if not ok:
         return None
     # EOS trailers: every stream's 48-bit magic + 32-bit combined CRC

@@ -226,11 +226,19 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_ref, l1_ref, l2_ref, sel_ref,
 
 
 def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         rec_cap: int | None = None):
     """scan = oracle.bzip2_scan_headers dict; slices [NB, SCAP] uint8
     (each block's symbol-bit region, byte-aligned at sym_bits//8).
     Returns (plain_rows [NB, N] uint8, lens [NB], ok bool) — the fully
-    fused walk -> RLE2 expand -> iBWT program."""
+    fused walk -> RLE2 expand -> iBWT program.
+
+    rec_cap bounds the per-block RLE2 record count (every non-EOB
+    symbol emits >= 1 output byte, so records <= block size + 1 <=
+    level*100000 + 1). Passing it shaves the walk's VMEM record buffer
+    from the power-of-two N bucket to the true bound — at level 9 that
+    is ~2.4 MB of scoped VMEM per double-buffered grid step, the
+    difference between fitting and a 16 KB-over OOM at NBLK=2."""
     from tpz.kernels.device_quirks import fetch_many
 
     if interpret is None:
@@ -240,6 +248,8 @@ def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
     sym_local = (scan["sym_bits"] & 7).astype(np.int32)
     sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
     S = N + 128
+    if rec_cap is not None:
+        S = min(S, -(-(rec_cap + 1) // 128) * 128 + 128)
 
     out = _decode_jit(
         jnp.asarray(scan["n_useds"].astype(np.int32)),
@@ -299,6 +309,11 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
             jax.ShapeDtypeStruct((NBp, S // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((NBp, 1, 128), jnp.int32),
         ],
+        # Raise the 16 MiB default scoped-VMEM cap (v5e: 128 MiB
+        # physical) — the NBLK=2 working set sits right at the default
+        # and higher interleave factors need the headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(n_used, nsel, sym_local,
       sw.reshape(NBp, SW // 128, 128),

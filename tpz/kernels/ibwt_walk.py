@@ -191,6 +191,12 @@ def ibwt_body(last, length, orig, *, N: int, interpret: bool = False):
             jax.ShapeDtypeStruct((NB * NSLOT, 1, 128), jnp.int32),
             jax.ShapeDtypeStruct((NB, 1, 128), jnp.int32),
         ],
+        # The default 16 MiB scoped-VMEM budget fails at NB >= ~18
+        # (Mosaic deepens the input pipeline on longer grids); v5e has
+        # 128 MiB of physical VMEM, so raise the compiler cap instead
+        # of shrinking CAP slack (which would cost host fallbacks).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(length, start_g, w.reshape(NB, rw, 128))
 
