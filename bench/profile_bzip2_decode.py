@@ -34,7 +34,7 @@ def main():
     print(f"scan_headers: {(time.time()-t0)*1000:.1f} ms "
           f"({len(scan['sym_bits'])} blocks)", flush=True)
 
-    N = bp._bucket(level * 100000 + 16)
+    N = bp._bucket(bw.rec_cap_for(level))
     scap = N + 8192
     nb = len(scan["sym_bits"])
     sb = np.frombuffer(enc, np.uint8)
@@ -49,7 +49,7 @@ def main():
     for rep in range(2):
         t0 = time.time()
         plain, lens, err, endbits, ok = bw.decode_blocks_device(
-            scan, slices, N, rec_cap=level * 100000 + 16)
+            scan, slices, N, rec_cap=bw.rec_cap_for(level))
         lbl = "cold" if rep == 0 else "warm"
         print(f"fused device program ({lbl}): {time.time()-t0:.2f}s "
               f"ok={ok}", flush=True)

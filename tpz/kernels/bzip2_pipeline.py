@@ -230,6 +230,26 @@ def compress_many(datas, level: int = 9) -> list[bytes]:
     return results
 
 
+def _max_level(data: bytes) -> int:
+    """Max stream level across a (possibly concatenated) .bz2 buffer.
+
+    Byte 3 of the FIRST header alone under-sizes the record/output caps
+    when a later concatenated stream uses a higher level (ADVICE r3 #2
+    — the device path silently declined valid input). Stream headers
+    are byte-aligned ('BZh' + level + 48-bit block magic), so scanning
+    for that 10-byte pattern finds every one; a false positive can only
+    ever GROW the cap (still correct, one bucket larger)."""
+    lvl = max(1, min(9, data[3] - 0x30))
+    pos = 0
+    while True:
+        pos = data.find(b"BZh", pos + 1)
+        if pos < 0 or pos + 10 > len(data):
+            return lvl
+        l2 = data[pos + 3] - 0x30
+        if 1 <= l2 <= 9 and data[pos + 4:pos + 10] == b"\x31\x41\x59\x26\x53\x59":
+            lvl = max(lvl, l2)
+
+
 def decompress_walk_many(datas) -> list:
     """Batch decode: ALL streams' blocks share ONE fused device program
     (walk + expand + iBWT) when their level buckets match — the decode
@@ -249,10 +269,12 @@ def decompress_walk_many(datas) -> list:
         scans.append(s if s is not None and len(s["sym_bits"]) else None)
     # Group by bucket so one jit shape covers the batch.
     groups = {}
+    levels = {}
     for i, s in enumerate(scans):
         if s is None:
             continue
-        N = _bucket((datas[i][3] - 0x30) * 100000 + 16)
+        levels[i] = _max_level(datas[i])
+        N = _bucket(bzip2_walk.rec_cap_for(levels[i]))
         groups.setdefault(N, []).append(i)
     for N, idxs in groups.items():
         scap = N + 8192
@@ -284,7 +306,7 @@ def decompress_walk_many(datas) -> list:
             b0 += cnt
         if not ok_group:
             continue
-        rec_cap = max(datas[i][3] - 0x30 for i in idxs) * 100000 + 16
+        rec_cap = bzip2_walk.rec_cap_for(max(levels[i] for i in idxs))
         plain, lens, err, endbits, _ = bzip2_walk.decode_blocks_device(
             cat, slices, N, rec_cap=rec_cap)
         b0 = 0
@@ -366,8 +388,8 @@ def decompress_walk(data: bytes) -> bytes | None:
     nb = len(scan["sym_bits"])
     if nb == 0:
         return None
-    level = data[3] - 0x30
-    N = _bucket(level * 100000 + 16)
+    level = _max_level(data)
+    N = _bucket(bzip2_walk.rec_cap_for(level))
     scap = N + 8192
     spans = ((scan["end_bits"] + 7) // 8 + 1
              - scan["sym_bits"] // 8).astype(np.int64)
@@ -380,7 +402,7 @@ def decompress_walk(data: bytes) -> bytes | None:
         take = min(int(spans[b]), len(data) - s0)
         slices[b, :take] = sb[s0:s0 + take]
     plain, lens, err, endbits, ok = bzip2_walk.decode_blocks_device(
-        scan, slices, N, rec_cap=level * 100000 + 16)
+        scan, slices, N, rec_cap=bzip2_walk.rec_cap_for(level))
     if not ok:
         return None
     # EOS trailers: every stream's 48-bit magic + 32-bit combined CRC

@@ -225,6 +225,15 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_ref, l1_ref, l2_ref, sel_ref,
         meta_ref[c, pl.ds(0, 1), :] = row
 
 
+def rec_cap_for(level: int) -> int:
+    """Per-block RLE2 record bound for a stream level: every non-EOB
+    symbol emits >= 1 output byte, so records <= block size + 1 <=
+    level*100000 + 1 (+ slack). Single source of truth — the walk's
+    VMEM record-buffer sizing and every caller's cap derive from it
+    (ADVICE r3 #1)."""
+    return level * 100000 + 16
+
+
 def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
                          interpret: bool | None = None,
                          rec_cap: int | None = None):

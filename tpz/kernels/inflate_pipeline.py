@@ -245,7 +245,7 @@ def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
     return markers
 
 
-def _resolve_wide(ptr, val, gpos, N):
+def _resolve_wide(ptr, val, gpos):
     """Unpacked pointer doubling; semantics mirror the packed path
     exactly (resolved <=> ptr == own index; a round adopts the target's
     value if the target is resolved, else chases its pointer)."""
@@ -314,7 +314,7 @@ def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False):
         # gathers per full round instead of one, but no 2^24 pointer
         # bound, so single streams up to MAX_DECODE_SPAN_WIDE decode on
         # device. Chosen per dispatch by the batch planners.
-        return _resolve_wide(ptr, val, gpos, N)
+        return _resolve_wide(ptr, val, gpos)
     state = ((ptr.astype(jnp.uint32) << 8)
              | val.astype(jnp.uint32))
     self_hi = gpos.astype(jnp.uint32) << 8
@@ -596,6 +596,12 @@ def decompress_many_segmented(items, interpret: bool | None = None,
     for i, (_, idx) in enumerate(items):
         if len(idx["out_lens"]) == 0:
             results[i] = b""
+        elif int(np.max(idx["out_lens"])) > BLOCK:
+            # The [NB, BLOCK] marker space holds at most BLOCK output
+            # bytes per segment; a malformed caller-supplied index would
+            # otherwise surface as a trace-time slice error (ADVICE r3
+            # #4 — make the per-segment contract explicit).
+            raise DataError("segment out_len exceeds BLOCK")
     if not idxs:
         return results
 
