@@ -191,7 +191,7 @@ def main():
     markers = t("walk (nblk=8)", walk)
 
     mat = jax.jit(lambda m: ip._materialize_fn(
-        m, d["sl"], d["bt"], d["c0p"], d["c0l"], d["c1p"], d["ol"]))
+        m, d["sw"], d["bt"], d["c0p"], d["c0l"], d["c1p"], d["ol"]))
     markers = t("materialize", mat, markers)
     mflat = markers.reshape(-1)
 

@@ -1,46 +1,34 @@
-"""Workarounds for the axon TPU relay in this environment.
+"""Device-to-host fetch helpers for the axon TPU relay.
 
-Empirically (see .claude/skills/verify/SKILL.md): the FIRST device-to-host
-transfer of a buffer produced by a jitted program containing
-`lax.fori_loop`/`scan` can stall 70-360 s in the relay. Running any small
-separate device computation that consumes the result first avoids the
-stall entirely. `fetch()` wraps that workaround; it is a no-op-cost copy
-elsewhere (CPU tests, plain TPU runtimes).
+History: early relay builds stalled 70-360 s on the FIRST d2h of a
+buffer produced by a jitted program containing `lax.fori_loop`/`scan`;
+fetch() used to dodge that with a separate consume dispatch. Re-probed
+2026-08-19 (bench/probe_xfer2.py): the stall is gone, and the consume
+dispatch now costs ~0.6 s of pure overhead per call — so fetch() is a
+plain synchronous device_get again. Current relay transfer facts
+(bench/probe_d2h.py): h2d ~1 GB/s, d2h ~28 MB/s regardless of
+chunking/threading/async — d2h is the environment's hard decode-output
+ceiling and is reported as such in bench.py's roofline detail.
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-
-_consume = None
 
 
 def fetch(x) -> np.ndarray:
-    """device_get with the post-loop-kernel stall workaround."""
-    global _consume
-    if _consume is None:
-        _consume = jax.jit(lambda a: a + jnp.zeros((), a.dtype))
-    y = _consume(x)
-    jax.block_until_ready(y)
-    return np.asarray(jax.device_get(y))
+    """Synchronous device_get (kept as the single fetch choke point so
+    relay workarounds can come back in one place if needed)."""
+    jax.block_until_ready(x)
+    return np.asarray(jax.device_get(x))
 
 
 def fetch_tree(tree):
     return jax.tree_util.tree_map(fetch, tree)
 
 
-_consume_many = {}
-
-
 def fetch_many(*xs):
-    """One consume dispatch + transfers for several arrays (saves the
-    per-array sync round-trips of repeated fetch())."""
-    key = tuple((x.shape, str(x.dtype)) for x in xs)
-    if key not in _consume_many:
-        _consume_many[key] = jax.jit(
-            lambda *a: tuple(v + jnp.zeros((), v.dtype) for v in a))
-    ys = _consume_many[key](*xs)
-    jax.block_until_ready(ys)
-    return [np.asarray(jax.device_get(y)) for y in ys]
+    """device_get several arrays in one call."""
+    jax.block_until_ready(xs)
+    return [np.asarray(a) for a in jax.device_get(list(xs))]

@@ -212,12 +212,14 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
     return out.reshape(NBp, BLOCK)[:NB]
 
 
-def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
-                    out_len, carry=None):
+def _materialize_fn(markers, stream_words, btype, c0_pos_l, c0_len,
+                    c1_pos_l, out_len, carry=None):
     """Padded-stage XLA: stored-block byte fill, liveness masking, and
-    (segment mode) carry-marker synthesis. markers [NB, BLOCK]; slices
-    [NB, SLICE_BYTES] uint8; *_l offsets local to each slice; carry
-    [NB] int32 ((dist << 9) | len, 0 = none). Returns [NB, BLOCK]."""
+    (segment mode) carry-marker synthesis. markers [NB, BLOCK];
+    stream_words [NB, SW] int32 (LE u32 view of each slice — bytes are
+    derived on device so the slice isn't transferred twice, round 4);
+    *_l offsets local to each slice; carry [NB] int32
+    ((dist << 9) | len, 0 = none). Returns [NB, BLOCK]."""
     NB = markers.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
 
@@ -225,9 +227,11 @@ def _materialize_fn(markers, slices, btype, c0_pos_l, c0_len, c1_pos_l,
     in_local = jnp.where(pos < c0_len[:, None],
                          c0_pos_l[:, None] + pos,
                          c1_pos_l[:, None] + (pos - c0_len[:, None]))
-    sbyte = jnp.take_along_axis(
-        slices, jnp.clip(in_local, 0, SLICE_BYTES - 1), axis=1)
-    stored_mark = (_KIND_LIT << 28) | sbyte.astype(jnp.int32)
+    in_local = jnp.clip(in_local, 0, SLICE_BYTES - 1)
+    word = jnp.take_along_axis(stream_words, in_local >> 2, axis=1)
+    sbyte = (jax.lax.shift_right_logical(
+        word, (in_local & 3) << 3)) & 0xFF
+    stored_mark = (_KIND_LIT << 28) | sbyte
     markers = jnp.where((btype == 0)[:, None], stored_mark, markers)
 
     live = pos < out_len[:, None]
@@ -346,7 +350,7 @@ def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False):
 
 def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
                      dist_tab, lit_mask, dist_mask, len_base, len_extra,
-                     dist_base, dist_extra, slices, btype, c0_pos_l,
+                     dist_base, dist_extra, btype, c0_pos_l,
                      c0_len, c1_pos_l, out_len, interpret: bool = False,
                      nblk: int = 8, wide: bool = False):
     """Whole decode as ONE device program: Pallas symbol walk -> marker
@@ -358,14 +362,14 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
                            lit_tab, dist_tab, lit_mask, dist_mask,
                            len_base, len_extra, dist_base, dist_extra,
                            interpret=interpret, nblk=nblk)
-    markers = _materialize_fn(markers, slices, btype, c0_pos_l, c0_len,
-                              c1_pos_l, out_len)
+    markers = _materialize_fn(markers, stream_words, btype, c0_pos_l,
+                              c0_len, c1_pos_l, out_len)
     return _resolve_fn(markers.reshape(-1), wide=wide)
 
 
 def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
                          lit_tab, dist_tab, lit_mask, dist_mask, len_base,
-                         len_extra, dist_base, dist_extra, slices, btype,
+                         len_extra, dist_base, dist_extra, btype,
                          c0_pos_l, c0_len, c1_pos_l, out_len, start_pos,
                          carry, dense_off, interpret: bool = False,
                          nblk: int = 8, wide: bool = False,
@@ -381,8 +385,8 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
                            len_base, len_extra, dist_base, dist_extra,
                            start_pos=start_pos, interpret=interpret,
                            nblk=nblk)
-    markers = _materialize_fn(markers, slices, btype, c0_pos_l, c0_len,
-                              c1_pos_l, out_len, carry=carry)
+    markers = _materialize_fn(markers, stream_words, btype, c0_pos_l,
+                              c0_len, c1_pos_l, out_len, carry=carry)
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
     live = pos < out_len[:, None]
     key = jnp.where(live, dense_off[:, None] + pos, jnp.int32(2**31 - 1))
@@ -536,7 +540,7 @@ def decompress_many_indexed(items, interpret: bool | None = None,
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_EXTRA, np.int32)),
-        jnp.asarray(slices), jnp.asarray(btype), jnp.asarray(c0_pos_l),
+        jnp.asarray(btype), jnp.asarray(c0_pos_l),
         jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
         jnp.asarray(out_len_all), interpret=interpret, wide=_wide)
     flat = np.asarray(fetch(out))
@@ -698,7 +702,7 @@ def decompress_many_segmented(items, interpret: bool | None = None,
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_EXTRA, np.int32)),
-        jnp.asarray(slices), jnp.asarray(btype), jnp.asarray(c0_pos_l),
+        jnp.asarray(btype), jnp.asarray(c0_pos_l),
         jnp.asarray(c0_len), jnp.asarray(c1_pos_l),
         jnp.asarray(out_len_all), jnp.asarray(start_pos),
         jnp.asarray(carry), jnp.asarray(dense_off.astype(np.int32)),

@@ -227,9 +227,9 @@ def _decode_fn(stream_words, body_bit_local, out_len, start_pos, carry,
     NB = out_len.shape[0]
     markers = _walk(stream_words, body_bit_local, out_len, start_pos,
                     cl1, cl2, pl1, pl2, interpret=interpret, nblk=nblk)
-    slices0 = jnp.zeros((NB, 1), jnp.uint8)  # no stored blocks in lzhuf
+    words0 = jnp.zeros((NB, 1), jnp.int32)  # no stored blocks in lzhuf
     zeros = jnp.zeros((NB,), jnp.int32)
-    markers = _materialize_fn(markers, slices0, zeros + 1, zeros, zeros,
+    markers = _materialize_fn(markers, words0, zeros + 1, zeros, zeros,
                               zeros, out_len, carry=carry)
     pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
     live = pos < out_len[:, None]
