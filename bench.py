@@ -165,10 +165,24 @@ def extra_metrics(size: int):
         out["lzhuf_encode_device"]["MB_s_cold"] = lh_cold
 
     # Batched lzhuf encode (round 3): every buffer in ONE stage-1/stage-2
-    # invocation — the dispatch-floor-amortized serving shape.
+    # invocation — the dispatch-floor-amortized serving shape. warm=True:
+    # the r3 row timed a single first dispatch (a remote compile, 0.15
+    # MB/s) and published it as throughput — VERDICT r3 weak #3.
     lbatch = [corpus.mixed(lsize // 2, seed=51 + i) for i in range(4)]
-    run("lzhuf_encode_device_batched", lsize * 2,
-        lambda: lh.compress_many(lbatch, method="lh5", backend="tpu"))
+    lbatch2 = [corpus.mixed(lsize // 2, seed=71 + i) for i in range(4)]
+    try:
+        if time.time() > deadline:
+            raise RuntimeError("extras deadline")
+        t0 = time.time()
+        lh.compress_many(lbatch2, method="lh5", backend="tpu")
+        lb_cold = _mbs(lsize * 2, time.time() - t0)
+        t0 = time.time()
+        lh.compress_many(lbatch, method="lh5", backend="tpu")
+        out["lzhuf_encode_device_batched"] = {
+            "MB_s": _mbs(lsize * 2, time.time() - t0), "MB_s_cold": lb_cold}
+    except Exception as e:  # noqa: BLE001
+        out["lzhuf_encode_device_batched"] = {
+            "error": f"{type(e).__name__}: {e}"}
 
     # LZHUF device decode (round 3): host token indexer + MSB walk +
     # shared dense resolution.

@@ -7,8 +7,34 @@ variants) and Adler-32 — block-batched device pipelines instead of the
 crate's byte-serial iterator transducers, plus a bit-exact C++ CPU oracle.
 """
 
+import os as _os
+
 from tpz.action import Action
 from tpz.errors import CompressionError, DataError, Unexpected, UnexpectedEof
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (VERDICT r3 next item 4): device
+    pipelines pay 30-160 s remote compiles per shape on this relay; the
+    cache makes that first-run-per-MACHINE instead of per-process. Opt
+    out with TPZ_NO_COMPILE_CACHE=1 or point TPZ_COMPILE_CACHE_DIR
+    elsewhere."""
+    if _os.environ.get("TPZ_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "TPZ_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "tpz_xla"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compile_cache()
 
 __version__ = "0.1.0"
 

@@ -270,11 +270,36 @@ def _resolve_wide(ptr, val, gpos):
     return val.astype(jnp.uint8)
 
 
-def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False):
+def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False,
+                interpret: bool = False):
+    """Match resolution over flat dense markers -> [N] uint8.
+
+    Round 4: the Pallas copy machine (tpz/kernels/resolve_walk.py) —
+    in-order vectorized match copies at VMEM speed — replaces pointer
+    doubling on the compiled path (measured 1.66 s -> see BASELINE
+    round-4 for the 8 MiB stage split). Halo-chained chunks bound packed
+    pointers, so even >2^24 spans (the old WIDE mode) use it; `wide` is
+    kept for the batch planners' memory accounting only.
+
+    interpret=True (the CPU test suite) keeps the XLA doubling twin:
+    simulating the copy machine's while-loop per chain-step is orders of
+    magnitude slower than running doubling natively, and the resolvers'
+    equivalence is differentially proven in tests/test_resolve_walk.py
+    over the same marker space."""
+    if interpret:
+        return _resolve_doubling(markers, dist_bias=dist_bias, wide=wide)
+    from tpz.kernels import resolve_walk
+
+    return resolve_walk.resolve_dense(markers, dist_bias=dist_bias,
+                                      interpret=False)
+
+
+def _resolve_doubling(markers, dist_bias: int = 0, wide: bool = False):
     """Dense-stage XLA: match expansion + packed-state pointer doubling
     (round-3; the round-2 version cost THREE
     whole-array gathers per round at this chip's ~0.14 G elem/s gather
-    floor).
+    floor). Round 4: superseded by the resolve_walk copy machine as the
+    production path; retained as the spec twin for differential tests.
 
     Key facts:
       1. state = ptr << 8 | val packed in ONE uint32 ("resolved" is
@@ -364,7 +389,8 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
                            interpret=interpret, nblk=nblk)
     markers = _materialize_fn(markers, stream_words, btype, c0_pos_l,
                               c0_len, c1_pos_l, out_len)
-    return _resolve_fn(markers.reshape(-1), wide=wide)
+    return _resolve_fn(markers.reshape(-1), wide=wide,
+                       interpret=interpret)
 
 
 def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
@@ -398,7 +424,7 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
         # resolution — the expensive stage — runs over the static
         # bucketed prefix instead of all NBp*BLOCK padded slots.
         dense = jax.lax.slice(dense, (0,), (out_p,))
-    return _resolve_fn(dense, wide=wide)
+    return _resolve_fn(dense, wide=wide, interpret=interpret)
 
 
 def usable() -> bool:
@@ -407,7 +433,8 @@ def usable() -> bool:
     return enc_usable()
 
 
-_resolve_jit = jax.jit(_resolve_fn, static_argnames=("dist_bias",))
+_resolve_jit = jax.jit(_resolve_fn,
+                       static_argnames=("dist_bias", "wide", "interpret"))
 _walk_jit = jax.jit(_symbol_walk, static_argnames=("interpret", "nblk"))
 _decode_fused = jax.jit(_decode_fused_fn,
                         static_argnames=("interpret", "nblk", "wide"))

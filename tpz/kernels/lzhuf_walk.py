@@ -237,7 +237,7 @@ def _decode_fn(stream_words, body_bit_local, out_len, start_pos, carry,
     mpark = jnp.where(live, markers, (_KIND_LIT << 28))
     _, dense = jax.lax.sort(
         (key.reshape(-1), mpark.reshape(-1)), dimension=0, num_keys=1)
-    return _resolve_fn(dense, dist_bias=1)
+    return _resolve_fn(dense, dist_bias=1, interpret=interpret)
 
 
 SLICE_BYTES = BLOCK + 16384  # lzhuf worst expansion ~ 9/8 + tables
