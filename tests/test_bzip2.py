@@ -100,3 +100,53 @@ def test_large_block():
     assert bzip2.decompress(comp) == data
     assert stdbz2.decompress(comp) == data
     assert bzip2.decompress(stdbz2.compress(data, 9)) == data
+
+
+def test_incremental_decode_stream_block_granular():
+    """Round 4 (VERDICT r3 item 7): bzip2 DecodeStream decodes blocks as
+    they complete — O(total) across small writes, plaintext emitted
+    before the stream ends, multi-stream aware."""
+    import bz2 as stdbz2
+
+    import numpy as np
+
+    from tpz.api import DecodeStream
+    from tpz.utils import corpus
+
+    data1 = corpus.mixed(700_000, seed=5)   # multiple 100k blocks
+    data2 = corpus.mixed(120_000, seed=6)
+    blob = stdbz2.compress(data1, 1) + stdbz2.compress(data2, 9)
+    ds = DecodeStream("bzip2")
+    out = bytearray()
+    rng = np.random.default_rng(0)
+    pos = 0
+    emitted_early = False
+    while pos < len(blob):
+        step = int(rng.integers(1, 5000))
+        out += ds.write(blob[pos:pos + step])
+        pos += step
+        if out and pos < len(blob) * 0.8:
+            emitted_early = True
+    out += ds.finish()
+    assert bytes(out) == data1 + data2
+    assert emitted_early  # block granularity, not wait-for-the-end
+
+
+def test_incremental_decode_stream_errors():
+    import bz2 as stdbz2
+
+    import pytest
+
+    from tpz.api import DecodeStream
+    from tpz.errors import DataError, UnexpectedEof
+    from tpz.utils import corpus
+
+    blob = stdbz2.compress(corpus.mixed(300_000, seed=9), 1)
+    ds = DecodeStream("bzip2")
+    ds.write(blob[:1000])
+    with pytest.raises(UnexpectedEof):
+        ds.finish()
+    ds2 = DecodeStream("bzip2")
+    with pytest.raises(DataError):
+        ds2.write(b"nonsense-bytes-here-not-bzip2!!")
+        ds2.finish()

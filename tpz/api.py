@@ -301,9 +301,10 @@ class DecodeStream:
     garbage after a completed single-stream format.
 
     The DEFLATE family decodes incrementally (resumable cpp InflateStream
-    + running checksums): many small writes cost O(total bytes), not
-    O(writes x stream). Whole-buffer formats (bzip2/lzss/lh4-lh7) retry
-    a full parse per write.
+    + running checksums) and bzip2 decodes block-granularly (magic-
+    delimited blocks decode as they complete, round 4): many small
+    writes cost O(total bytes), not O(writes x stream). Raw lzss and
+    lh4-lh7 retry a full parse per write (no internal delimiters).
     """
 
     def __init__(self, format: str = "gzip") -> None:
@@ -320,6 +321,11 @@ class DecodeStream:
             self._crc = 0xFFFFFFFF
             self._adler = 1
             self._any_input = False
+        elif format == "bzip2":
+            from tpz.codecs import bzip2 as _bz
+
+            self._state = "bz2"
+            self._inc = _bz.IncrementalDecoder()
         else:
             self._state = "buffered"
 
@@ -452,6 +458,8 @@ class DecodeStream:
     def write(self, data: bytes) -> bytes:
         if self._finished:
             raise DataError("decode stream already finished")
+        if self._state == "bz2":
+            return self._inc.write(data)
         if self._state == "buffered":
             self._buf += data
             return self._drain_buffered(final=False)
@@ -463,6 +471,8 @@ class DecodeStream:
         if self._finished:
             raise DataError("decode stream already finished")
         self._finished = True
+        if self._state == "bz2":
+            return self._inc.finish()
         if self._state == "buffered":
             return self._drain_buffered(final=True)
         out = self._pump(b"")
