@@ -71,6 +71,12 @@ def extra_metrics(size: int):
             out[name] = {"MB_s": _mbs(nbytes, time.time() - t0)}
             if warm:
                 out[name]["MB_s_cold"] = cold
+            # Roofline vs the measured primitive rates (VERDICT r3 #5).
+            from tpz.utils import roofline
+
+            rl = roofline.annotate(name, nbytes, out[name]["MB_s"])
+            if rl is not None:
+                out[name]["roofline"] = rl
         except Exception as e:  # noqa: BLE001 — report, don't crash bench
             out[name] = {"error": f"{type(e).__name__}: {e}"}
 
@@ -135,6 +141,12 @@ def extra_metrics(size: int):
         bz.compress(bdata, backend="tpu")
         out["bzip2_encode_device"] = {
             "MB_s": _mbs(bsize, time.time() - t0), "MB_s_cold": cold}
+        from tpz.utils import roofline
+
+        rl = roofline.annotate("bzip2_encode_device", bsize,
+                               out["bzip2_encode_device"]["MB_s"])
+        if rl is not None:
+            out["bzip2_encode_device"]["roofline"] = rl
     except Exception as e:  # noqa: BLE001
         out["bzip2_encode_device"] = {"error": f"{type(e).__name__}: {e}"}
     if "c" in bz_blob:
@@ -180,6 +192,12 @@ def extra_metrics(size: int):
         lh.compress_many(lbatch, method="lh5", backend="tpu")
         out["lzhuf_encode_device_batched"] = {
             "MB_s": _mbs(lsize * 2, time.time() - t0), "MB_s_cold": lb_cold}
+        from tpz.utils import roofline
+
+        rl = roofline.annotate("lzhuf_encode_device_batched", lsize * 2,
+                               out["lzhuf_encode_device_batched"]["MB_s"])
+        if rl is not None:
+            out["lzhuf_encode_device_batched"]["roofline"] = rl
     except Exception as e:  # noqa: BLE001
         out["lzhuf_encode_device_batched"] = {
             "error": f"{type(e).__name__}: {e}"}
@@ -257,6 +275,16 @@ def main():
         "all_s": [round(t, 4) for t in times],
         "compression_ratio": round(ratio, 4),
     }
+    try:
+        from tpz.utils import roofline
+
+        rl = roofline.annotate("deflate_encode_device", total,
+                               total / median / 1e6)
+        if rl is not None:
+            detail["roofline"] = rl
+            detail["roofline_rates"] = roofline.RATES
+    except Exception:  # noqa: BLE001 — annotation must never kill bench
+        pass
     if not skip_extra:
         detail["extra_metrics"] = extra_metrics(size)
     print(json.dumps({

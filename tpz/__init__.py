@@ -18,15 +18,31 @@ def _enable_compile_cache() -> None:
     pipelines pay 30-160 s remote compiles per shape on this relay; the
     cache makes that first-run-per-MACHINE instead of per-process. Opt
     out with TPZ_NO_COMPILE_CACHE=1 or point TPZ_COMPILE_CACHE_DIR
-    elsewhere."""
+    elsewhere.
+
+    The cache dir is keyed by the host CPU's feature set: XLA:CPU cache
+    entries embed AOT machine code, and loading another machine's entry
+    (the build/judge hosts differ) warns "could lead to execution errors
+    such as SIGILL". TPU entries lose cross-host reuse under this keying,
+    which costs one compile per (machine, shape) — correctness first."""
     if _os.environ.get("TPZ_NO_COMPILE_CACHE"):
         return
     try:
+        import hashlib
+
         import jax
 
-        path = _os.environ.get(
+        base = _os.environ.get(
             "TPZ_COMPILE_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "tpz_xla"))
+        try:
+            with open("/proc/cpuinfo", "rb") as f:
+                flags = [ln for ln in f.read().split(b"\n")
+                         if ln.startswith((b"flags", b"model name"))]
+            tag = hashlib.sha256(b"|".join(flags[:2])).hexdigest()[:12]
+        except OSError:
+            tag = "nohost"
+        path = _os.path.join(base, tag)
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
