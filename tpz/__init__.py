@@ -32,6 +32,16 @@ def _enable_compile_cache() -> None:
 
         import jax
 
+        # TPU/relay compiles only: XLA:CPU executables reproducibly
+        # SEGFAULT the process inside the cache-write zstd pass (observed
+        # twice at tests/test_lzhuf.py on this image, jax 0.9/zstandard),
+        # and CPU compiles are cheap anyway. jax_platforms None means
+        # plugin auto-select (the relay when present) — keep the cache;
+        # an explicit cpu-only setting (the test suite) disables it.
+        plats = jax.config.jax_platforms
+        if plats is not None and "axon" not in plats and "tpu" not in plats:
+            return
+
         base = _os.environ.get(
             "TPZ_COMPILE_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "tpz_xla"))

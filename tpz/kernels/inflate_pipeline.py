@@ -63,6 +63,17 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
     stream window read per token serves every bit peek as pure shifts; a
     token then costs exactly 5 dynamic reads (3 stream + 2 table).
 
+    Round 4 (bench/probe_extract.py on this chip): the stream slices live
+    in SMEM — a scalar load is 8.8 ns vs the 28.3 ns row-load+lane-select
+    a VMEM read costs — so the 3 stream reads run 3.2x faster and free
+    VPU issue slots for the other chains' ALU work. A blocked SMEM
+    OPERAND is double-buffered by the pipeline (2 x 576 KiB > the 1 MiB
+    SMEM budget — compile error observed), so the stream stays in HBM
+    (ANY space) and each grid step DMAs its nblk slices into a single-
+    buffered SMEM scratch (576 KiB; ~μs per step vs the step's ~10s of
+    ms of walk). The two 2^15-entry decode tables (128 KiB each PER
+    BLOCK) cannot fit either way, so table reads stay VMEM sum-selects.
+
     stream_words: [NB, SW] int32 (LE u32 of the block's stream slice)
     body_bit_local: [NB] int32 bit offset of the symbol stream within the
     slice; out_len: [NB] int32 (0 for stored blocks -> no walk);
@@ -97,17 +108,22 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
         lit_mask = jnp.concatenate([lit_mask, zpad])
         dist_mask = jnp.concatenate([dist_mask, zpad])
         start_pos = jnp.concatenate([start_pos, zpad])
-    s3 = stream_words.reshape(NBp, r_s, 128)
+    s2 = stream_words  # [NBp, SW] — SMEM block (nblk, SW) per grid step
     l3 = lit_tab.reshape(NBp, r_t, 128)
     d3 = dist_tab.reshape(NBp, r_t, 128)
 
     def kernel(bb_ref, ol_ref, lm_ref, dm_ref, sp_ref, lb_ref, le_ref,
-               db_ref, de_ref, s_ref, lt_ref, dt_ref, out_ref):
+               db_ref, de_ref, s_hbm, lt_ref, dt_ref, out_ref, s_ref,
+               dma_sem):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[...] = jnp.zeros_like(out_ref)
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
+        cp = pltpu.make_async_copy(
+            s_hbm.at[pl.ds(g * nblk, nblk), :], s_ref, dma_sem)
+        cp.start()
+        cp.wait()
 
         outls = [ol_ref[g * nblk + c] for c in range(nblk)]
         lmasks = [lm_ref[g * nblk + c] for c in range(nblk)]
@@ -127,9 +143,9 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
             w = bitpos >> 5
             sh = bitpos & 31
             wc = jnp.minimum(w, jnp.int32(SW - 3))
-            w0 = rd(s_ref, wc)
-            w1 = rd(s_ref, wc + 1)
-            w2 = rd(s_ref, wc + 2)
+            w0 = s_ref[c, wc]
+            w1 = s_ref[c, wc + 1]
+            w2 = s_ref[c, wc + 2]
 
             def bits_at(off, n):
                 # n-bit window at bit sh+off of the 96-bit (w0,w1,w2)
@@ -200,15 +216,17 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
         kernel,
         grid=(NBp // nblk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9 + [
-            pl.BlockSpec((nblk, r_s, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((nblk, SW), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(body_bit_local, out_len, lit_mask, dist_mask, start_pos, len_base,
-      len_extra, dist_base, dist_extra, s3, l3, d3)
+      len_extra, dist_base, dist_extra, s2, l3, d3)
     return out.reshape(NBp, BLOCK)[:NB]
 
 
