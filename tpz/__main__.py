@@ -105,4 +105,14 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    code = main()
+    # Hard exit: when the axon relay is half-dead (socket up, compute
+    # hung) the liveness probe in deflate_pipeline parks a daemon thread
+    # inside a PJRT call; normal interpreter teardown then aborts with
+    # "FATAL: exception not rethrown" AFTER correct output. Skip teardown
+    # so the exit code reflects the command's real result.
+    import os
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(int(code or 0))

@@ -70,6 +70,78 @@ def _axon_relay_down() -> bool:
         return True
 
 
+# Compute-liveness state for _axon_compute_hung(): (verdict_ts, hung).
+# Guarded by _probe_lock; the probe thread reference dedups concurrent
+# probes (a hung probe thread parks forever as a daemon — at most one
+# exists at a time, so a half-dead relay cannot leak a thread per call).
+_probe_lock = None
+_probe_state = [0.0, False]
+_probe_thread = [None]
+
+
+def _axon_compute_hung() -> bool:
+    """True when the axon relay accepts connections but COMPUTE is hung
+    or degraded past serving usefulness (observed 2026-08-19: socket up,
+    tiny dispatch 11 s, 8-element d2h fetch 77 s — vs <2 s healthy).
+    The socket probe in _axon_relay_down() cannot see this state, and a
+    caller that routes "auto" onto such a relay blocks for minutes.
+
+    Strategy: once per TTL, run one tiny dispatch+fetch in a daemon
+    thread and wait up to TPZ_AXON_COMPUTE_DEADLINE seconds (default 20;
+    a healthy relay answers in well under 2). On timeout the backend is
+    marked hung until a LATER probe completes — the parked thread itself
+    flips the verdict back the moment the relay recovers, so recovery is
+    observed without spawning new threads."""
+    import os
+    import threading
+    import time
+
+    global _probe_lock
+    if _probe_lock is None:
+        _probe_lock = threading.Lock()
+    ttl = float(os.environ.get("TPZ_AXON_COMPUTE_TTL", 300.0))
+    deadline = float(os.environ.get("TPZ_AXON_COMPUTE_DEADLINE", 10.0))
+    now = time.time()
+    with _probe_lock:
+        fresh = (now - _probe_state[0]) < ttl
+        if fresh and _probe_state[1]:
+            return True
+        if fresh and not _probe_state[1]:
+            return False
+        if _probe_thread[0] is not None and _probe_thread[0].is_alive():
+            return True  # previous probe still stuck -> still hung
+        done = threading.Event()
+
+        def _probe():
+            try:
+                import numpy as _np
+
+                v = jnp.arange(3, dtype=jnp.int32) + 1
+                ok = int(_np.asarray(v)[2]) == 3
+            except Exception:
+                ok = False
+            with _probe_lock:
+                _probe_state[0] = time.time()
+                _probe_state[1] = not ok
+                _probe_thread[0] = None
+            done.set()
+
+        t = threading.Thread(target=_probe, daemon=True,
+                             name="tpz-axon-compute-probe")
+        _probe_thread[0] = t
+        t.start()
+    finished = done.wait(deadline)
+    if not finished:
+        with _probe_lock:
+            # Leave _probe_thread set: its eventual completion records
+            # the recovery timestamp and verdict.
+            _probe_state[0] = time.time()
+            _probe_state[1] = True
+        return True
+    with _probe_lock:
+        return _probe_state[1]
+
+
 def usable() -> bool:
     import os
 
@@ -83,6 +155,12 @@ def usable() -> bool:
         if _axon_relay_down():
             return False
         jax.devices()  # raises if the backend cannot initialize
+        try:
+            plats = jax.config.jax_platforms or ""
+        except Exception:
+            plats = os.environ.get("JAX_PLATFORMS", "")
+        if "axon" in plats and _axon_compute_hung():
+            return False
         return True
     except Exception:
         return False
