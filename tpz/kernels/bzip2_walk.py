@@ -121,8 +121,10 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_ref, l1_ref, l2_ref, sel_ref,
             row = ref[c, pl.ds(pos >> 7, 1), :]
             return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
 
-        # Current table id from the selector list.
-        t = rd(sel_ref, gi)
+        # Current table id from the selector list (SMEM operand: a
+        # scalar load, vs the 28 ns row-load+lane-select a VMEM read
+        # costs — round-4 probe_extract finding).
+        t = sel_ref[c, gi]
         # 32-bit MSB window at bitpos.
         w = jnp.minimum(bitpos >> 5, jnp.int32(SW - 2))
         sh = bitpos & 31
@@ -307,7 +309,11 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
             pl.BlockSpec((NBLK, 6 * 256, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((NBLK, 6 * (L2_CAP // 128), 128),
                          lambda b: (b, 0, 0)),
-            pl.BlockSpec((NBLK, SEL_CAP // 128, 128), lambda b: (b, 0, 0)),
+            # Selectors as a blocked SMEM operand: 2 x 72 KiB double-
+            # buffered fits the ~1 MiB SMEM budget (the stream, ~1 MiB
+            # per level-9 block, does not — its reads stay VMEM).
+            pl.BlockSpec((NBLK, SEL_CAP), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((NBLK, 2, 128), lambda b: (b, 0, 0)),
         ],
         out_specs=[
@@ -328,7 +334,7 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
       sw.reshape(NBp, SW // 128, 128),
       l1.reshape(NBp, 6 * 256, 128),
       l2.reshape(NBp, 6 * (L2_CAP // 128), 128),
-      selectors.reshape(NBp, SEL_CAP // 128, 128),
+      selectors,
       mtf_init.reshape(NBp, 2, 128))
     return recs.reshape(NBp, S)[:NB], meta.reshape(NBp, 128)[:NB]
 
