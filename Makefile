@@ -1,6 +1,6 @@
 # Top-level build/test entry points (SURVEY.md §2.1 CI row).
 
-.PHONY: all oracle test test-asan bench clean selftest
+.PHONY: all oracle test test-fast test-asan bench clean selftest
 
 all: oracle
 
@@ -9,6 +9,11 @@ oracle:
 
 test: oracle
 	python -m pytest tests/ -q -n 4
+
+# Skips the interpret-mode device-pipeline modules (marked slow in
+# tests/conftest.py) — a <5 min local loop; CI (ci.sh) runs everything.
+test-fast: oracle
+	python -m pytest tests/ -q -n 4 -m "not slow"
 
 # Sanitizer pass over the C++ oracle (SURVEY.md §5 race-detection row):
 # rebuilds with ASan+UBSan and exercises every codec through the bindings.
