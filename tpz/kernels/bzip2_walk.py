@@ -98,16 +98,35 @@ def build_tables(lens: np.ndarray, n_useds: np.ndarray):
     return l1, l2
 
 
-def _walk_kernel(nu_ref, ns_ref, sb_ref, s_ref, l1_ref, l2_ref, sel_ref,
-                 mi_ref, out_ref, meta_ref, *, S: int, SW: int,
-                 NBLK: int):
+# Per-chain SMEM stream window (words). The walk's bitpos is monotone,
+# so a sliding window + conditional DMA refill turns the two stream
+# reads per symbol from 28 ns VMEM row-load+lane-selects into 8.8 ns
+# SMEM scalar loads (round-4 probe_extract finding; a level-9 block's
+# ~1 MiB slice cannot live in SMEM whole). Refills cost a ~16 KiB DMA
+# every ~5k symbols — noise against the walk.
+STREAM_WIN = 4096
+
+
+def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, l1_ref, l2_ref, sel_ref,
+                 mi_ref, out_ref, meta_ref, win_ref, base_ref, dma_sem,
+                 *, S: int, SW: int, NBLK: int):
     """One grid step = NBLK blocks' symbol walks."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     g0 = pl.program_id(0)
     zero = jnp.int32(0)
     one31 = jnp.int32(31)
+    WINW = min(STREAM_WIN, SW)
+
+    for c in range(NBLK):
+        cp = pltpu.make_async_copy(
+            s_hbm.at[g0 * NBLK + c, pl.ds(0, WINW)], win_ref.at[c],
+            dma_sem)
+        cp.start()
+        cp.wait()
+        base_ref[c] = 0
 
     def srl(x, s):
         return jax.lax.shift_right_logical(x, s)
@@ -125,11 +144,26 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_ref, l1_ref, l2_ref, sel_ref,
         # scalar load, vs the 28 ns row-load+lane-select a VMEM read
         # costs — round-4 probe_extract finding).
         t = sel_ref[c, gi]
-        # 32-bit MSB window at bitpos.
+        # 32-bit MSB window at bitpos, read from the chain's SMEM
+        # sliding window (refilled by DMA when the cursor nears its
+        # end; `need` only fires while the chain is active).
         w = jnp.minimum(bitpos >> 5, jnp.int32(SW - 2))
         sh = bitpos & 31
-        w0 = rd(s_ref, w)
-        w1 = rd(s_ref, w + 1)
+        need = act & ((w - base_ref[c]) >= jnp.int32(WINW - 1))
+
+        @pl.when(need)
+        def _():
+            nb = jnp.minimum(w, jnp.int32(SW - WINW))
+            cpw = pltpu.make_async_copy(
+                s_hbm.at[g0 * NBLK + c, pl.ds(nb, WINW)], win_ref.at[c],
+                dma_sem)
+            cpw.start()
+            cpw.wait()
+            base_ref[c] = nb
+
+        woff = jnp.clip(w - base_ref[c], 0, WINW - 2)
+        w0 = win_ref[c, woff]
+        w1 = win_ref[c, woff + 1]
         top = jax.lax.shift_left(w0, sh) | jnp.where(
             sh > 0, srl(w1, (32 - sh) & one31), 0)
         peek15 = srl(top, 17)
@@ -305,7 +339,7 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
         functools.partial(_walk_kernel, S=S, SW=SW, NBLK=NBLK),
         grid=(NBp // NBLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
-            pl.BlockSpec((NBLK, SW // 128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((NBLK, 6 * 256, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((NBLK, 6 * (L2_CAP // 128), 128),
                          lambda b: (b, 0, 0)),
@@ -329,9 +363,14 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
         # and higher interleave factors need the headroom.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.SMEM((NBLK, min(STREAM_WIN, SW)), jnp.int32),
+            pltpu.SMEM((NBLK,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(n_used, nsel, sym_local,
-      sw.reshape(NBp, SW // 128, 128),
+      sw,
       l1.reshape(NBp, 6 * 256, 128),
       l2.reshape(NBp, 6 * (L2_CAP // 128), 128),
       selectors,
