@@ -457,6 +457,10 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
         restart = N
     assert restart % 128 == 0 and N % restart == 0
     nsub = N // restart
+    # SMEM holds the per-chain sliding windows (~154 KiB each, see
+    # below), bounding the chain count at ~5; the walk is issue-bound
+    # (round-3 W-sweep flat) so this costs nothing.
+    nblk = max(1, min(nblk, 5 // nsub if nsub <= 5 else 1))
     W = nblk * nsub
     RAW = 1 << 30
 
@@ -497,15 +501,33 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
             [words, jnp.zeros((pad, M), words.dtype)], axis=0)
         block_len = jnp.concatenate(
             [block_len, jnp.zeros((pad, 1), block_len.dtype)], axis=0)
-    comb = jnp.concatenate(
-        [w1.reshape(NBp, r_n, 128), pk2.reshape(NBp, r_n, 128),
-         words.reshape(NBp, r_m, 128)], axis=1)
-    R = 2 * r_n + r_m
-    WOFF = 2 * r_n
+    # Round 4: every per-step read is an SMEM scalar load (8.8 ns, ~0
+    # VPU slots — bench/probe_extract.py) from per-chain sliding windows
+    # refilled by conditional DMA, replacing the two VMEM
+    # row-load+lane-selects (28 ns, ~17 slots each) over the old fused
+    # `comb` operand:
+    #   mp — marks+pk2 interleaved (mp[2q] = mark, mp[2q+1] = pk2). TOK
+    #        reads sit at q in {p, p+1}: a small cursor-local window.
+    #   wd — the 4-byte word windows. In words coordinates (span pos +
+    #        window) EXT reads span [p, p + window + ~320]: j = q +
+    #        window - dist >= q since dist <= window, and ea/eb <= q +
+    #        window + max_match + slack. One window tracking p covers
+    #        both operands.
+    # SMEM bounds the chain count (W * (MPW + WW) * 4 B), so nblk drops
+    # to 1 (W = nsub = 4): the round-3 W-sweep was flat — the walk is
+    # issue-bound, so fewer-but-cheaper chains win.
+    mp = jnp.stack([w1, pk2], axis=2).reshape(NBp, 2 * N)
     SENT = 1 << 20
     SMASK = (1 << 20) - 1
+    MP_SPAN = min(2048, N)
+    MPW = 2 * MP_SPAN
+    WLOOK = window + max_match + 64
+    WW = min(64 + WLOOK + 2048, M)
+    assert W * (MPW + WW) * 4 <= 920 * 1024, (
+        f"SMEM window budget: W={W} MPW={MPW} WW={WW}")
 
-    def kernel(blen_ref, comb_ref, out_ref):
+    def kernel(blen_ref, mp_hbm, wd_hbm, out_ref, mp_win, wd_win,
+               mpb_ref, wb_ref, dma_sem):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[...] = jnp.zeros_like(out_ref)
         g = pl.program_id(0)
@@ -514,6 +536,23 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
         blens = [blen_ref[g * nblk + c // nsub, 0] for c in range(W)]
         pends = [jnp.minimum(jnp.int32((c % nsub + 1) * restart), blens[c])
                  for c in range(W)]
+
+        for c in range(W):
+            p0 = (c % nsub) * restart
+            row = g * nblk + c // nsub
+            mpb0 = min(p0, N - MP_SPAN)
+            wb0 = min(max(p0 - 64, 0), M - WW)
+            cp = pltpu.make_async_copy(
+                mp_hbm.at[row, pl.ds(2 * mpb0, MPW)], mp_win.at[c],
+                dma_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(
+                wd_hbm.at[row, pl.ds(wb0, WW)], wd_win.at[c], dma_sem)
+            cp.start()
+            cp.wait()
+            mpb_ref[c] = mpb0
+            wb_ref[c] = wb0
 
         def lzbytes(x):
             b0 = (x & 0xFF) == 0
@@ -536,14 +575,43 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
             qc = jnp.minimum(q, jnp.int32(N - 1))
             ea = jnp.minimum(q + jnp.int32(window) + k, jnp.int32(M - 1))
             eb = jnp.clip(j + k, 0, jnp.int32(M - 1))
-            rowA = jnp.where(is_ext, WOFF + (ea >> 7), qc >> 7)
-            lanA = jnp.where(is_ext, ea & 127, qc & 127)
-            rowB = jnp.where(is_ext, WOFF + (eb >> 7), r_n + (qc >> 7))
-            lanB = jnp.where(is_ext, eb & 127, qc & 127)
-            ra = comb_ref[blk, pl.ds(rowA, 1), :]
-            a = jnp.sum(jnp.where(lane == lanA, ra, 0))
-            rb = comb_ref[blk, pl.ds(rowB, 1), :]
-            b = jnp.sum(jnp.where(lane == lanB, rb, 0))
+
+            # Window refills (rare: every ~2k positions of cursor
+            # advance); `act` gates finished chains off.
+            need_mp = act & ((p + 1 - mpb_ref[c]) >= (MP_SPAN - 1))
+
+            @pl.when(need_mp)
+            def _():
+                nb = jnp.minimum(p, jnp.int32(N - MP_SPAN))
+                cpm = pltpu.make_async_copy(
+                    mp_hbm.at[g * nblk + blk, pl.ds(2 * nb, MPW)],
+                    mp_win.at[c], dma_sem)
+                cpm.start()
+                cpm.wait()
+                mpb_ref[c] = nb
+
+            need_wd = act & ((p + jnp.int32(WLOOK)) >= (wb_ref[c] + WW))
+
+            @pl.when(need_wd)
+            def _():
+                nb = jnp.clip(p - 64, 0, jnp.int32(M - WW))
+                cpw = pltpu.make_async_copy(
+                    wd_hbm.at[g * nblk + blk, pl.ds(nb, WW)],
+                    wd_win.at[c], dma_sem)
+                cpw.start()
+                cpw.wait()
+                wb_ref[c] = nb
+
+            # Predication runs both reads every step; clip keeps the
+            # inactive one's (stale-state) index inside its window.
+            mo = 2 * jnp.clip(qc - mpb_ref[c], 0, MP_SPAN - 1)
+            wb = wb_ref[c]
+            a_tok = mp_win[c, mo]
+            b_tok = mp_win[c, mo + 1]
+            a_ext = wd_win[c, jnp.clip(ea - wb, 0, WW - 1)]
+            b_ext = wd_win[c, jnp.clip(eb - wb, 0, WW - 1)]
+            a = jnp.where(is_ext, a_ext, a_tok)
+            b = jnp.where(is_ext, b_ext, b_tok)
 
             rawq = (a & RAW) != 0
             apk = a & jnp.int32(RAW - 1)
@@ -657,12 +725,20 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
         grid=(NBp // nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nblk, R, 128), lambda bb: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((nblk, r_n, 128), lambda bb: (bb, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_n, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((W, MPW), jnp.int32),
+            pltpu.SMEM((W, WW), jnp.int32),
+            pltpu.SMEM((W,), jnp.int32),
+            pltpu.SMEM((W,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(block_len, comb)
+    )(block_len, mp, words)
     out = out.reshape(NBp, N)[:NB]
     visited = out & 1023
     mlen = jnp.maximum(visited - 1, 0)
