@@ -26,16 +26,28 @@ import numpy as np
 from tpz.kernels.inflate_pipeline import (BLOCK, _KIND_LIT, _KIND_MATCH,
                                           _materialize_fn, _resolve_fn)
 
-L2_CAP = 1152
 NC = 510
+
+# Round-4 table layout: 12-bit level-1 (4096 entries, 16 KiB) + 5-bit
+# level-2 chunks (32 entries per escaped prefix) replace the flat 15-bit
+# level-1 (128 KiB). Small enough that all four tables (c/p x L1/L2)
+# live in SMEM per chain — every decode-table read becomes an 8.8 ns
+# scalar load instead of a 28 ns VMEM row-load+lane-select — and the
+# per-segment h2d replication drops 8x. Codes run to 17 bits (LHA cap);
+# a stream whose long codes overflow L2_CAP declines to the host
+# decoder (build_tables returns None).
+L1_BITS = 12
+L1W = 1 << L1_BITS
+L2_CAP = 4096
 
 
 def build_tables(lens: np.ndarray, consts: np.ndarray, nsym: int):
-    """lens [NBLK, nsym] uint8 -> (l1 [NBLK, 1<<15], l2 [NBLK, L2_CAP])
-    int32 MSB canonical decode tables; consts[b] >= 0 fills the whole
-    level-1 with (const << 5 | 0) — a 0-bit always-match entry."""
+    """lens [NBLK, nsym] uint8 -> (l1 [NBLK, L1W], l2 [NBLK, L2_CAP])
+    int32 MSB canonical decode tables, or None when a block's long
+    codes overflow L2_CAP. consts[b] >= 0 fills the whole level-1 with
+    (const << 5 | 0) — a 0-bit always-match entry."""
     NB = lens.shape[0]
-    l1 = np.zeros((NB, 1 << 15), np.int32)
+    l1 = np.zeros((NB, L1W), np.int32)
     l2 = np.zeros((NB, L2_CAP), np.int32)
     for b in range(NB):
         if consts[b] >= 0:
@@ -56,31 +68,47 @@ def build_tables(lens: np.ndarray, consts: np.ndarray, nsym: int):
             c <<= L - prev
             prev = L
             sym = int(order[i])
-            if L <= 15:
-                lo = c << (15 - L)
-                l1[b, lo:lo + (1 << (15 - L))] = (sym << 5) | L
+            if L <= L1_BITS:
+                lo = c << (L1_BITS - L)
+                l1[b, lo:lo + (1 << (L1_BITS - L))] = (sym << 5) | L
             else:
-                pre = c >> (L - 15)
+                pre = c >> (L - L1_BITS)
                 if pre not in esc:
+                    if l2n + 32 > L2_CAP:
+                        return None
                     esc[pre] = l2n
                     l1[b, pre] = (l2n << 5) | 31
-                    l2n += 4
-                suf = c & ((1 << (L - 15)) - 1)
-                w = 1 << (17 - L)
-                s0 = esc[pre] + (suf << (17 - L))
+                    l2n += 32
+                suf = c & ((1 << (L - L1_BITS)) - 1)
+                w = 1 << (L1_BITS + 5 - L)
+                s0 = esc[pre] + (suf << (L1_BITS + 5 - L))
                 l2[b, s0:s0 + w] = (sym << 5) | L
             c += 1
     return l1, l2
 
 
-def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
-          pl1, pl2, interpret=False, nblk: int = 8):
-    """MSB token walk -> markers [NB, BLOCK] (dist stored as dist-1)."""
+STREAM_WIN = 4096  # words; sliding SMEM window over the stream slice
+
+
+def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
+          interpret=False, nblk: int = 8):
+    """MSB token walk -> markers [NB, BLOCK] (dist stored as dist-1).
+
+    tab: [NB, TW] fused decode tables per segment, TW = 2*(L1W+L2_CAP):
+    [c L1 | c L2 | p L1 | p L2]. Round 4: tables AND stream live in SMEM
+    (tables DMA'd whole per grid step, the stream as a sliding window —
+    bitpos is monotone), so all 7 dynamic reads per token are scalar
+    loads; no VMEM operand remains."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NB, SW = stream_words.shape
-    r_s, r_o = SW // 128, BLOCK // 128
+    r_o = BLOCK // 128
+    TW = tab.shape[1]
+    SWIN = min(STREAM_WIN, SW)
+    OC2 = L1W
+    OP1 = L1W + L2_CAP
+    OP2 = 2 * L1W + L2_CAP
     NBp = -(-NB // nblk) * nblk
     if NBp != NB:
         pad = NBp - NB
@@ -89,30 +117,30 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
             return jnp.concatenate(
                 [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
-        stream_words, cl1, cl2, pl1, pl2 = map(
-            padz, (stream_words, cl1, cl2, pl1, pl2))
+        stream_words, tab = map(padz, (stream_words, tab))
         zp = jnp.zeros((pad,), jnp.int32)
         body_bit_local = jnp.concatenate([body_bit_local, zp])
         out_len = jnp.concatenate([out_len, zp])
         start_pos = jnp.concatenate([start_pos, zp])
 
-    def kernel(bb_ref, ol_ref, sp_ref, s_hbm, c1_ref, c2_ref, p1_ref,
-               p2_ref, out_ref, s_ref, dma_sem):
+    def kernel(bb_ref, ol_ref, sp_ref, s_hbm, t_hbm, out_ref, s_win,
+               t_ref, sbase_ref, dma_sem):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[...] = jnp.zeros_like(out_ref)
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
-        # Stream slices to SMEM (same rewrite as inflate's _symbol_walk,
-        # round 4): scalar loads are 8.8 ns vs the 28.3 ns VMEM
-        # row-load+lane-select, and free VPU issue slots. A blocked SMEM
-        # OPERAND would be double-buffered past the ~1 MiB SMEM budget,
-        # so the stream stays in HBM and each grid step DMAs its nblk
-        # slices (640 KiB) into a single-buffered scratch.
         cp = pltpu.make_async_copy(
-            s_hbm.at[pl.ds(g * nblk, nblk), :], s_ref, dma_sem)
+            t_hbm.at[pl.ds(g * nblk, nblk), :], t_ref, dma_sem)
         cp.start()
         cp.wait()
+        for c in range(nblk):
+            cps = pltpu.make_async_copy(
+                s_hbm.at[g * nblk + c, pl.ds(0, SWIN)], s_win.at[c],
+                dma_sem)
+            cps.start()
+            cps.wait()
+            sbase_ref[c] = 0
 
         outls = [ol_ref[g * nblk + c] for c in range(nblk)]
 
@@ -123,16 +151,25 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
             bitpos, out_pos, ro, orow, ok = st
             act = ok & (out_pos < outls[c])
 
-            def rd(ref, pos):
-                row = ref[c, pl.ds(pos >> 7, 1), :]
-                return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
-
             w = bitpos >> 5
             sh = bitpos & 31
             wc = jnp.minimum(w, jnp.int32(SW - 3))
-            w0 = s_ref[c, wc]
-            w1 = s_ref[c, wc + 1]
-            w2 = s_ref[c, wc + 2]
+            need = act & ((wc + 2 - sbase_ref[c]) >= jnp.int32(SWIN - 1))
+
+            @pl.when(need)
+            def _():
+                nb = jnp.minimum(wc, jnp.int32(SW - SWIN))
+                cpw = pltpu.make_async_copy(
+                    s_hbm.at[g * nblk + c, pl.ds(nb, SWIN)], s_win.at[c],
+                    dma_sem)
+                cpw.start()
+                cpw.wait()
+                sbase_ref[c] = nb
+
+            woff = jnp.clip(wc - sbase_ref[c], 0, SWIN - 3)
+            w0 = s_win[c, woff]
+            w1 = s_win[c, woff + 1]
+            w2 = s_win[c, woff + 2]
 
             def bits_at(off, n):
                 # MSB: n bits starting sh+off into the 96-bit window.
@@ -145,11 +182,11 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
                     s2 > 0, srl(hi, (32 - s2) & one31), 0)
                 return jnp.where(n > 0, srl(v, (32 - n) & one31), 0)
 
-            peekc = bits_at(zero, jnp.int32(15))
-            e1 = rd(c1_ref, peekc)
+            peekc = bits_at(zero, jnp.int32(L1_BITS))
+            e1 = t_ref[c, peekc]
             esc = (e1 & 31) == 31
-            e2 = rd(c2_ref, srl(e1, 5) + bits_at(jnp.int32(15),
-                                                 jnp.int32(2)))
+            e2 = t_ref[c, OC2 + srl(e1, 5)
+                       + bits_at(jnp.int32(L1_BITS), jnp.int32(5))]
             e = jnp.where(esc, e2, e1)
             clen = e & 31
             csym = srl(e, 5)
@@ -160,11 +197,11 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
 
             is_match = csym >= 256
             mlen = jnp.clip(csym - 256 + 3, 3, 258)
-            pk = bits_at(clen, jnp.int32(15))
-            pe1 = rd(p1_ref, pk)
+            pk = bits_at(clen, jnp.int32(L1_BITS))
+            pe1 = t_ref[c, OP1 + pk]
             pesc = (pe1 & 31) == 31
-            pe2 = rd(p2_ref, srl(pe1, 5) + bits_at(clen + jnp.int32(15),
-                                                   jnp.int32(2)))
+            pe2 = t_ref[c, OP2 + srl(pe1, 5)
+                        + bits_at(clen + jnp.int32(L1_BITS), jnp.int32(5))]
             pe = jnp.where(pesc, pe2, pe1)
             plen_ = pe & 31
             pc = srl(pe, 5)
@@ -213,32 +250,26 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, cl1, cl2,
         grid=(NBp // nblk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((nblk, 256, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nblk, L2_CAP // 128, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nblk, 256, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nblk, L2_CAP // 128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((nblk, SW), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((nblk, SWIN), jnp.int32),
+                        pltpu.SMEM((nblk, TW), jnp.int32),
+                        pltpu.SMEM((nblk,), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(body_bit_local, out_len, start_pos,
-      stream_words,
-      cl1.reshape(NBp, 256, 128),
-      cl2.reshape(NBp, L2_CAP // 128, 128),
-      pl1.reshape(NBp, 256, 128),
-      pl2.reshape(NBp, L2_CAP // 128, 128))
+    )(body_bit_local, out_len, start_pos, stream_words, tab)
     return out.reshape(NBp, BLOCK)[:NB]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "nblk"))
 def _decode_fn(stream_words, body_bit_local, out_len, start_pos, carry,
-               dense_off, cl1, cl2, pl1, pl2, interpret: bool = False,
+               dense_off, tab, interpret: bool = False,
                nblk: int = 8):
     NB = out_len.shape[0]
     markers = _walk(stream_words, body_bit_local, out_len, start_pos,
-                    cl1, cl2, pl1, pl2, interpret=interpret, nblk=nblk)
+                    tab, interpret=interpret, nblk=nblk)
     words0 = jnp.zeros((NB, 1), jnp.int32)  # no stored blocks in lzhuf
     zeros = jnp.zeros((NB,), jnp.int32)
     markers = _materialize_fn(markers, words0, zeros + 1, zeros, zeros,
@@ -308,18 +339,34 @@ def decompress_many(items, dict_bits: int,
         return results
 
     np_ = next(v[1] for v in LZHUF_METHODS.values() if v[0] == dict_bits)
+    # Fused-table build; a block whose long codes overflow L2 declines
+    # that buffer to the host decoder (keeps idxs/parsed aligned).
+    tabs = []
+    kept = []
+    for (i, (idx, spans)) in zip(idxs, parsed):
+        cl1, cl2 = build_tables(idx["c_lens"], idx["c_consts"], NC) \
+            or (None, None)
+        pt = build_tables(idx["p_lens"], idx["p_consts"], np_)
+        if cl1 is None or pt is None:
+            continue
+        pl1, pl2 = pt
+        tabs.append((cl1, cl2, pl1, pl2))
+        kept.append((i, (idx, spans)))
+    if not kept:
+        return results
+    idxs = [i for i, _ in kept]
+    parsed = [p for _, p in kept]
     nseg = sum(len(p[0]["out_lens"]) for p in parsed)
     slices = np.zeros((nseg, SLICE_BYTES), np.uint8)
     sym_local = np.zeros(nseg, np.int32)
     ol = np.zeros(nseg, np.int32)
     carry_len = np.zeros(nseg, np.int32)
     carry = np.zeros(nseg, np.int32)
-    cl1r = np.zeros((nseg, 1 << 15), np.int32)
-    cl2r = np.zeros((nseg, L2_CAP), np.int32)
-    pl1r = np.zeros((nseg, 1 << 15), np.int32)
-    pl2r = np.zeros((nseg, L2_CAP), np.int32)
+    TW = 2 * (L1W + L2_CAP)
+    tabr = np.zeros((nseg, TW), np.int32)
     s0r = 0
-    for (i, (idx, spans)) in zip(idxs, parsed):
+    for (i, (idx, spans)), (cl1, cl2, pl1, pl2) in zip(
+            zip(idxs, parsed), tabs):
         data = items[i][0]
         k = len(idx["out_lens"])
         sb = np.frombuffer(data, np.uint8)
@@ -334,21 +381,16 @@ def decompress_many(items, dict_bits: int,
         carry_len[sl] = cl
         cv = ((idx["carry_dist"].astype(np.int32) - 1).clip(0) << 9) | cl
         carry[sl] = np.where(cl > 0, cv, 0)
-        cl1, cl2 = build_tables(idx["c_lens"], idx["c_consts"], NC)
-        pl1, pl2 = build_tables(idx["p_lens"], idx["p_consts"], np_)
         bid = idx["block_ids"]
-        cl1r[sl] = cl1[bid]
-        cl2r[sl] = cl2[bid]
-        pl1r[sl] = pl1[bid]
-        pl2r[sl] = pl2[bid]
+        tabr[sl] = np.concatenate(
+            [cl1[bid], cl2[bid], pl1[bid], pl2[bid]], axis=1)
         s0r += k
     dense_off = (np.cumsum(ol, dtype=np.int64) - ol).astype(np.int32)
     sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
     out = _decode_fn(
         jnp.asarray(sw), jnp.asarray(sym_local), jnp.asarray(ol),
         jnp.asarray(carry_len), jnp.asarray(carry),
-        jnp.asarray(dense_off), jnp.asarray(cl1r), jnp.asarray(cl2r),
-        jnp.asarray(pl1r), jnp.asarray(pl2r), interpret=interpret)
+        jnp.asarray(dense_off), jnp.asarray(tabr), interpret=interpret)
     flat = np.asarray(fetch(out))
     pos = 0
     for i, (idx, _) in zip(idxs, parsed):
