@@ -66,15 +66,12 @@ def dense_markers(mib: int):
     body_bit_local = (scan["body_bit"] - 8 * slice_start).astype(np.int32)
     walk_out_len = np.where(scan["btype"] == 0, 0,
                             np.asarray(out_lens)).astype(np.int32)
-    lit_mask = ((1 << scan["lit_bits"]) - 1).astype(np.int32)
-    dist_mask = np.where(scan["dist_bits"] > 0,
-                         (1 << scan["dist_bits"]) - 1, 0).astype(np.int32)
     sw = np.ascontiguousarray(slices).view("<u4").astype(np.int32)
+    tab = np.concatenate([scan["lit_tab"], scan["dist_tab"]],
+                         axis=1).astype(np.int32)
     markers = ip._symbol_walk(
         jnp.asarray(sw), jnp.asarray(body_bit_local),
-        jnp.asarray(walk_out_len), jnp.asarray(scan["lit_tab"].astype(
-            np.int32)), jnp.asarray(scan["dist_tab"].astype(np.int32)),
-        jnp.asarray(lit_mask), jnp.asarray(dist_mask),
+        jnp.asarray(walk_out_len), jnp.asarray(tab),
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),

@@ -148,19 +148,15 @@ def main():
     body_bit_local = (scan["body_bit"] - 8 * slice_start).astype(np.int32)
     walk_out_len = np.where(scan["btype"] == 0, 0,
                             np.asarray(out_lens)).astype(np.int32)
-    lit_mask = ((1 << scan["lit_bits"]) - 1).astype(np.int32)
-    dist_mask = np.where(scan["dist_bits"] > 0,
-                         (1 << scan["dist_bits"]) - 1, 0).astype(np.int32)
     sw = np.ascontiguousarray(slices).view("<u4").astype(np.int32)
-    lit_tab = scan["lit_tab"].astype(np.int32)
-    dist_tab = scan["dist_tab"].astype(np.int32)
+    tab = np.concatenate([scan["lit_tab"], scan["dist_tab"]],
+                         axis=1).astype(np.int32)
     t_prep = time.time() - t0
     print(f"host scan: {t_scan*1000:.0f} ms, numpy prep: "
           f"{t_prep*1000:.0f} ms", flush=True)
 
     # --- h2d per operand ---
-    for name, arr in (("sw", sw), ("lit_tab", lit_tab),
-                      ("dist_tab", dist_tab), ("slices", slices)):
+    for name, arr in (("sw", sw), ("tab", tab), ("slices", slices)):
         jax.block_until_ready(jax.device_put(arr))
         t0 = time.time()
         jax.block_until_ready(jax.device_put(arr))
@@ -171,8 +167,7 @@ def main():
         "sw": jnp.asarray(sw),
         "bb": jnp.asarray(body_bit_local),
         "wol": jnp.asarray(walk_out_len),
-        "lt": jnp.asarray(lit_tab), "dt": jnp.asarray(dist_tab),
-        "lm": jnp.asarray(lit_mask), "dm": jnp.asarray(dist_mask),
+        "tab": jnp.asarray(tab),
         "lb": jnp.asarray(np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)),
         "le": jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
         "db": jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),
@@ -186,7 +181,7 @@ def main():
     }
 
     walk = jax.jit(lambda: ip._symbol_walk(
-        d["sw"], d["bb"], d["wol"], d["lt"], d["dt"], d["lm"], d["dm"],
+        d["sw"], d["bb"], d["wol"], d["tab"],
         d["lb"], d["le"], d["db"], d["de"], interpret=False, nblk=8))
     markers = t("walk (nblk=8)", walk)
 

@@ -889,13 +889,57 @@ std::vector<uint8_t>& InflateStream::pending() { return impl_->out; }
 // (tpz/kernels/inflate_pipeline.py).
 // ---------------------------------------------------------------------------
 
+// Two-level LSB table emit (round 4, see tpz/constants.py INFLATE_*):
+// l1 has 1 << kInflateL1Bits entries; a class whose codes all fit
+// kInflateL1Bits bits stores its (sym << 5 | len) entry directly, the
+// rest escape (len sentinel 31) into a 32-entry level-2 chunk indexed
+// by the peek's next 5 bits. Mask replication (peeks past 2^bits wrap)
+// is baked in, so the walk needs no per-block peek mask. Returns false
+// when the l2 capacity is exceeded (caller declines that block to the
+// host decoder).
+static bool EmitTwoLevelLSB(const HuffDecodeTable& t, uint32_t* l1,
+                            uint32_t* l2, int l2cap) {
+  constexpr uint32_t kL1 = 1u << kInflateL1Bits;
+  if (t.bits == 0) {
+    std::memset(l1, 0, 4 * kL1);
+    return true;
+  }
+  const uint32_t mask = (1u << t.bits) - 1;
+  int l2n = 0;
+  for (uint32_t idx = 0; idx < kL1; ++idx) {
+    uint32_t e0 = t.entries[idx & mask];
+    uint32_t ln = e0 & 31;
+    if (ln > 0 && ln <= (uint32_t)kInflateL1Bits) {
+      l1[idx] = e0;
+      continue;
+    }
+    // Class holds long codes (or is wholly invalid): emit a chunk.
+    bool any = false;
+    for (int j = 0; j < 32; ++j)
+      any |= t.entries[(idx + ((uint32_t)j << kInflateL1Bits)) & mask] != 0;
+    if (!any) {
+      l1[idx] = 0;
+      continue;
+    }
+    if (l2n + 32 > l2cap) return false;
+    for (int j = 0; j < 32; ++j)
+      l2[l2n + j] =
+          t.entries[(idx + ((uint32_t)j << kInflateL1Bits)) & mask];
+    l1[idx] = ((uint32_t)l2n << 5) | 31;
+    l2n += 32;
+  }
+  return true;
+}
+
 int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
                        int32_t nb, int32_t* btype_out, int64_t* body_bit,
                        int32_t* c0_pos, int32_t* c0_len, int32_t* c1_pos,
                        int32_t* c1_len, int32_t* lit_bits, int32_t* dist_bits,
                        uint32_t* lit_tab, uint32_t* dist_tab,
                        const int64_t* hdr_bits, const int64_t* seg_bits) {
-  constexpr size_t kTab = 1u << 15;
+  constexpr size_t kL1 = 1u << kInflateL1Bits;
+  constexpr size_t kLitTW = kL1 + kInflateLitL2;
+  constexpr size_t kDistTW = kL1 + kInflateDistL2;
   for (int32_t b = 0; b < nb; ++b) {
     int64_t start = hdr_bits ? hdr_bits[b] : (b == 0 ? 0 : end_bits[b - 1]);
     int64_t end = end_bits[b];
@@ -1001,11 +1045,14 @@ int InflateScanHeaders(const uint8_t* in, size_t n, const int64_t* end_bits,
                                                  : (int64_t)br.BitPos();
     lit_bits[b] = lit->bits;
     dist_bits[b] = dist->bits;
-    std::memcpy(lit_tab + (size_t)b * kTab, lit->entries.data(),
-                4 * lit->entries.size());
+    // Two-level emit; a (valid) pathological tree overflowing l2 marks
+    // the block with lit_bits = -1 — a device-decline, not an error.
+    uint32_t* lt = lit_tab + (size_t)b * kLitTW;
+    uint32_t* dt = dist_tab + (size_t)b * kDistTW;
+    bool ok = EmitTwoLevelLSB(*lit, lt, lt + kL1, kInflateLitL2);
     if (!dist->entries.empty())
-      std::memcpy(dist_tab + (size_t)b * kTab, dist->entries.data(),
-                  4 * dist->entries.size());
+      ok = ok && EmitTwoLevelLSB(*dist, dt, dt + kL1, kInflateDistL2);
+    if (!ok) lit_bits[b] = -1;
   }
   return kStatusOk;
 }

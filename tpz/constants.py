@@ -68,6 +68,19 @@ DEFLATE_MAX_MATCH = 258
 DEFLATE_WINDOW = 32768
 DEFLATE_END_OF_BLOCK = 256
 
+# Two-level LSB decode-table layout for the device symbol walk (round 4):
+# level-1 indexed by the low INFLATE_L1_BITS of the peek; codes longer
+# than L1_BITS escape (entry len == 31) into 32-entry level-2 chunks
+# indexed by peek bits L1_BITS..L1_BITS+4. Small enough that both
+# tables live in SMEM per walk chain. A (legal but pathological) tree
+# whose long codes overflow the L2 capacity declines to the host
+# decoder (scan reports lit_bits = -1).
+INFLATE_L1_BITS = 10
+INFLATE_LIT_L2 = 4096
+INFLATE_DIST_L2 = 1024
+INFLATE_LIT_TW = (1 << INFLATE_L1_BITS) + INFLATE_LIT_L2    # 5120
+INFLATE_DIST_TW = (1 << INFLATE_L1_BITS) + INFLATE_DIST_L2  # 2048
+
 # Fixed-Huffman code lengths. RFC 1951 §3.2.6.
 _fixed_ll = np.empty(288, dtype=np.int32)
 _fixed_ll[0:144] = 8

@@ -43,43 +43,41 @@ BLOCK = 65536
 # segments (inflate_index route) may expand a few KiB past 64k inside a
 # huffman block before producers fall back to stored, so carry margin.
 SLICE_BYTES = BLOCK + 8192
-TAB = 1 << 15
 
 # marker layout: kind << 28 | payload
 _KIND_LIT = 1                    # payload = byte
 _KIND_MATCH = 2                  # payload = dist << 9 | len
 
 
-def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
-                 lit_mask, dist_mask, len_base, len_extra, dist_base,
-                 dist_extra, start_pos=None, interpret=False,
-                 nblk: int = 8):
+STREAM_WIN = 4096  # words; per-chain sliding SMEM window over the slice
+
+
+def _symbol_walk(stream_words, body_bit_local, out_len, tab,
+                 len_base, len_extra, dist_base, dist_extra,
+                 start_pos=None, interpret=False, nblk: int = 8):
     """Per-block Huffman symbol decode — nblk interleaved block chains per
-    kernel body (the v3w/v3y walk pattern: straight-line, no lax.cond, no
-    pl.when, unconditional row store; independent chains hide the 150 ns
-    dependent-read VMEM latency, BASELINE.md).
+    kernel body (the v3w/v3y walk pattern: straight-line, no lax.cond,
+    unconditional row store; independent chains hide dependent-read
+    latency, BASELINE.md).
 
     One token consumes at most 15+5+15+13 = 48 bits, so a single 3-word
-    stream window read per token serves every bit peek as pure shifts; a
-    token then costs exactly 5 dynamic reads (3 stream + 2 table).
+    stream window read per token serves every bit peek as pure shifts.
 
-    Round 4 (bench/probe_extract.py on this chip): the stream slices live
-    in SMEM — a scalar load is 8.8 ns vs the 28.3 ns row-load+lane-select
-    a VMEM read costs — so the 3 stream reads run 3.2x faster and free
-    VPU issue slots for the other chains' ALU work. A blocked SMEM
-    OPERAND is double-buffered by the pipeline (2 x 576 KiB > the 1 MiB
-    SMEM budget — compile error observed), so the stream stays in HBM
-    (ANY space) and each grid step DMAs its nblk slices into a single-
-    buffered SMEM scratch (576 KiB; ~μs per step vs the step's ~10s of
-    ms of walk). The two 2^15-entry decode tables (128 KiB each PER
-    BLOCK) cannot fit either way, so table reads stay VMEM sum-selects.
+    Round 4 (bench/probe_extract.py on this chip): EVERY dynamic read is
+    an SMEM scalar load (8.8 ns, ~0 VPU issue slots — vs the 28.3 ns,
+    ~17-slot VMEM row-load+lane-select). The stream rides a per-chain
+    sliding window (bitpos is monotone; conditional DMA refill every
+    ~4k words), and the decode tables use the two-level layout the C++
+    scan now emits (tpz/constants.py INFLATE_*): 10-bit L1 + 32-entry
+    L2 chunks, 28 KiB per block fused [lit L1|lit L2|dist L1|dist L2],
+    DMA'd whole per grid step. Mask replication is baked into the
+    tables, so no per-block peek mask is needed.
 
     stream_words: [NB, SW] int32 (LE u32 of the block's stream slice)
     body_bit_local: [NB] int32 bit offset of the symbol stream within the
     slice; out_len: [NB] int32 (0 for stored blocks -> no walk);
-    lit_tab/dist_tab: [NB, TAB] int32 (sym << 5 | len entries);
-    lit_mask/dist_mask: [NB] int32 (2^bits - 1); len_base[29], len_extra
-    [29], dist_base[30], dist_extra[30]: int32 (SMEM).
+    tab: [NB, INFLATE_LIT_TW + INFLATE_DIST_TW] int32 fused tables;
+    len_base[29], len_extra[29], dist_base[30], dist_extra[30] (SMEM).
     Returns markers [NB, BLOCK] int32.
     """
     from jax.experimental import pallas as pl
@@ -87,8 +85,14 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
 
     NB, SW = stream_words.shape
     assert SW % 128 == 0 and BLOCK % 128 == 0
-    r_s, r_o = SW // 128, BLOCK // 128
-    r_t = TAB // 128
+    r_o = BLOCK // 128
+    TW = tab.shape[1]
+    SWIN = min(STREAM_WIN, SW)
+    L1B = C.INFLATE_L1_BITS
+    L1M = (1 << L1B) - 1
+    OLIT2 = 1 << L1B
+    ODIST1 = C.INFLATE_LIT_TW
+    ODIST2 = ODIST1 + (1 << L1B)
     if start_pos is None:
         start_pos = jnp.zeros((NB,), jnp.int32)
     NBp = -(-NB // nblk) * nblk
@@ -100,34 +104,33 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
                 [x, jnp.zeros((pad, cols), x.dtype)], axis=0)
 
         stream_words = padz(stream_words, SW)
-        lit_tab = padz(lit_tab, TAB)
-        dist_tab = padz(dist_tab, TAB)
+        tab = padz(tab, TW)
         zpad = jnp.zeros((pad,), jnp.int32)
         body_bit_local = jnp.concatenate([body_bit_local, zpad])
         out_len = jnp.concatenate([out_len, zpad])
-        lit_mask = jnp.concatenate([lit_mask, zpad])
-        dist_mask = jnp.concatenate([dist_mask, zpad])
         start_pos = jnp.concatenate([start_pos, zpad])
-    s2 = stream_words  # [NBp, SW] — SMEM block (nblk, SW) per grid step
-    l3 = lit_tab.reshape(NBp, r_t, 128)
-    d3 = dist_tab.reshape(NBp, r_t, 128)
 
-    def kernel(bb_ref, ol_ref, lm_ref, dm_ref, sp_ref, lb_ref, le_ref,
-               db_ref, de_ref, s_hbm, lt_ref, dt_ref, out_ref, s_ref,
-               dma_sem):
+    def kernel(bb_ref, ol_ref, sp_ref, lb_ref, le_ref,
+               db_ref, de_ref, s_hbm, t_hbm, out_ref, s_win, t_ref,
+               sbase_ref, dma_sem):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[...] = jnp.zeros_like(out_ref)
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
         cp = pltpu.make_async_copy(
-            s_hbm.at[pl.ds(g * nblk, nblk), :], s_ref, dma_sem)
+            t_hbm.at[pl.ds(g * nblk, nblk), :], t_ref, dma_sem)
         cp.start()
         cp.wait()
+        for c in range(nblk):
+            cps = pltpu.make_async_copy(
+                s_hbm.at[g * nblk + c, pl.ds(0, SWIN)], s_win.at[c],
+                dma_sem)
+            cps.start()
+            cps.wait()
+            sbase_ref[c] = 0
 
         outls = [ol_ref[g * nblk + c] for c in range(nblk)]
-        lmasks = [lm_ref[g * nblk + c] for c in range(nblk)]
-        dmasks = [dm_ref[g * nblk + c] for c in range(nblk)]
 
         def srl(x, s):
             return jax.lax.shift_right_logical(x, s)
@@ -136,16 +139,25 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
             bitpos, out_pos, ro, orow, ok = st
             act = ok & (out_pos < outls[c])
 
-            def rd(ref, pos):
-                row = ref[c, pl.ds(pos >> 7, 1), :]
-                return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
-
             w = bitpos >> 5
             sh = bitpos & 31
             wc = jnp.minimum(w, jnp.int32(SW - 3))
-            w0 = s_ref[c, wc]
-            w1 = s_ref[c, wc + 1]
-            w2 = s_ref[c, wc + 2]
+            need = act & ((wc + 2 - sbase_ref[c]) >= jnp.int32(SWIN - 1))
+
+            @pl.when(need)
+            def _():
+                nb = jnp.minimum(wc, jnp.int32(SW - SWIN))
+                cpw = pltpu.make_async_copy(
+                    s_hbm.at[g * nblk + c, pl.ds(nb, SWIN)], s_win.at[c],
+                    dma_sem)
+                cpw.start()
+                cpw.wait()
+                sbase_ref[c] = nb
+
+            woff = jnp.clip(wc - sbase_ref[c], 0, SWIN - 3)
+            w0 = s_win[c, woff]
+            w1 = s_win[c, woff + 1]
+            w2 = s_win[c, woff + 2]
 
             def bits_at(off, n):
                 # n-bit window at bit sh+off of the 96-bit (w0,w1,w2)
@@ -160,7 +172,11 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
                 return v & (srl(jnp.int32(-1), (32 - n) & one31)
                             & jnp.where(n > 0, -1, 0))
 
-            e = rd(lt_ref, bits_at(zero, jnp.int32(15)) & lmasks[c])
+            peek = bits_at(zero, jnp.int32(15))
+            e1 = t_ref[c, peek & L1M]
+            esc1 = (e1 & 31) == 31
+            e1b = t_ref[c, OLIT2 + srl(e1, 5) + (srl(peek, L1B) & 31)]
+            e = jnp.where(esc1, e1b, e1)
             clen = e & 31
             sym = e >> 5
             okn = ok & (clen > 0) & (sym != 256) & (sym <= 285)
@@ -169,7 +185,11 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
             li = jnp.clip(sym - 257, 0, 28)
             eb = le_ref[li]
             lval = lb_ref[li] + bits_at(clen, eb)
-            e2 = rd(dt_ref, bits_at(clen + eb, jnp.int32(15)) & dmasks[c])
+            pk = bits_at(clen + eb, jnp.int32(15))
+            d1 = t_ref[c, ODIST1 + (pk & L1M)]
+            escd = (d1 & 31) == 31
+            d1b = t_ref[c, ODIST2 + srl(d1, 5) + (srl(pk, L1B) & 31)]
+            e2 = jnp.where(escd, d1b, d1)
             dlen = e2 & 31
             ds = jnp.clip(e2 >> 5, 0, 29)
             okn = okn & (~is_match | (dlen > 0))
@@ -215,18 +235,19 @@ def _symbol_walk(stream_words, body_bit_local, out_len, lit_tab, dist_tab,
     out = pl.pallas_call(
         kernel,
         grid=(NBp // nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7 + [
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((nblk, r_t, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((nblk, SW), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((nblk, SWIN), jnp.int32),
+                        pltpu.SMEM((nblk, TW), jnp.int32),
+                        pltpu.SMEM((nblk,), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(body_bit_local, out_len, lit_mask, dist_mask, start_pos, len_base,
-      len_extra, dist_base, dist_extra, s2, l3, d3)
+    )(body_bit_local, out_len, start_pos, len_base,
+      len_extra, dist_base, dist_extra, stream_words, tab)
     return out.reshape(NBp, BLOCK)[:NB]
 
 
@@ -391,8 +412,8 @@ def _resolve_doubling(markers, dist_bias: int = 0, wide: bool = False):
     return (state & jnp.uint32(0xFF)).astype(jnp.uint8)
 
 
-def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
-                     dist_tab, lit_mask, dist_mask, len_base, len_extra,
+def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, tab,
+                     len_base, len_extra,
                      dist_base, dist_extra, btype, c0_pos_l,
                      c0_len, c1_pos_l, out_len, interpret: bool = False,
                      nblk: int = 8, wide: bool = False):
@@ -402,8 +423,7 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
     encoder blocks: every non-final out_len == BLOCK, so padded marker
     space IS dense output space."""
     markers = _symbol_walk(stream_words, body_bit_local, walk_out_len,
-                           lit_tab, dist_tab, lit_mask, dist_mask,
-                           len_base, len_extra, dist_base, dist_extra,
+                           tab, len_base, len_extra, dist_base, dist_extra,
                            interpret=interpret, nblk=nblk)
     markers = _materialize_fn(markers, stream_words, btype, c0_pos_l,
                               c0_len, c1_pos_l, out_len)
@@ -412,7 +432,7 @@ def _decode_fused_fn(stream_words, body_bit_local, walk_out_len, lit_tab,
 
 
 def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
-                         lit_tab, dist_tab, lit_mask, dist_mask, len_base,
+                         tab, len_base,
                          len_extra, dist_base, dist_extra, btype,
                          c0_pos_l, c0_len, c1_pos_l, out_len, start_pos,
                          carry, dense_off, interpret: bool = False,
@@ -425,8 +445,7 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
     sort before resolution."""
     NB = walk_out_len.shape[0]
     markers = _symbol_walk(stream_words, body_bit_local, walk_out_len,
-                           lit_tab, dist_tab, lit_mask, dist_mask,
-                           len_base, len_extra, dist_base, dist_extra,
+                           tab, len_base, len_extra, dist_base, dist_extra,
                            start_pos=start_pos, interpret=interpret,
                            nblk=nblk)
     markers = _materialize_fn(markers, stream_words, btype, c0_pos_l,
@@ -532,8 +551,25 @@ def decompress_many_indexed(items, interpret: bool | None = None,
                 results[gi] = out
         return results
 
+    # Scan first: a block whose (valid) pathological tree overflows the
+    # two-level L2 capacity reports lit_bits == -1 — decline that item
+    # to the host decoder (its result stays None).
+    scans = {}
+    kept = []
+    for i in idxs:
+        scan = oracle.inflate_scan_headers(items[i][0],
+                                           np.asarray(items[i][1]))
+        if (scan["lit_bits"] < 0).any():
+            continue
+        scans[i] = scan
+        kept.append(i)
+    idxs = kept
+    if not idxs:
+        return results
+
     nbs = [len(items[i][1]) for i in idxs]
     NB = sum(nbs)
+    TWALL = C.INFLATE_LIT_TW + C.INFLATE_DIST_TW
     slices = np.zeros((NB, SLICE_BYTES), np.uint8)
     body_bit_local = np.zeros(NB, np.int32)
     c0_pos_l = np.zeros(NB, np.int32)
@@ -542,14 +578,11 @@ def decompress_many_indexed(items, interpret: bool | None = None,
     walk_out_len = np.zeros(NB, np.int32)
     out_len_all = np.zeros(NB, np.int32)
     btype = np.zeros(NB, np.int32)
-    lit_mask = np.zeros(NB, np.int32)
-    dist_mask = np.zeros(NB, np.int32)
-    lit_tab = np.zeros((NB, TAB), np.int32)
-    dist_tab = np.zeros((NB, TAB), np.int32)
+    tab = np.zeros((NB, TWALL), np.int32)
     b0 = 0
     for i, nb in zip(idxs, nbs):
         stream, end_bits, out_lens = items[i]
-        scan = oracle.inflate_scan_headers(stream, np.asarray(end_bits))
+        scan = scans[i]
         sb = np.frombuffer(stream, np.uint8)
         slice_start = np.zeros(nb, np.int64)
         starts = np.concatenate([[0], np.asarray(end_bits)[:-1]])
@@ -568,19 +601,14 @@ def decompress_many_indexed(items, interpret: bool | None = None,
         walk_out_len[sl] = np.where(scan["btype"] == 0, 0,
                                     np.asarray(out_lens))
         btype[sl] = scan["btype"]
-        lit_mask[sl] = (1 << scan["lit_bits"]) - 1
-        dist_mask[sl] = np.where(scan["dist_bits"] > 0,
-                                 (1 << scan["dist_bits"]) - 1, 0)
-        lit_tab[sl] = scan["lit_tab"]
-        dist_tab[sl] = scan["dist_tab"]
+        tab[sl, :C.INFLATE_LIT_TW] = scan["lit_tab"]
+        tab[sl, C.INFLATE_LIT_TW:] = scan["dist_tab"]
         b0 += nb
 
     sw = np.ascontiguousarray(slices).view("<u4").astype(np.int32)
     out = _decode_fused(
         jnp.asarray(sw), jnp.asarray(body_bit_local),
-        jnp.asarray(walk_out_len), jnp.asarray(lit_tab),
-        jnp.asarray(dist_tab), jnp.asarray(lit_mask),
-        jnp.asarray(dist_mask),
+        jnp.asarray(walk_out_len), jnp.asarray(tab),
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),
@@ -678,8 +706,25 @@ def decompress_many_segmented(items, interpret: bool | None = None,
                 results[gi] = out
         return results
 
+    # Scan first; items whose trees overflow the two-level L2 capacity
+    # (lit_bits == -1) decline to the host decoder (result stays None).
+    scans = {}
+    kept = []
+    for i in idxs:
+        stream, idx = items[i]
+        scan = oracle.inflate_scan_segments(
+            stream, idx["hdr_bits"], idx["seg_bits"], idx["end_bits"])
+        if (scan["lit_bits"] < 0).any():
+            continue
+        scans[i] = scan
+        kept.append(i)
+    idxs = kept
+    if not idxs:
+        return results
+
     nbs = [len(items[i][1]["out_lens"]) for i in idxs]
     NB = sum(nbs)
+    total_out = sum(int(np.sum(items[i][1]["out_lens"])) for i in idxs)
     # Bucket the compile key: every distinct (segment count, output
     # size) pair is a fresh XLA program otherwise — on the axon relay a
     # ~30-60 s remote compile per FOREIGN STREAM (measured 53 s "warm"
@@ -700,15 +745,12 @@ def decompress_many_segmented(items, interpret: bool | None = None,
     start_pos = np.zeros(NBP, np.int32)
     carry = np.zeros(NBP, np.int32)
     btype = np.zeros(NBP, np.int32)
-    lit_mask = np.zeros(NBP, np.int32)
-    dist_mask = np.zeros(NBP, np.int32)
-    lit_tab = np.zeros((NBP, TAB), np.int32)
-    dist_tab = np.zeros((NBP, TAB), np.int32)
+    TWALL = C.INFLATE_LIT_TW + C.INFLATE_DIST_TW
+    tab = np.zeros((NBP, TWALL), np.int32)
     b0 = 0
     for i, nb in zip(idxs, nbs):
         stream, idx = items[i]
-        scan = oracle.inflate_scan_segments(
-            stream, idx["hdr_bits"], idx["seg_bits"], idx["end_bits"])
+        scan = scans[i]
         sb = np.frombuffer(stream, np.uint8)
         slice_start = np.zeros(nb, np.int64)
         for b in range(nb):
@@ -729,20 +771,15 @@ def decompress_many_segmented(items, interpret: bool | None = None,
         walk_out_len[sl] = np.where(scan["btype"] == 0, 0,
                                     idx["out_lens"])
         btype[sl] = scan["btype"]
-        lit_mask[sl] = (1 << scan["lit_bits"]) - 1
-        dist_mask[sl] = np.where(scan["dist_bits"] > 0,
-                                 (1 << scan["dist_bits"]) - 1, 0)
-        lit_tab[sl] = scan["lit_tab"]
-        dist_tab[sl] = scan["dist_tab"]
+        tab[sl, :C.INFLATE_LIT_TW] = scan["lit_tab"]
+        tab[sl, C.INFLATE_LIT_TW:] = scan["dist_tab"]
         b0 += nb
 
     dense_off = np.cumsum(out_len_all.astype(np.int64)) - out_len_all
     sw = np.ascontiguousarray(slices).view("<u4").astype(np.int32)
     out = _decode_segmented(
         jnp.asarray(sw), jnp.asarray(body_bit_local),
-        jnp.asarray(walk_out_len), jnp.asarray(lit_tab),
-        jnp.asarray(dist_tab), jnp.asarray(lit_mask),
-        jnp.asarray(dist_mask),
+        jnp.asarray(walk_out_len), jnp.asarray(tab),
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_BASE, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_LENGTH_EXTRA, np.int32)),
         jnp.asarray(np.asarray(C.DEFLATE_DIST_BASE, np.int32)),

@@ -300,8 +300,12 @@ def deflate_encode(data, params: np.ndarray | None = None) -> bytes:
 
 def inflate_scan_headers(stream, end_bits: np.ndarray) -> dict:
     """Header-only decode scan (cpp InflateScanHeaders): per indexed block,
-    block type, body bit offset, stored chunk layout, and flat single-level
-    decode tables [nb, 1<<15] packed (sym << 5 | len)."""
+    block type, body bit offset, stored chunk layout, and two-level decode
+    tables [nb, INFLATE_LIT_TW]/[nb, INFLATE_DIST_TW] packed
+    (sym << 5 | len; len 31 = escape into the 32-entry L2 chunk at
+    entry >> 5). lit_bits[b] == -1 marks a device-decline (L2 overflow)."""
+    from tpz import constants as C
+
     a = _u8(stream)
     eb = np.ascontiguousarray(end_bits, dtype=np.int64)
     nb = eb.shape[0]
@@ -313,8 +317,8 @@ def inflate_scan_headers(stream, end_bits: np.ndarray) -> dict:
     c1l = np.zeros(nb, np.int32)
     lbits = np.zeros(nb, np.int32)
     dbits = np.zeros(nb, np.int32)
-    ltab = np.zeros((nb, 1 << 15), np.uint32)
-    dtab = np.zeros((nb, 1 << 15), np.uint32)
+    ltab = np.zeros((nb, C.INFLATE_LIT_TW), np.uint32)
+    dtab = np.zeros((nb, C.INFLATE_DIST_TW), np.uint32)
     st = lib().tpz_inflate_scan_headers(
         _u8ptr(a), a.size, _ptr(eb, ctypes.c_int64), nb,
         _ptr(btype, ctypes.c_int32), _ptr(body_bit, ctypes.c_int64),
@@ -374,6 +378,8 @@ def inflate_scan_segments(stream, hdr_bits: np.ndarray,
                           end_bits: np.ndarray) -> dict:
     """Like inflate_scan_headers, but entries may share a block header
     and start mid-block (segments from inflate_index)."""
+    from tpz import constants as C
+
     a = _u8(stream)
     hb = np.ascontiguousarray(hdr_bits, dtype=np.int64)
     sb = np.ascontiguousarray(seg_bits, dtype=np.int64)
@@ -387,8 +393,8 @@ def inflate_scan_segments(stream, hdr_bits: np.ndarray,
     c1l = np.zeros(nb, np.int32)
     lbits = np.zeros(nb, np.int32)
     dbits = np.zeros(nb, np.int32)
-    ltab = np.zeros((nb, 1 << 15), np.uint32)
-    dtab = np.zeros((nb, 1 << 15), np.uint32)
+    ltab = np.zeros((nb, C.INFLATE_LIT_TW), np.uint32)
+    dtab = np.zeros((nb, C.INFLATE_DIST_TW), np.uint32)
     st = lib().tpz_inflate_scan_segments(
         _u8ptr(a), a.size, _ptr(hb, ctypes.c_int64),
         _ptr(sb, ctypes.c_int64), _ptr(eb, ctypes.c_int64), nb,
