@@ -77,14 +77,15 @@ def test_records_match_reference_last_columns():
         take = min(int((scan["end_bits"][b] + 7) // 8 + 1 - s0),
                    len(enc) - s0)
         slices[b, :take] = sb[s0:s0 + take]
-    l1, l2 = bzip2_walk.build_tables(scan["lens"], scan["n_useds"])
+    tab = bzip2_walk.build_tables(scan["lens"], scan["n_useds"])
+    assert tab is not None
     sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
     S = N + 128
     recs, meta = map(np.asarray, bzip2_walk._walk_call(
         jnp.asarray(scan["n_useds"].astype(np.int32)),
         jnp.asarray(scan["nsels"].astype(np.int32)),
         jnp.asarray((scan["sym_bits"] & 7).astype(np.int32)),
-        jnp.asarray(sw), jnp.asarray(l1), jnp.asarray(l2),
+        jnp.asarray(sw), jnp.asarray(tab),
         jnp.asarray(scan["selectors"].astype(np.int32)),
         jnp.asarray(scan["mtf_init"].astype(np.int32)),
         S=S, interpret=True))

@@ -37,7 +37,7 @@ import numpy as np
 from tpz.kernels.ibwt_walk import ibwt_body
 
 SEL_CAP = 18432
-L2_CAP = 1152
+L2_CAP = 2048
 GROUP = 50
 
 
@@ -48,13 +48,27 @@ def _nblk_for(N: int) -> int:
     return 2 if N >= (1 << 19) else 4
 
 
+# Round-4 table layout: 12-bit level-1 + 5-bit (32-entry) level-2 chunks
+# per table (12 + 5 = 17 = the bzip2 code-length cap) replace the flat
+# 15-bit level-1. All 6 tables of a block fuse to [t][L1 4096 | L2 8256]
+# and live in SMEM per chain — both decode-table reads per symbol become
+# 8.8 ns scalar loads. bzip2 trees are DEEP (measured: up to 240 of 258
+# codes past 11 bits on the mixed corpus), so the L2 capacity is sized
+# to the worst case — 258 long codes x one 32-entry chunk each — and
+# can never overflow for the format's alpha <= 258.
+L1_BITS = 12
+L1W = 1 << L1_BITS
+L2W = 258 * 32
+TAB_STRIDE = L1W + L2W
+
+
 def build_tables(lens: np.ndarray, n_useds: np.ndarray):
-    """lens [NB, 6, 258] uint8 (0 = unused) -> (l1 [NB, 6, 1<<15] int32,
-    l2 [NB, 6, L2_CAP] int32). Canonical MSB codes in (len, symbol)
-    order, as cpp/huffman.cc BuildDecodeTable(lsb=false)."""
+    """lens [NB, 6, 258] uint8 (0 = unused) -> fused tab
+    [NB, 6 * TAB_STRIDE] int32 ([t][L1|L2] per table). Canonical MSB
+    codes in (len, symbol) order, as cpp/huffman.cc
+    BuildDecodeTable(lsb=false)."""
     NB = lens.shape[0]
-    l1 = np.zeros((NB, 6, 1 << 15), np.int32)
-    l2 = np.zeros((NB, 6, L2_CAP), np.int32)
+    tab = np.zeros((NB, 6, TAB_STRIDE), np.int32)
     for b in range(NB):
         alpha = int(n_useds[b]) + 2
         for t in range(6):
@@ -74,28 +88,28 @@ def build_tables(lens: np.ndarray, n_useds: np.ndarray):
                 codes[i] = c
                 c += 1
             l2n = 0
-            row1 = l1[b, t]
-            row2 = l2[b, t]
+            row1 = tab[b, t, :L1W]
+            row2 = tab[b, t, L1W:]
             esc_base = {}
             for i in range(ls.size):
                 L = int(ls[i])
                 sym = int(order[i])
                 code = int(codes[i])
-                if L <= 15:
-                    lo = code << (15 - L)
-                    row1[lo:lo + (1 << (15 - L))] = (sym << 5) | L
+                if L <= L1_BITS:
+                    lo = code << (L1_BITS - L)
+                    row1[lo:lo + (1 << (L1_BITS - L))] = (sym << 5) | L
                 else:
-                    pre = code >> (L - 15)
+                    pre = code >> (L - L1_BITS)
                     if pre not in esc_base:
                         esc_base[pre] = l2n
                         row1[pre] = (l2n << 5) | 31
-                        l2n += 4
+                        l2n += 32
                     base = esc_base[pre]
-                    suf = code & ((1 << (L - 15)) - 1)
-                    w = 1 << (17 - L)
-                    s0 = base + (suf << (17 - L))
+                    suf = code & ((1 << (L - L1_BITS)) - 1)
+                    w = 1 << (L1_BITS + 5 - L)
+                    s0 = base + (suf << (L1_BITS + 5 - L))
                     row2[s0:s0 + w] = (sym << 5) | L
-    return l1, l2
+    return tab.reshape(NB, 6 * TAB_STRIDE)
 
 
 # Per-chain SMEM stream window (words). The walk's bitpos is monotone,
@@ -107,9 +121,9 @@ def build_tables(lens: np.ndarray, n_useds: np.ndarray):
 STREAM_WIN = 4096
 
 
-def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, l1_ref, l2_ref, sel_ref,
-                 mi_ref, out_ref, meta_ref, win_ref, base_ref, dma_sem,
-                 *, S: int, SW: int, NBLK: int):
+def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
+                 mi_ref, out_ref, meta_ref, win_ref, tab_ref, base_ref,
+                 dma_sem, *, S: int, SW: int, NBLK: int):
     """One grid step = NBLK blocks' symbol walks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -120,6 +134,10 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, l1_ref, l2_ref, sel_ref,
     one31 = jnp.int32(31)
     WINW = min(STREAM_WIN, SW)
 
+    cpt = pltpu.make_async_copy(
+        t_hbm.at[pl.ds(g0 * NBLK, NBLK), :], tab_ref, dma_sem)
+    cpt.start()
+    cpt.wait()
     for c in range(NBLK):
         cp = pltpu.make_async_copy(
             s_hbm.at[g0 * NBLK + c, pl.ds(0, WINW)], win_ref.at[c],
@@ -136,14 +154,9 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, l1_ref, l2_ref, sel_ref,
          orow, done, err) = st
         act = ~done & (nrec < S)
 
-        def rd(ref, pos):
-            row = ref[c, pl.ds(pos >> 7, 1), :]
-            return jnp.sum(jnp.where(lane == (pos & 127), row, 0))
-
-        # Current table id from the selector list (SMEM operand: a
-        # scalar load, vs the 28 ns row-load+lane-select a VMEM read
-        # costs — round-4 probe_extract finding).
-        t = sel_ref[c, gi]
+        # Current table id from the selector list (appended to the
+        # fused SMEM scratch at SEL_OFF — a scalar load).
+        t = tab_ref[c, jnp.int32(6 * TAB_STRIDE) + gi]
         # 32-bit MSB window at bitpos, read from the chain's SMEM
         # sliding window (refilled by DMA when the cursor nears its
         # end; `need` only fires while the chain is active).
@@ -166,13 +179,14 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, l1_ref, l2_ref, sel_ref,
         w1 = win_ref[c, woff + 1]
         top = jax.lax.shift_left(w0, sh) | jnp.where(
             sh > 0, srl(w1, (32 - sh) & one31), 0)
-        peek15 = srl(top, 17)
-        # rd takes FLAT element indices: l1 table t spans elements
-        # [t << 15, (t+1) << 15); l2 spans [t * L2_CAP, ...).
-        e1 = rd(l1_ref, jax.lax.shift_left(t, 15) + peek15)
+        # Two-level SMEM lookup: table t spans [t * TAB_STRIDE,
+        # (t+1) * TAB_STRIDE) of the fused scratch ([L1 | L2] per table).
+        peek = srl(top, 32 - L1_BITS)
+        tb = t * jnp.int32(TAB_STRIDE)
+        e1 = tab_ref[c, tb + peek]
         esc = (e1 & 31) == 31
-        l2i = srl(e1, 5) + (srl(top, 15) & 3)
-        e2 = rd(l2_ref, t * jnp.int32(L2_CAP) + l2i)
+        l2i = srl(e1, 5) + (srl(top, 32 - L1_BITS - 5) & 31)
+        e2 = tab_ref[c, tb + jnp.int32(L1W) + l2i]
         e = jnp.where(esc, e2, e1)
         ln = e & 31
         sym_new = srl(e, 5)
@@ -289,7 +303,7 @@ def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     NB, SCAP = slices.shape
-    l1, l2 = build_tables(scan["lens"], scan["n_useds"])
+    tab = build_tables(scan["lens"], scan["n_useds"])
     sym_local = (scan["sym_bits"] & 7).astype(np.int32)
     sw = np.ascontiguousarray(slices).view(">u4").astype(np.int32)
     S = N + 128
@@ -301,7 +315,7 @@ def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
         jnp.asarray(scan["nsels"].astype(np.int32)),
         jnp.asarray(sym_local),
         jnp.asarray(scan["origs"].astype(np.int32)),
-        jnp.asarray(sw), jnp.asarray(l1), jnp.asarray(l2),
+        jnp.asarray(sw), jnp.asarray(tab),
         jnp.asarray(scan["selectors"].astype(np.int32)),
         jnp.asarray(scan["mtf_init"].astype(np.int32)),
         S=S, N=N, interpret=interpret)
@@ -310,7 +324,7 @@ def decode_blocks_device(scan: dict, slices: np.ndarray, N: int,
     return plain, lens, err, endbits, ok
 
 
-def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
+def _walk_call(n_used, nsel, sym_local, sw, tab, selectors, mtf_init,
                *, S: int, interpret: bool, NBLK: int = 2):
     """Just the Pallas symbol walk: returns (recs [NB, S], meta
     [NB, 128]). Traceable; also used directly by tests."""
@@ -326,8 +340,8 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
             return jnp.concatenate(
                 [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
-        sw, l1, l2, selectors, mtf_init = map(
-            padz, (sw, l1, l2, selectors, mtf_init))
+        sw, tab, selectors, mtf_init = map(
+            padz, (sw, tab, selectors, mtf_init))
         zp = jnp.zeros((pad,), jnp.int32)
         # Padding rows: n_used=254 keeps eob=255 unreachable; the walk
         # ends immediately via nsel=0 -> bad -> done (err ignored below).
@@ -340,14 +354,7 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
         grid=(NBp // NBLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((NBLK, 6 * 256, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((NBLK, 6 * (L2_CAP // 128), 128),
-                         lambda b: (b, 0, 0)),
-            # Selectors as a blocked SMEM operand: 2 x 72 KiB double-
-            # buffered fits the ~1 MiB SMEM budget (the stream, ~1 MiB
-            # per level-9 block, does not — its reads stay VMEM).
-            pl.BlockSpec((NBLK, SEL_CAP), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((NBLK, 2, 128), lambda b: (b, 0, 0)),
         ],
         out_specs=[
@@ -365,24 +372,23 @@ def _walk_call(n_used, nsel, sym_local, sw, l1, l2, selectors, mtf_init,
             vmem_limit_bytes=64 * 1024 * 1024),
         scratch_shapes=[
             pltpu.SMEM((NBLK, min(STREAM_WIN, SW)), jnp.int32),
+            pltpu.SMEM((NBLK, 6 * TAB_STRIDE + SEL_CAP), jnp.int32),
             pltpu.SMEM((NBLK,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(n_used, nsel, sym_local,
       sw,
-      l1.reshape(NBp, 6 * 256, 128),
-      l2.reshape(NBp, 6 * (L2_CAP // 128), 128),
-      selectors,
+      jnp.concatenate([tab, selectors], axis=1),
       mtf_init.reshape(NBp, 2, 128))
     return recs.reshape(NBp, S)[:NB], meta.reshape(NBp, 128)[:NB]
 
 
 @functools.partial(jax.jit, static_argnames=("S", "N", "interpret"))
-def _decode_jit(n_used, nsel, sym_local, orig, sw, l1, l2, selectors,
+def _decode_jit(n_used, nsel, sym_local, orig, sw, tab, selectors,
                 mtf_init, *, S: int, N: int, interpret: bool):
     NB = sw.shape[0]
-    recs, meta = _walk_call(n_used, nsel, sym_local, sw, l1, l2,
+    recs, meta = _walk_call(n_used, nsel, sym_local, sw, tab,
                             selectors, mtf_init, S=S, interpret=interpret,
                             NBLK=_nblk_for(N))
     nrec = meta[:, 0]
