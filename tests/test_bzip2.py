@@ -132,6 +132,60 @@ def test_incremental_decode_stream_block_granular():
     assert emitted_early  # block granularity, not wait-for-the-end
 
 
+def test_incremental_decode_whole_blob_single_write():
+    """ADVICE r4 high: a single write() holding a whole multi-block
+    stream must decode every block, not just the first — the round-4
+    scan frontier jumped to end-of-buffer after the first candidate."""
+    import bz2 as stdbz2
+
+    from tpz.api import DecodeStream
+    from tpz.utils import corpus
+
+    data = corpus.mixed(700_000, seed=11)  # multiple 100k blocks at -1
+    blob = stdbz2.compress(data, 1)
+    ds = DecodeStream("bzip2")
+    out = ds.write(blob)
+    out += ds.finish()
+    assert bytes(out) == data
+    # Two streams in one write.
+    data2 = corpus.mixed(250_000, seed=12)
+    ds = DecodeStream("bzip2")
+    out = ds.write(blob + stdbz2.compress(data2, 1))
+    out += ds.finish()
+    assert bytes(out) == data + data2
+
+
+def test_incremental_decode_byte_aligned_magic_at_write_boundary():
+    """ADVICE r4 medium: a byte-aligned block magic occupying the final
+    6 bytes of the buffered data must be found (the s==0 scan dropped the
+    last byte), including when a write boundary lands right after it."""
+    import bz2 as stdbz2
+
+    from tpz.api import DecodeStream
+    from tpz.codecs.bzip2 import _MAGIC_BLOCK, _find_magics
+    from tpz.utils import corpus
+
+    # Direct scanner check: magic flush against the end of the buffer.
+    buf = b"\x00" * 80 + _MAGIC_BLOCK.to_bytes(6, "big")
+    assert 80 * 8 in _find_magics(buf, 0, len(buf) * 8)
+
+    # End-to-end: split every multi-block stream byte position so any
+    # byte-aligned boundary gets exercised as a write frontier.
+    data = corpus.mixed(220_000, seed=13)
+    blob = stdbz2.compress(data, 1)
+    starts = _find_magics(blob, 0, len(blob) * 8)
+    aligned = [s for s in starts if s % 8 == 0 and s > 0]
+    cuts = sorted({(s // 8) + 6 for s in aligned} | {len(blob) // 2})
+    ds = DecodeStream("bzip2")
+    out = bytearray()
+    pos = 0
+    for cut in cuts + [len(blob)]:
+        out += ds.write(blob[pos:cut])
+        pos = cut
+    out += ds.finish()
+    assert bytes(out) == data
+
+
 def test_incremental_decode_stream_errors():
     import bz2 as stdbz2
 

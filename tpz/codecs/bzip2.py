@@ -78,7 +78,9 @@ def _find_magics(buf, start_bit: int, end_bit: int):
             for m in (_MAGIC_BLOCK, _MAGIC_EOS)]
     for s in range(8):
         if s == 0:
-            sb = w[:-1].astype(np.uint8)
+            # Full width: w[:-1] would drop the final byte and miss a
+            # byte-aligned magic occupying the last 6 bytes (ADVICE r4).
+            sb = w.astype(np.uint8)
         else:
             sb = (((w[:-1] << s) | (w[1:] >> (8 - s))) & 0xFF).astype(
                 np.uint8)
@@ -116,7 +118,8 @@ class IncrementalDecoder:
         self._level = 9
         self._crcs: list[int] = []
         self._cur = 0           # global bit pos: next undecoded element
-        self._scan = 0          # global bit pos scanned for magics
+        self._scan = 0          # magic starts < _scan have all been found
+        self._cands: list[int] = []  # candidate magic starts (global, sorted)
         self._bad: set[int] = set()  # rejected candidate positions
         self.ended_clean = True
 
@@ -127,6 +130,25 @@ class IncrementalDecoder:
 
     def _end_bit(self) -> int:
         return self._base + 8 * len(self._buf)
+
+    def _extend_scan(self) -> None:
+        """Scan NEW bytes for candidate magics, caching every hit.
+
+        The round-4 version advanced the frontier to end-of-buffer after
+        consuming only the first candidate, so a later magic already inside
+        the buffer was never found again (ADVICE r4 high): a single write()
+        of a whole multi-block stream decoded only block 1. The cache keeps
+        all of them; _scan is the proven-scanned frontier (every magic
+        starting below it is in _cands or consumed)."""
+        lim = self._end_bit()
+        if lim - 48 < self._scan:
+            return
+        for c in _find_magics(self._buf, self._scan - self._base,
+                              lim - self._base):
+            g = c + self._base
+            if g >= self._scan:
+                self._cands.append(g)
+        self._scan = lim - 47
 
     def _trim(self) -> None:
         cut = (self._cur - self._base) // 8
@@ -171,7 +193,11 @@ class IncrementalDecoder:
                     raise DataError("bad bzip2 stream header")
                 self._level = lvl
                 self._cur += 32
-                self._scan = self._cur
+                # _scan may already sit past _cur (the previous stream's
+                # scans ran to end-of-buffer); never rewind it — rescanning
+                # would duplicate cached candidates.
+                self._scan = max(self._scan, self._cur)
+                self._cands = [g for g in self._cands if g >= self._cur]
                 self._crcs = []
                 self._state = "block"
             elif self._state == "block":
@@ -195,16 +221,12 @@ class IncrementalDecoder:
                 if magic != _MAGIC_BLOCK:
                     raise DataError("bad bzip2 block magic")
                 # Find the next magic after this block's start.
+                self._extend_scan()
                 nxt = None
-                lim = self._end_bit()
-                for cand in _find_magics(
-                        self._buf, max(self._cur + 48, self._scan - 47)
-                        - self._base, lim - self._base):
-                    g = cand + self._base
-                    if g > self._cur and g not in self._bad:
+                for g in self._cands:
+                    if g >= self._cur + 48 and g not in self._bad:
                         nxt = g
                         break
-                self._scan = max(self._scan, lim)
                 if nxt is None:
                     break
                 crc = self._peek(self._cur + 48, 32)
@@ -213,12 +235,12 @@ class IncrementalDecoder:
                         self._synth_block(self._cur, nxt, crc))
                 except CompressionError:
                     # Chance 48-bit pattern inside payload: not a real
-                    # boundary. Skip it and wait for the next candidate.
+                    # boundary. Skip it and try the next cached candidate.
                     self._bad.add(nxt)
-                    self._scan = self._cur + 48
                     continue
                 self._crcs.append(crc)
                 self._bad = {b for b in self._bad if b > nxt}
+                self._cands = [g for g in self._cands if g >= nxt]
                 self._cur = nxt
                 self._trim()
             else:  # pragma: no cover
