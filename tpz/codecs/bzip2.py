@@ -17,7 +17,7 @@ def compress(data: bytes, level: int = 9, backend: str = "auto") -> bytes:
         try:
             from tpz.kernels import bzip2_pipeline
 
-            if bzip2_pipeline.usable():
+            if bzip2_pipeline.usable(explicit=(backend == "tpu")):
                 return bzip2_pipeline.compress(data, level)
             raise RuntimeError("device pipeline not usable")
         except Exception:
@@ -32,7 +32,7 @@ def compress_many(datas, level: int = 9, backend: str = "auto") -> list:
         try:
             from tpz.kernels import bzip2_pipeline
 
-            if bzip2_pipeline.usable():
+            if bzip2_pipeline.usable(explicit=(backend == "tpu")):
                 return bzip2_pipeline.compress_many(list(datas), level)
             raise RuntimeError("device pipeline not usable")
         except Exception:
@@ -50,7 +50,7 @@ def decompress_many(datas, backend: str = "auto") -> list[bytes]:
     if backend == "tpu":
         from tpz.kernels import bzip2_pipeline
 
-        if not bzip2_pipeline.usable():
+        if not bzip2_pipeline.usable(explicit=True):
             raise RuntimeError("tpu backend requested but unusable")
         results = bzip2_pipeline.decompress_walk_many(datas)
     return [r if r is not None else oracle.bzip2_decode(d)
@@ -265,7 +265,7 @@ def decompress(data: bytes, backend: str = "auto") -> bytes:
     if backend == "tpu":
         from tpz.kernels import bzip2_pipeline
 
-        if not bzip2_pipeline.usable():
+        if not bzip2_pipeline.usable(explicit=True):
             raise RuntimeError("tpu backend requested but unusable")
         out = bzip2_pipeline.decompress(data)
         if out is not None:  # unsupported shapes fall through

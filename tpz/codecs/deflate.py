@@ -78,7 +78,7 @@ def compress(data: bytes, level: int = 6, backend: str = "auto",
         try:
             from tpz.kernels import deflate_pipeline
 
-            if deflate_pipeline.usable():
+            if deflate_pipeline.usable(explicit=(backend == "tpu")):
                 return deflate_pipeline.compress(data, cfg)
             raise RuntimeError("device pipeline not usable")
         except Exception:
@@ -101,7 +101,7 @@ def compress_indexed(data: bytes, level: int = 6, backend: str = "auto",
         try:
             from tpz.kernels import deflate_pipeline
 
-            if deflate_pipeline.usable():
+            if deflate_pipeline.usable(explicit=(backend == "tpu")):
                 return deflate_pipeline.compress_indexed(data, cfg)
             raise RuntimeError("device pipeline not usable")
         except Exception:
@@ -138,7 +138,7 @@ def decompress_prefix(data: bytes, backend: str = "auto") -> tuple[bytes, int]:
     if backend == "tpu":
         from tpz.kernels import inflate_pipeline
 
-        if not inflate_pipeline.usable():
+        if not inflate_pipeline.usable(explicit=True):
             # Never silently time/serve the host path under an explicit
             # device request (it would mislabel benchmarks and hide a
             # dead backend); "auto" remains the graceful mode.
@@ -159,7 +159,7 @@ def compress_many(datas, level: int = 6, backend: str = "auto",
         try:
             from tpz.kernels import deflate_pipeline
 
-            if deflate_pipeline.usable():
+            if deflate_pipeline.usable(explicit=(backend == "tpu")):
                 return deflate_pipeline.compress_many(list(datas), cfg)
             raise RuntimeError("device pipeline not usable")
         except Exception:

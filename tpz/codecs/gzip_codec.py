@@ -151,7 +151,7 @@ def decompress_member_prefix(data: bytes, off: int = 0,
     if backend == "tpu":
         from tpz.kernels import inflate_pipeline
 
-        if not inflate_pipeline.usable():
+        if not inflate_pipeline.usable(explicit=True):
             # Explicit device requests fail loudly on a dead backend
             # (silent host fallback would mislabel device benchmarks);
             # "auto" remains the graceful mode.
@@ -180,7 +180,7 @@ def decompress_member_prefix(data: bytes, off: int = 0,
             and len(end_bits) * inflate_pipeline.BLOCK
             <= inflate_pipeline.MAX_DECODE_SPAN_WIDE
         )
-        if ok and inflate_pipeline.usable():
+        if ok and inflate_pipeline.usable(explicit=True):
             nbytes = (int(end_bits[-1]) + 7) // 8
             plain = inflate_pipeline.decompress_indexed(
                 data[pos:pos + nbytes], end_bits, out_lens)
@@ -190,7 +190,7 @@ def decompress_member_prefix(data: bytes, off: int = 0,
         # (SURVEY.md §7.4 route 2) makes ANY member device-decodable.
         from tpz.kernels import inflate_pipeline
 
-        if inflate_pipeline.usable():
+        if inflate_pipeline.usable(explicit=True):
             idx = inflate_pipeline.index_stream(data[pos:])
             if idx is not None:
                 plain = inflate_pipeline.decompress_segmented(
@@ -233,7 +233,7 @@ def decompress_many(datas, backend: str = "auto") -> list[bytes]:
     if backend == "tpu":
         from tpz.kernels import inflate_pipeline
 
-        if inflate_pipeline.usable():
+        if inflate_pipeline.usable(explicit=True):
             scans = [_scan_members_indexed(d) for d in datas]
             items = []
             for s in scans:
@@ -310,7 +310,7 @@ def _decompress_members_batched(data: bytes) -> bytes | None:
     the sharded encoder's); None -> caller walks members individually."""
     from tpz.kernels import inflate_pipeline
 
-    if not inflate_pipeline.usable():
+    if not inflate_pipeline.usable(explicit=True):
         return None
     s = _scan_members_indexed(data)
     if s is None:

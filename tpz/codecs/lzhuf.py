@@ -33,7 +33,7 @@ def raw_compress(data: bytes, method: str = "lh5", max_chain: int = 16,
         try:
             from tpz.kernels import lzhuf_pipeline
 
-            if lzhuf_pipeline.usable():
+            if lzhuf_pipeline.usable(explicit=(backend == "tpu")):
                 return lzhuf_pipeline.compress(data, method, max_chain)
             if backend == "tpu":
                 raise RuntimeError("tpu backend requested but unusable")
@@ -48,7 +48,7 @@ def raw_decompress(data: bytes, orig_size: int, method: str = "lh5",
     if backend == "tpu":
         from tpz.kernels import lzhuf_pipeline, lzhuf_walk
 
-        if not lzhuf_pipeline.usable():
+        if not lzhuf_pipeline.usable(explicit=True):
             raise RuntimeError("tpu backend requested but unusable")
         out = lzhuf_walk.decompress(data, orig_size,
                                     _dict_bits(method))
@@ -76,7 +76,7 @@ def compress_many(datas, method: str = "lh5", level: int = 6,
         try:
             from tpz.kernels import lzhuf_pipeline
 
-            if lzhuf_pipeline.usable():
+            if lzhuf_pipeline.usable(explicit=(backend == "tpu")):
                 bodies = lzhuf_pipeline.compress_many(datas, method)
             elif backend == "tpu":
                 raise RuntimeError("tpu backend requested but unusable")
@@ -108,7 +108,7 @@ def decompress_many(datas, method: str | None = None,
     if backend == "tpu":
         from tpz.kernels import lzhuf_pipeline, lzhuf_walk
 
-        if lzhuf_pipeline.usable():
+        if lzhuf_pipeline.usable(explicit=True):
             by_bits = {}
             for i, (m, size, body) in enumerate(parsed):
                 by_bits.setdefault(_dict_bits(m), []).append(i)

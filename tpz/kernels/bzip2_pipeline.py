@@ -26,10 +26,10 @@ import functools
 import numpy as np
 
 
-def usable() -> bool:
+def usable(explicit: bool = False) -> bool:
     from tpz.kernels.deflate_pipeline import usable as _u
 
-    return _u()
+    return _u(explicit)
 
 
 def _bucket(n: int) -> int:

