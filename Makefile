@@ -1,6 +1,6 @@
 # Top-level build/test entry points (SURVEY.md §2.1 CI row).
 
-.PHONY: all oracle test test-fast test-asan bench clean selftest
+.PHONY: all oracle test test-fast test-asan bench clean selftest selftest-tpu
 
 all: oracle
 
@@ -32,6 +32,13 @@ bench: oracle
 
 selftest: oracle
 	python -m tpz selftest
+
+# Real-TPU compile+run gate (VERDICT r4 item 2): every Pallas kernel
+# family compiled FOR THE CHIP and round-tripped at small shapes.
+# Interpret-mode tests cannot see Mosaic failures — run this before any
+# round-end snapshot. Refuses to pass on CPU.
+selftest-tpu: oracle
+	python -u bench/selftest_tpu.py
 
 clean:
 	$(MAKE) -C cpp clean

@@ -228,14 +228,19 @@ def main():
         backend = jax.default_backend()
         encode_many = deflate_pipeline.compress_many
     except Exception:
-        # Chip held by another process / backend init failure: report the
-        # oracle path rather than crashing (clearly labeled).
+        # Chip held by another process / backend init failure: still run
+        # the oracle so the round has SOME record, but the fallback must
+        # be unmistakable (VERDICT r4 next item 4): backend is reported
+        # at TOP level, value is null (the device metric did not run on
+        # the device), and no roofline annotation is emitted.
         from tpz import oracle
 
         backend = "oracle-cpu-fallback"
 
         def encode_many(datas):
             return [oracle.deflate_encode(d) for d in datas]
+    # The CPU smoke mode is equally not a device measurement.
+    device_ran = backend not in ("cpu", "oracle-cpu-fallback")
 
     # Headline shape: nbuf independent buffers batch-encoded in ONE device
     # invocation (compress_many) — the production serving shape (SURVEY.md
@@ -275,23 +280,41 @@ def main():
         "all_s": [round(t, 4) for t in times],
         "compression_ratio": round(ratio, 4),
     }
-    try:
-        from tpz.utils import roofline
+    if device_ran:
+        try:
+            from tpz.utils import roofline
 
-        rl = roofline.annotate("deflate_encode_device", total,
-                               total / median / 1e6)
-        if rl is not None:
-            detail["roofline"] = rl
-            detail["roofline_rates"] = roofline.RATES
-    except Exception:  # noqa: BLE001 — annotation must never kill bench
-        pass
+            rl = roofline.annotate("deflate_encode_device", total,
+                                   total / median / 1e6)
+            if rl is not None:
+                detail["roofline"] = rl
+                detail["roofline_rates"] = roofline.RATES
+        except Exception:  # noqa: BLE001 — annotation must not kill bench
+            pass
     if not skip_extra:
         detail["extra_metrics"] = extra_metrics(size)
+    if not device_ran:
+        # The headline is a DEVICE metric: a run that never touched the
+        # TPU reports value=null so the driver records a failed device
+        # measurement, not a CPU number wearing a device label.
+        detail["fallback_GB_s"] = round(gbps, 4)
+        print(json.dumps({
+            "metric": "deflate_encode_silesia_like",
+            "value": None,
+            "unit": "GB/s/chip",
+            "vs_baseline": None,
+            "backend": backend,
+            "device_ran": False,
+            "detail": detail,
+        }))
+        return
     print(json.dumps({
         "metric": "deflate_encode_silesia_like",
         "value": round(gbps, 4),
         "unit": "GB/s/chip",
         "vs_baseline": round(gbps / 1.0, 4),
+        "backend": backend,
+        "device_ran": True,
         "detail": detail,
     }))
 

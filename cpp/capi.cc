@@ -188,6 +188,33 @@ int64_t tpz_inflate_stream_take(void* h, uint8_t* out, int64_t cap) {
   return take;
 }
 
+// Resumable lzhuf decode for the streaming facade (mirrors the inflate
+// stream ABI above): O(total) across many small writes.
+void* tpz_lzhuf_stream_new(int32_t dict_bits, uint64_t orig_size) {
+  return new LzhufStream(LzhufMethodFor(dict_bits), orig_size);
+}
+void tpz_lzhuf_stream_free(void* h) { delete static_cast<LzhufStream*>(h); }
+int tpz_lzhuf_stream_feed(void* h, const uint8_t* data, size_t len,
+                          int32_t* finished, int64_t* pending) {
+  auto* s = static_cast<LzhufStream*>(h);
+  int st = s->Feed(data, len);
+  *finished = s->finished() ? 1 : 0;
+  *pending = (int64_t)(s->out().size() - s->taken);
+  return st;
+}
+// Copies up to `cap` pending decoded bytes into `out`. The history stays
+// resident (it is the LZSS window); only the taken cursor advances.
+int64_t tpz_lzhuf_stream_take(void* h, uint8_t* out, int64_t cap) {
+  auto* s = static_cast<LzhufStream*>(h);
+  int64_t avail = (int64_t)(s->out().size() - s->taken);
+  int64_t take = std::min<int64_t>(cap, avail);
+  if (take > 0) {
+    std::memcpy(out, s->out().data() + s->taken, (size_t)take);
+    s->taken += (size_t)take;
+  }
+  return take;
+}
+
 int tpz_inflate_scan_headers(const uint8_t* in, size_t n,
                              const int64_t* end_bits, int32_t nb,
                              int32_t* btype, int64_t* body_bit,

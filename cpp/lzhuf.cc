@@ -589,6 +589,144 @@ int LzhufDecode(const uint8_t* in, size_t n, const LzhufMethod& m,
   return kStatusOk;
 }
 
+struct LzhufStream::Impl {
+  LzhufMethod m;
+  uint64_t orig;
+  std::vector<uint8_t> buf;   // compressed bytes (trimmed below cursor)
+  uint64_t cursor = 0;        // committed bit position into buf
+  bool in_block = false;      // header parsed, tokens pending
+  uint32_t cnt = 0, t = 0;    // block token count / tokens committed
+  uint16_t c_const = 0xffff, p_const = 0xffff;
+  HuffDecodeTable ctab, ptab;
+  std::vector<uint8_t> out;
+  size_t produced = 0;
+  int err = 0;
+  bool done = false;
+};
+
+LzhufStream::LzhufStream(const LzhufMethod& m, uint64_t orig_size)
+    : impl_(new Impl) {
+  impl_->m = m;
+  impl_->orig = orig_size;
+  impl_->done = (orig_size == 0);
+}
+LzhufStream::~LzhufStream() { delete impl_; }
+bool LzhufStream::finished() const { return impl_->done; }
+std::vector<uint8_t>& LzhufStream::out() { return impl_->out; }
+
+int LzhufStream::Feed(const uint8_t* data, size_t len) {
+  Impl* s = impl_;
+  if (len) s->buf.insert(s->buf.end(), data, data + len);
+  if (s->err || s->done) return s->err;
+  // Trim consumed whole bytes (keep the cursor byte) so long streams
+  // don't accumulate compressed input forever.
+  if ((s->cursor >> 3) > (1u << 16)) {
+    size_t drop = (size_t)(s->cursor >> 3);
+    s->buf.erase(s->buf.begin(), s->buf.begin() + drop);
+    s->cursor &= 7;
+  }
+  // A nonzero helper status while the reader has padded past the real
+  // input is indistinguishable from truncation (zero padding can mimic
+  // a bad pattern), so overrun always means "wait for more bytes".
+  auto wait_or_err = [&](int st, const BitReaderMSB& br) {
+    if (br.Overrun()) return 0;
+    s->err = st ? st : kStatusDataError;
+    return s->err;
+  };
+  for (;;) {
+    size_t byte0 = (size_t)(s->cursor >> 3);
+    BitReaderMSB br(s->buf.data() + byte0, s->buf.size() - byte0);
+    uint64_t base = (uint64_t)byte0 * 8;
+    if (s->cursor & 7) br.Read((int)(s->cursor & 7));
+    if (!s->in_block) {
+      uint32_t cnt = br.Read(16);
+      if (br.Overrun()) return 0;
+      if (cnt == 0) { s->err = kStatusDataError; return s->err; }
+      uint8_t tlen[kNT];
+      uint16_t t_const;
+      int st = ReadTLens(&br, tlen, &t_const);
+      if (st) return wait_or_err(st, br);
+      HuffDecodeTable ttab;
+      if (t_const == 0xffff &&
+          !BuildDecodeTable(tlen, kNT, /*lsb=*/false, &ttab))
+        return wait_or_err(kStatusDataError, br);
+      std::vector<uint8_t> clen(kNC);
+      st = ReadCLens(&br, ttab, t_const, clen.data(), &s->c_const);
+      if (st) return wait_or_err(st, br);
+      if (s->c_const == 0xffff &&
+          (!BuildDecodeTable(clen.data(), kNC, /*lsb=*/false, &s->ctab) ||
+           s->ctab.bits == 0))
+        return wait_or_err(kStatusDataError, br);
+      uint8_t plen[20];
+      st = ReadPLens(&br, s->m.np, s->m.pbit, plen, &s->p_const);
+      if (st) return wait_or_err(st, br);
+      if (s->p_const == 0xffff &&
+          !BuildDecodeTable(plen, s->m.np, /*lsb=*/false, &s->ptab))
+        return wait_or_err(kStatusDataError, br);
+      s->cnt = cnt;
+      s->t = 0;
+      s->in_block = true;
+      s->cursor = base + br.BitsConsumed();
+    }
+    // Token loop: commit per token; an overrun rolls back only the
+    // failing token (output + produced) and waits for the next feed.
+    while (s->t < s->cnt && s->produced < s->orig) {
+      size_t osz = s->out.size();
+      size_t prod0 = s->produced;
+      int sym;
+      if (s->c_const != 0xffff) {
+        sym = s->c_const;
+      } else {
+        uint32_t e = s->ctab.entries[br.Peek(s->ctab.bits)];
+        int l = (int)(e & 0x1f);
+        if (l == 0) return wait_or_err(kStatusDataError, br);
+        br.Consume(l);
+        sym = (int)(e >> 5);
+      }
+      if (br.Overrun()) return 0;
+      if (sym < 256) {
+        s->out.push_back((uint8_t)sym);
+        ++s->produced;
+      } else {
+        if (sym >= kNC) return wait_or_err(kStatusDataError, br);
+        uint32_t mlen = (uint32_t)sym - 256 + 3;
+        int c;
+        if (s->p_const != 0xffff) {
+          c = s->p_const;
+        } else {
+          uint32_t e = s->ptab.entries[br.Peek(s->ptab.bits)];
+          int l = (int)(e & 0x1f);
+          if (l == 0) return wait_or_err(kStatusDataError, br);
+          br.Consume(l);
+          c = (int)(e >> 5);
+        }
+        uint32_t p = (uint32_t)c;
+        if (c > 1) p = (1u << (c - 1)) | br.Read(c - 1);
+        if (br.Overrun()) {
+          s->out.resize(osz);
+          s->produced = prod0;
+          return 0;
+        }
+        uint32_t dist = p + 1;
+        if (dist > s->out.size())
+          return wait_or_err(kStatusDataError, br);
+        size_t from = s->out.size() - dist;
+        for (uint32_t kk = 0; kk < mlen; ++kk)
+          s->out.push_back(s->out[from + kk]);
+        s->produced += mlen;
+      }
+      ++s->t;
+      s->cursor = base + br.BitsConsumed();
+      if (s->produced > s->orig) { s->err = kStatusDataError; return s->err; }
+    }
+    if (s->produced >= s->orig) {
+      s->done = true;
+      return 0;
+    }
+    s->in_block = false;  // block complete; next loop parses a header
+  }
+}
+
 int LzhufIndex(const uint8_t* in, size_t n, const LzhufMethod& m,
                size_t orig_size, int64_t seg_out, int64_t max_segs,
                int64_t max_blocks, int64_t* seg_bits, int64_t* end_bits,

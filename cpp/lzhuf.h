@@ -49,6 +49,32 @@ void LzhufEncodeBytes(const uint8_t* in, size_t n, const LzhufMethod& m,
 int LzhufDecode(const uint8_t* in, size_t n, const LzhufMethod& m,
                 size_t orig_size, std::vector<uint8_t>* out);
 
+// Resumable lzhuf decode for the streaming facade (tpz.api.DecodeStream):
+// block headers and individual tokens are committed as they complete, so
+// many small feeds cost O(total bytes) — the crate's pull-iterator cost —
+// instead of a full re-parse per write (VERDICT r4 next item 9). The
+// output vector retains the whole history (it IS the LZSS window);
+// `taken` tracks what the caller has already drained.
+class LzhufStream {
+ public:
+  LzhufStream(const LzhufMethod& m, uint64_t orig_size);
+  ~LzhufStream();
+  LzhufStream(const LzhufStream&) = delete;
+  LzhufStream& operator=(const LzhufStream&) = delete;
+
+  // Append compressed bytes and decode as far as they allow. Returns a
+  // status: 0 while healthy (possibly mid-token, waiting for more
+  // bytes), kStatusDataError once the stream is provably bad.
+  int Feed(const uint8_t* data, size_t len);
+  bool finished() const;  // produced == orig_size
+  std::vector<uint8_t>& out();
+  size_t taken = 0;
+
+ private:
+  struct Impl;
+  Impl* impl_;
+};
+
 // Token-aligned segment index for the device decode (round 3; the lzhuf
 // analogue of deflate.h InflateIndex): one host token walk, no output
 // materialization. Segments cut at seg_out output bytes and at block

@@ -94,3 +94,54 @@ def test_empty_container_roundtrip(method):
 
     blob = lzhuf.compress(b"", method)
     assert lzhuf.decompress(blob, method) == b""
+
+
+def test_decode_stream_lzhuf_o_total():
+    """VERDICT r4 item 9: lh4-lh7 DecodeStream is O(total) across many
+    small writes (resumable cpp LzhufStream), emits plaintext before the
+    stream completes, and round-trips an 8 MiB lh7 stream."""
+    import time
+
+    from tpz.api import DecodeStream, compress
+    from tpz.utils import corpus
+
+    data = bytes(corpus.mixed(8 << 20, seed=21))
+    blob = compress(data, "lh7")
+    ds = DecodeStream("lh7")
+    out = bytearray()
+    t0 = time.time()
+    emitted_early = False
+    step = 4096
+    for pos in range(0, len(blob), step):
+        out += ds.write(blob[pos:pos + step])
+        if out and pos < len(blob) * 0.8:
+            emitted_early = True
+    out += ds.finish()
+    wall = time.time() - t0
+    assert bytes(out) == data
+    assert emitted_early
+    # The old facade re-parsed the whole buffer per write (quadratic,
+    # minutes at this size); the resumable stream is linear.
+    assert wall < 30, f"incremental lh7 decode too slow: {wall:.1f}s"
+
+
+def test_decode_stream_lzhuf_errors():
+    import pytest
+
+    from tpz.api import DecodeStream, compress
+    from tpz.errors import DataError, UnexpectedEof
+    from tpz.utils import corpus
+
+    data = bytes(corpus.mixed(100_000, seed=22))
+    blob = compress(data, "lh5")
+    ds = DecodeStream("lh5")
+    ds.write(blob[: len(blob) // 2])
+    with pytest.raises(UnexpectedEof):
+        ds.finish()
+    ds2 = DecodeStream("lh5")
+    with pytest.raises(DataError):
+        ds2.write(b"NOTL" + blob[4:])
+    # Single-shot write + finish (byte-exact, matches batch decode).
+    ds3 = DecodeStream("lh5")
+    out = ds3.write(blob) + ds3.finish()
+    assert out == data

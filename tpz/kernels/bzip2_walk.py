@@ -133,14 +133,19 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
     zero = jnp.int32(0)
     one31 = jnp.int32(31)
     WINW = min(STREAM_WIN, SW)
+    TROW = 6 * TAB_STRIDE + SEL_CAP
 
-    cpt = pltpu.make_async_copy(
-        t_hbm.at[pl.ds(g0 * NBLK, NBLK), :], tab_ref, dma_sem)
-    cpt.start()
-    cpt.wait()
+    # s_hbm / t_hbm arrive FLAT (1-D): Mosaic rejects DMA sources that
+    # slice < 8 rows of a 2-D tiled memref (round-4 on-chip regression);
+    # flat slices at 128-aligned offsets compile.
     for c in range(NBLK):
+        cpt = pltpu.make_async_copy(
+            t_hbm.at[pl.ds((g0 * NBLK + c) * TROW, TROW)], tab_ref.at[c],
+            dma_sem)
+        cpt.start()
+        cpt.wait()
         cp = pltpu.make_async_copy(
-            s_hbm.at[g0 * NBLK + c, pl.ds(0, WINW)], win_ref.at[c],
+            s_hbm.at[pl.ds((g0 * NBLK + c) * SW, WINW)], win_ref.at[c],
             dma_sem)
         cp.start()
         cp.wait()
@@ -166,10 +171,13 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
 
         @pl.when(need)
         def _():
-            nb = jnp.minimum(w, jnp.int32(SW - WINW))
+            # 128-aligned window base (lane tiling).
+            nb = jax.lax.shift_left(
+                jax.lax.shift_right_logical(
+                    jnp.minimum(w, jnp.int32(SW - WINW)), 7), 7)
             cpw = pltpu.make_async_copy(
-                s_hbm.at[g0 * NBLK + c, pl.ds(nb, WINW)], win_ref.at[c],
-                dma_sem)
+                s_hbm.at[pl.ds((g0 * NBLK + c) * SW + nb, WINW)],
+                win_ref.at[c], dma_sem)
             cpw.start()
             cpw.wait()
             base_ref[c] = nb
@@ -332,6 +340,15 @@ def _walk_call(n_used, nsel, sym_local, sw, tab, selectors, mtf_init,
     from jax.experimental.pallas import tpu as pltpu
 
     NB, SW = sw.shape
+    if SW % 128:  # flat-DMA lane alignment (bzip2 slices are not pow2)
+        sw = jnp.concatenate(
+            [sw, jnp.zeros((NB, 128 - SW % 128), sw.dtype)], axis=1)
+        SW = sw.shape[1]
+    # SMEM bounds the interleave factor (ADVICE r4): each chain holds a
+    # WINW stream window + the full fused table+selector row. The 920 KiB
+    # budget is the round-4 probe_extract capacity-ladder result.
+    per_chain = min(STREAM_WIN, SW) + 6 * TAB_STRIDE + SEL_CAP + 1
+    NBLK = max(1, min(NBLK, (920 * 1024 // 4) // per_chain))
     NBp = -(-NB // NBLK) * NBLK
     if NBp != NB:
         pad = NBp - NB
@@ -378,8 +395,8 @@ def _walk_call(n_used, nsel, sym_local, sw, tab, selectors, mtf_init,
         ],
         interpret=interpret,
     )(n_used, nsel, sym_local,
-      sw,
-      jnp.concatenate([tab, selectors], axis=1),
+      sw.reshape(-1),
+      jnp.concatenate([tab, selectors], axis=1).reshape(-1),
       mtf_init.reshape(NBp, 2, 128))
     return recs.reshape(NBp, S)[:NB], meta.reshape(NBp, 128)[:NB]
 

@@ -87,6 +87,7 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
     assert SW % 128 == 0 and BLOCK % 128 == 0
     r_o = BLOCK // 128
     TW = tab.shape[1]
+    assert TW % 128 == 0  # flat-DMA row offsets must stay lane-aligned
     SWIN = min(STREAM_WIN, SW)
     L1B = C.INFLATE_L1_BITS
     L1M = (1 << L1B) - 1
@@ -118,13 +119,17 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
-        cp = pltpu.make_async_copy(
-            t_hbm.at[pl.ds(g * nblk, nblk), :], t_ref, dma_sem)
-        cp.start()
-        cp.wait()
+        # s_hbm / t_hbm arrive FLAT (1-D): Mosaic rejects DMA sources
+        # that slice < 8 rows of a 2-D tiled memref (round-4 on-chip
+        # regression); flat slices at 128-aligned offsets compile.
         for c in range(nblk):
+            cpt = pltpu.make_async_copy(
+                t_hbm.at[pl.ds((g * nblk + c) * TW, TW)], t_ref.at[c],
+                dma_sem)
+            cpt.start()
+            cpt.wait()
             cps = pltpu.make_async_copy(
-                s_hbm.at[g * nblk + c, pl.ds(0, SWIN)], s_win.at[c],
+                s_hbm.at[pl.ds((g * nblk + c) * SW, SWIN)], s_win.at[c],
                 dma_sem)
             cps.start()
             cps.wait()
@@ -146,10 +151,14 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
 
             @pl.when(need)
             def _():
-                nb = jnp.minimum(wc, jnp.int32(SW - SWIN))
+                # 128-aligned window base (lane tiling; <=127 words of
+                # forward coverage lost, absorbed by the refill margin).
+                nb = jax.lax.shift_left(
+                    jax.lax.shift_right_logical(
+                        jnp.minimum(wc, jnp.int32(SW - SWIN)), 7), 7)
                 cpw = pltpu.make_async_copy(
-                    s_hbm.at[g * nblk + c, pl.ds(nb, SWIN)], s_win.at[c],
-                    dma_sem)
+                    s_hbm.at[pl.ds((g * nblk + c) * SW + nb, SWIN)],
+                    s_win.at[c], dma_sem)
                 cpw.start()
                 cpw.wait()
                 sbase_ref[c] = nb
@@ -247,7 +256,8 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(body_bit_local, out_len, start_pos, len_base,
-      len_extra, dist_base, dist_extra, stream_words, tab)
+      len_extra, dist_base, dist_extra,
+      stream_words.reshape(-1), tab.reshape(-1))
     return out.reshape(NBp, BLOCK)[:NB]
 
 

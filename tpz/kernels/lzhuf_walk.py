@@ -105,6 +105,7 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
     NB, SW = stream_words.shape
     r_o = BLOCK // 128
     TW = tab.shape[1]
+    assert SW % 128 == 0 and TW % 128 == 0  # flat-DMA lane alignment
     SWIN = min(STREAM_WIN, SW)
     OC2 = L1W
     OP1 = L1W + L2_CAP
@@ -130,13 +131,17 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
-        cp = pltpu.make_async_copy(
-            t_hbm.at[pl.ds(g * nblk, nblk), :], t_ref, dma_sem)
-        cp.start()
-        cp.wait()
+        # s_hbm / t_hbm arrive FLAT (1-D): Mosaic rejects DMA sources
+        # that slice < 8 rows of a 2-D tiled memref (round-4 on-chip
+        # regression); flat slices at 128-aligned offsets compile.
         for c in range(nblk):
+            cpt = pltpu.make_async_copy(
+                t_hbm.at[pl.ds((g * nblk + c) * TW, TW)], t_ref.at[c],
+                dma_sem)
+            cpt.start()
+            cpt.wait()
             cps = pltpu.make_async_copy(
-                s_hbm.at[g * nblk + c, pl.ds(0, SWIN)], s_win.at[c],
+                s_hbm.at[pl.ds((g * nblk + c) * SW, SWIN)], s_win.at[c],
                 dma_sem)
             cps.start()
             cps.wait()
@@ -158,10 +163,13 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
 
             @pl.when(need)
             def _():
-                nb = jnp.minimum(wc, jnp.int32(SW - SWIN))
+                # 128-aligned window base (lane tiling).
+                nb = jax.lax.shift_left(
+                    jax.lax.shift_right_logical(
+                        jnp.minimum(wc, jnp.int32(SW - SWIN)), 7), 7)
                 cpw = pltpu.make_async_copy(
-                    s_hbm.at[g * nblk + c, pl.ds(nb, SWIN)], s_win.at[c],
-                    dma_sem)
+                    s_hbm.at[pl.ds((g * nblk + c) * SW + nb, SWIN)],
+                    s_win.at[c], dma_sem)
                 cpw.start()
                 cpw.wait()
                 sbase_ref[c] = nb
@@ -259,7 +267,8 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
                         pltpu.SMEM((nblk,), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(body_bit_local, out_len, start_pos, stream_words, tab)
+    )(body_bit_local, out_len, start_pos,
+      stream_words.reshape(-1), tab.reshape(-1))
     return out.reshape(NBp, BLOCK)[:NB]
 
 

@@ -148,6 +148,17 @@ def lib() -> ctypes.CDLL:
         L.tpz_inflate_stream_take.restype = ctypes.c_int64
         L.tpz_inflate_stream_take.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_int64]
+        L.tpz_lzhuf_stream_new.restype = ctypes.c_void_p
+        L.tpz_lzhuf_stream_new.argtypes = [ctypes.c_int32, ctypes.c_uint64]
+        L.tpz_lzhuf_stream_free.restype = None
+        L.tpz_lzhuf_stream_free.argtypes = [ctypes.c_void_p]
+        L.tpz_lzhuf_stream_feed.restype = ctypes.c_int
+        L.tpz_lzhuf_stream_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), i64p]
+        L.tpz_lzhuf_stream_take.restype = ctypes.c_int64
+        L.tpz_lzhuf_stream_take.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64]
         L.tpz_lzss_pack.restype = ctypes.c_int
         L.tpz_lzss_pack.argtypes = [
             i32p, ctypes.c_size_t, ctypes.c_int32, u8p, szp]
@@ -897,6 +908,48 @@ class InflateStream:
     def close(self) -> None:
         if self._h is not None:
             lib().tpz_inflate_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class LzhufStream:
+    """Resumable lh4-lh7 decoder (cpp LzhufStream): feed compressed
+    increments, collect plaintext as blocks/tokens complete. O(total)
+    across many small feeds (VERDICT r4 next item 9 — the crate's
+    iterator adapters are O(total); the old facade re-parsed the whole
+    buffer per write)."""
+
+    def __init__(self, dict_bits: int, orig_size: int) -> None:
+        self._h = lib().tpz_lzhuf_stream_new(dict_bits, orig_size)
+        self.finished = orig_size == 0
+
+    def feed(self, data: bytes) -> bytes:
+        if self._h is None:
+            raise RuntimeError("lzhuf stream closed")
+        a = _u8(data)
+        fin = ctypes.c_int32(0)
+        pending = ctypes.c_int64(0)
+        st = lib().tpz_lzhuf_stream_feed(
+            self._h, _u8ptr(a), a.size, ctypes.byref(fin),
+            ctypes.byref(pending))
+        raise_for_status(st, "lzhuf_stream")
+        self.finished = bool(fin.value)
+        n = int(pending.value)
+        if n == 0:
+            return b""
+        out = np.empty(n, dtype=np.uint8)
+        got = lib().tpz_lzhuf_stream_take(
+            self._h, _ptr(out, ctypes.c_uint8), n)
+        return out[:got].tobytes()
+
+    def close(self) -> None:
+        if self._h is not None:
+            lib().tpz_lzhuf_stream_free(self._h)
             self._h = None
 
     def __del__(self):  # pragma: no cover - GC timing
