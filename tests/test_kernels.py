@@ -301,3 +301,49 @@ def test_suffix_screen_chunked_identity():
                                 block, 258, 16, chunk=4)
     for x, y in zip(a, c):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_parse_extend_v3z_matches_v3y(lazy):
+    """Lane-parallel vectorized walk (round 5) is token-identical to the
+    scalar-chain v3y walk — identical micro-step state machine, so the
+    outputs must match bit-for-bit at every visited position."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpz.kernels import matchfinder as mf
+    from tpz.kernels.parse import (parse_extend_pallas_v3y,
+                                   parse_extend_v3z)
+
+    window, block, n_blocks, restart = 512, 1024, 3, 256
+    n = n_blocks * block - 100
+    raw = corpus.mixed(n, seed=654)
+    data = np.frombuffer(raw, np.uint8)
+    span = np.zeros(window + n_blocks * block + 512, np.uint8)
+    span[window:window + n] = data
+    m = window + block + 512
+    idx = np.arange(n_blocks)[:, None] * block + np.arange(m)[None, :]
+    blocks = jnp.asarray(span[idx].astype(np.int32))
+    words = mf.words_at(blocks)
+    span_off = jnp.asarray((np.arange(n_blocks) * block).astype(np.int32))
+    block_len = jnp.asarray(np.minimum(
+        n - np.arange(n_blocks) * block, block).astype(np.int32))
+
+    pk1, pk2, cap_at = mf.suffix_screen_w(
+        words, span_off, jnp.int32(n), 8, window, block, 258, 16, restart)
+    words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
+    sl = slice(window, window + block)
+    args = (pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
+            block_len[:, None], window, 258, 16)
+    ry, my, dy = parse_extend_pallas_v3y(
+        *args, lazy=lazy, restart=restart, nblk=2, interpret=True)
+    rz, mz, dz = parse_extend_v3z(*args, lazy=lazy, restart=restart)
+    bl = np.asarray(block_len)
+    for b in range(n_blocks):
+        live = np.arange(block) < bl[b]
+        assert np.array_equal(np.asarray(ry)[b][live],
+                              np.asarray(rz)[b][live]), f"reach blk {b}"
+        assert np.array_equal(np.asarray(my)[b][live],
+                              np.asarray(mz)[b][live]), f"mlen blk {b}"
+        assert np.array_equal(np.asarray(dy)[b][live],
+                              np.asarray(dz)[b][live]), f"mdist blk {b}"

@@ -264,7 +264,7 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
                  block_len: jax.Array, k: int, use_pallas: bool = False,
                  lazy: bool = False, suffix: bool = False,
                  screen_bytes: int = 16, max_lazy: int = 258,
-                 restart: int = 0):
+                 restart: int = 0, parse: str = "v3y"):
     """words: [NB, M_TOTAL] u32 haloed 4-byte windows (byte = w & 0xFF).
 
     suffix=True runs parse spec v3 (suffix-space candidates, top-2
@@ -272,7 +272,8 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
     hash screen (still used by LZHUF)."""
     NB = words.shape[0]
     if suffix and use_pallas:
-        from tpz.kernels.parse import parse_extend_pallas_v3y
+        from tpz.kernels.parse import (parse_extend_pallas_v3y,
+                                       parse_extend_v3z)
 
         from tpz.kernels.matchfinder import suffix_screen_w_chunked
 
@@ -281,10 +282,21 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
             screen_bytes, restart)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         sl = slice(WINDOW, WINDOW + BLOCK)
-        reach, mlen, mdist = parse_extend_pallas_v3y(
-            pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
-            block_len[:, None], WINDOW, 258, screen_bytes,
-            lazy=lazy, max_lazy=max_lazy, restart=restart)
+        # parse="v3z" selects the round-5 lane-parallel walk (token-
+        # identical, tests/test_kernels.py); default stays the scalar-
+        # chain Pallas walk until the chip A/B picks a winner. It is a
+        # STATIC arg (env read at the dispatch wrapper) so A/B switches
+        # retrace instead of hitting the jit cache.
+        if parse == "v3z":
+            reach, mlen, mdist = parse_extend_v3z(
+                pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
+                block_len[:, None], WINDOW, 258, screen_bytes,
+                lazy=lazy, max_lazy=max_lazy, restart=restart)
+        else:
+            reach, mlen, mdist = parse_extend_pallas_v3y(
+                pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
+                block_len[:, None], WINDOW, 258, screen_bytes,
+                lazy=lazy, max_lazy=max_lazy, restart=restart)
         pos = jax.lax.broadcasted_iota(jnp.int32, (NB, BLOCK), 1)
         is_token = (reach > 0) & (pos < block_len[:, None])
         cum = jnp.cumsum(is_token.astype(jnp.int32), axis=1)
@@ -359,13 +371,14 @@ def _hist_by_sort(sym: jax.Array, nbins: int) -> jax.Array:
 _stage1 = functools.partial(
     jax.jit, static_argnames=("k", "use_pallas", "lazy", "suffix",
                               "screen_bytes", "max_lazy",
-                              "restart"))(_stage1_core)
+                              "restart", "parse"))(_stage1_core)
 
 
 def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
                      out_buf, tables, k: int, use_pallas: bool, lazy: bool,
                      suffix: bool = False, screen_bytes: int = 16,
-                     max_lazy: int = 258, restart: int = 0):
+                     max_lazy: int = 258, restart: int = 0,
+                     parse: str = "v3y"):
     """The whole encode as ONE program (VERDICT r1 #1/#7): stage1 ->
     on-device planning (tpz/kernels/deflate_plan_device.py) -> stage2,
     with header bits emitted by the same scatter. No host round-trip, no
@@ -381,7 +394,7 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
     words = _make_words(span)
     mlen, mdist, is_token, lit_hist, dist_hist, _ = _stage1_core(
         words, span_off, span_len, block_len, k, use_pallas, lazy,
-        suffix, screen_bytes, max_lazy, restart)
+        suffix, screen_bytes, max_lazy, restart, parse)
     lit_hist = lit_hist.at[:, 256].set(0)
     # block_len == 0 marks padding blocks (sharded layouts; the batch path
     # never produces them — empty buffers are filtered host-side).
@@ -402,7 +415,8 @@ def _fused_encode_fn(span, span_off, span_len, block_len, buf_start, bfinal,
 
 _fused_jit = jax.jit(_fused_encode_fn,
                      static_argnames=("k", "use_pallas", "lazy", "suffix",
-                                      "screen_bytes", "max_lazy", "restart"))
+                                      "screen_bytes", "max_lazy", "restart",
+                                      "parse"))
 _plan_tables_dev = None
 
 
@@ -425,7 +439,8 @@ def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
                       bfinal, out_buf, _plan_tables_dev, k=k,
                       use_pallas=use_pallas, lazy=lazy, suffix=suffix,
                       screen_bytes=screen_bytes, max_lazy=max_lazy,
-                      restart=restart)
+                      restart=restart,
+                      parse=_os.environ.get("TPZ_PARSE", "v3y"))
 
 
 def oracle_lazy_encode(data: bytes, k: int) -> bytes:

@@ -424,6 +424,43 @@ def parse_extend_pallas_v3w(pk1: jax.Array, pk2: jax.Array,
     return visited, mlen, mdist
 
 
+def _v3_marks(pk1, pk2, cap_at, block_len, window, max_match,
+              screen_bytes, too_far, lazy, max_lazy):
+    """XLA mark precompute shared by the v3y scalar walk and the v3z
+    lane-parallel walk: an unsaturated token's outcome (length, distance,
+    rules, lazy demotion) is a pure elementwise function of its screen
+    word, precomputed as a ready-to-emit mark; saturated positions (and
+    lazy probes over a saturated neighbour) carry the raw screen word
+    plus a flag bit. Returns w1 [NB, N] int32."""
+    NB, N = pk1.shape
+    RAW = 1 << 30
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
+    ss1p = (pk1 & 63) - 1
+    jj1p = (pk1 >> 6) - 1
+    scapp = jnp.minimum(jnp.int32(screen_bytes), cap_at)
+    satp = (ss1p >= scapp) & (jj1p >= 0)
+    no1p = (jj1p < 0) | (ss1p < 3)
+    lnp = jnp.where(no1p, 0, ss1p)
+    distp = pos + jnp.int32(window) - jj1p
+    lnp = jnp.where((lnp == 3) & (distp > too_far), 0, lnp)
+    distp = jnp.where(lnp > 0, distp, 0)
+    if lazy:
+        z1 = jnp.zeros((NB, 1), jnp.int32)
+        ln_next = jnp.concatenate([lnp[:, 1:], z1], axis=1)
+        sat_next = jnp.concatenate(
+            [satp[:, 1:], jnp.zeros((NB, 1), bool)], axis=1)
+        probe_would = ((lnp > 0) & (lnp < jnp.int32(max_lazy))
+                       & (pos + 1 < block_len))
+        demote = probe_would & ~sat_next & (ln_next > lnp)
+        flagged = satp | (probe_would & sat_next)
+    else:
+        demote = jnp.zeros((NB, N), bool)
+        flagged = satp
+    markp = jnp.where(demote | (lnp == 0), (lnp << 10) | 1,
+                      (distp << 10) | (lnp + 1))
+    return jnp.where(flagged, pk1 | RAW, markp)
+
+
 def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
                             cap_at: jax.Array, words: jax.Array,
                             block_len: jax.Array, window: int,
@@ -465,31 +502,8 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
     RAW = 1 << 30
 
     # ---- XLA mark precompute (identical rules to the kernel) ----
-    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
-    ss1p = (pk1 & 63) - 1
-    jj1p = (pk1 >> 6) - 1
-    scapp = jnp.minimum(jnp.int32(screen_bytes), cap_at)
-    satp = (ss1p >= scapp) & (jj1p >= 0)
-    no1p = (jj1p < 0) | (ss1p < 3)
-    lnp = jnp.where(no1p, 0, ss1p)
-    distp = pos + jnp.int32(window) - jj1p
-    lnp = jnp.where((lnp == 3) & (distp > too_far), 0, lnp)
-    distp = jnp.where(lnp > 0, distp, 0)
-    if lazy:
-        z1 = jnp.zeros((NB, 1), jnp.int32)
-        ln_next = jnp.concatenate([lnp[:, 1:], z1], axis=1)
-        sat_next = jnp.concatenate(
-            [satp[:, 1:], jnp.zeros((NB, 1), bool)], axis=1)
-        probe_would = ((lnp > 0) & (lnp < jnp.int32(max_lazy))
-                       & (pos + 1 < block_len))
-        demote = probe_would & ~sat_next & (ln_next > lnp)
-        flagged = satp | (probe_would & sat_next)
-    else:
-        demote = jnp.zeros((NB, N), bool)
-        flagged = satp
-    markp = jnp.where(demote | (lnp == 0), (lnp << 10) | 1,
-                      (distp << 10) | (lnp + 1))
-    w1 = jnp.where(flagged, pk1 | RAW, markp)
+    w1 = _v3_marks(pk1, pk2, cap_at, block_len, window, max_match,
+                   screen_bytes, too_far, lazy, max_lazy)
 
     NBp = -(-NB // nblk) * nblk
     if NBp != NB:
@@ -756,6 +770,182 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
         interpret=interpret,
     )(block_len, mp, words)
     out = out.reshape(NBp, N)[:NB]
+    visited = out & 1023
+    mlen = jnp.maximum(visited - 1, 0)
+    mdist = jnp.where(mlen > 0, out >> 10, 0)
+    return visited, mlen, mdist
+
+
+def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
+                     cap_at: jax.Array, words: jax.Array,
+                     block_len: jax.Array, window: int,
+                     max_match: int = 258, screen_bytes: int = 16,
+                     too_far: int = 4096, lazy: bool = False,
+                     max_lazy: int = 258, restart: int = 0):
+    """Lane-parallel spec-v3 parse (the round-5 formulation-ceiling
+    attack, VERDICT r4 next item 5).
+
+    The serial-walk formulation caps deflate encode at ~46 MB/s on this
+    chip (roofline.walk_positions_per_s: the W~5 interleaved SCALAR
+    chains advance W tokens per loop iteration). The restart rule
+    already makes every 16 KiB sub-range's parse independent — so run
+    ALL NB*nsub sub-walks at once as VECTOR LANES: one loop iteration
+    advances every walk by one micro-step via two dynamic gathers
+    (mark/word reads) and one scatter (token emit). Loop trips drop from
+    sum(tokens) to max-over-walks(tokens + extension steps) — at 16 MiB
+    that is ~3.5 k trips for ~3.3 M tokens, a ~1000x parallelism jump if
+    the per-step gather prices anywhere near the probe numbers
+    (bench/probe_vector_gather.py measures exactly this).
+
+    Pure-XLA formulation: correctness twin of parse_extend_pallas_v3y
+    (identical micro-step state machine, the same _v3_marks fast path;
+    candidate-2 latch semantics preserved). Returns (visited, mlen,
+    mdist) exactly as v3y. A Pallas variant follows once the chip prices
+    the (8,128) take_along_axis step."""
+    NB, N = pk1.shape
+    M = words.shape[1]
+    assert N % 128 == 0 and M % 128 == 0
+    if not restart or restart >= N:
+        restart = N
+    assert N % restart == 0
+    nsub = N // restart
+    NW = NB * nsub
+    RAW = 1 << 30
+    SENT = 1 << 20
+    SMASK = (1 << 20) - 1
+
+    w1 = _v3_marks(pk1, pk2, cap_at, block_len, window, max_match,
+                   screen_bytes, too_far, lazy, max_lazy)
+    # One flat buffer per block: [mp (marks/pk2 interleaved, 2N) | words
+    # (M)] so every read is a single dynamic gather comb[blk*R + off].
+    mp = jnp.stack([w1, pk2], axis=2).reshape(NB, 2 * N)
+    words_i32 = words if words.dtype == jnp.int32 else \
+        jax.lax.bitcast_convert_type(words, jnp.int32)
+    comb = jnp.concatenate([mp, words_i32], axis=1).reshape(-1)
+    R = 2 * N + M
+    WOFF = 2 * N
+
+    wid = jnp.arange(NW, dtype=jnp.int32)
+    blk_w = wid // nsub
+    sub_w = wid % nsub
+    base_w = blk_w * jnp.int32(R)
+    blen_w = block_len.reshape(-1)[blk_w]
+    pend_w = jnp.minimum((sub_w + 1) * jnp.int32(restart), blen_w)
+    zero = jnp.zeros((NW,), jnp.int32)
+
+    def lzbytes(x):
+        b0 = (x & 0xFF) == 0
+        b1 = (x & 0xFFFF) == 0
+        b2 = (x & 0xFFFFFF) == 0
+        return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
+                + b2.astype(jnp.int32))
+
+    def body(c):
+        (p, st, tgt, cand, k, j, cap, scap, nz, res1, jres1, s2v, j2v,
+         ln0, dist0, out) = c
+        act = p < pend_w
+        is_ext = act & (st == 1)
+        is_tok = act & (st == 0)
+
+        q = p + tgt
+        qc = jnp.minimum(q, jnp.int32(N - 1))
+        ea = jnp.minimum(q + jnp.int32(window) + k, jnp.int32(M - 1))
+        eb = jnp.clip(j + k, 0, jnp.int32(M - 1))
+        offA = jnp.where(is_ext, WOFF + ea, 2 * qc)
+        offB = jnp.where(is_ext, WOFF + eb, 2 * qc + 1)
+        a = comb[base_w + offA]
+        b = comb[base_w + offB]
+
+        rawq = (a & RAW) != 0
+        apk = a & jnp.int32(RAW - 1)
+        fast0 = is_tok & ~rawq & (tgt == 0)
+        fast1 = is_tok & ~rawq & (tgt == 1)
+        aln1023 = apk & 1023
+        amark_ln = jnp.where(aln1023 == 1, apk >> 10, aln1023 - 1)
+
+        # ---- TOK (raw): unpack screen candidates at q ----
+        ss1 = (apk & 63) - 1
+        jj1 = (apk >> 6) - 1
+        cap_t = jnp.minimum(jnp.int32(max_match), blen_w - q)
+        if nsub > 1:
+            cap_t = jnp.minimum(
+                cap_t, jnp.int32(restart) - (q % jnp.int32(restart)))
+        scap_t = jnp.minimum(jnp.int32(screen_bytes), cap_t)
+        no1 = (jj1 < 0) | (ss1 < 3)
+        go_ext = is_tok & rawq & (ss1 >= scap_t) & (jj1 >= 0)
+        fin_tok = is_tok & rawq & ~((ss1 >= scap_t) & (jj1 >= 0))
+
+        # ---- EXT: one 4-byte compare step ----
+        x = a ^ b
+        adv = jnp.where(x == 0, 4, lzbytes(x))
+        k2 = jnp.minimum(k + adv, cap)
+        kn = jnp.where(x == 0, k2, k2 + SENT)
+        edone = is_ext & (kn >= cap)
+        lnc = jnp.minimum(kn & SMASK, cap)
+        need2 = (j2v >= 0) & (s2v >= scap) & (lnc < cap)
+        b_to2 = edone & (cand == 1) & need2
+        b_fin1 = edone & (cand == 1) & ~need2
+        b_fin2 = edone & (cand == 2)
+        use2 = lnc > res1
+
+        # ---- FIN: rules, lazy, emit ----
+        fin_now = fin_tok | b_fin1 | b_fin2 | fast1
+        lnf = jnp.where(fin_tok, ss1,
+                        jnp.where(b_fin2, jnp.maximum(lnc, res1), lnc))
+        jf = jnp.where(fin_tok, jj1,
+                       jnp.where(b_fin2 & ~use2, jres1, j))
+        nzv = jnp.where(fin_tok, no1, nz != 0)
+        lnf = jnp.where(nzv, 0, lnf)
+        distf = q + jnp.int32(window) - jf
+        lnf = jnp.where((lnf == 3) & (distf > too_far), 0, lnf)
+        distf = jnp.where(lnf > 0, distf, 0)
+        lnf = jnp.where(fast1, amark_ln, lnf)
+
+        if lazy:
+            golazy = (fin_now & (tgt == 0) & (lnf > 0)
+                      & (lnf < jnp.int32(max_lazy)) & (p + 1 < blen_w))
+        else:
+            golazy = fin_now & False
+        do_emit = (fin_now & ~golazy) | fast0
+        demote = lnf > ln0
+        lnE = jnp.where(tgt == 0, lnf, jnp.where(demote, zero, ln0))
+        dE = jnp.where(tgt == 0, distf, jnp.where(demote, zero, dist0))
+        mark = jnp.where(fast0, apk, (dE << 10) | (lnE + 1))
+        adv_p = jnp.where(fast0, jnp.maximum(aln1023 - 1, 1),
+                          jnp.maximum(lnE, 1))
+
+        # ---- next state ----
+        st_n = jnp.where(go_ext | b_to2, 1, jnp.where(fin_now, 0, st))
+        tgt_n = jnp.where(golazy, 1, jnp.where(do_emit, zero, tgt))
+        cand_n = jnp.where(go_ext, 1, jnp.where(b_to2, 2, cand))
+        k_n = jnp.where(go_ext, ss1, jnp.where(
+            b_to2, s2v, jnp.where(is_ext & ~edone, kn, k)))
+        j_n = jnp.where(go_ext, jj1, jnp.where(b_to2, j2v, j))
+        cap_n = jnp.where(go_ext, cap_t, cap)
+        scap_n = jnp.where(go_ext, scap_t, scap)
+        nz_n = jnp.where(go_ext, no1.astype(jnp.int32), nz)
+        res1_n = jnp.where(b_to2, lnc, res1)
+        jres1_n = jnp.where(b_to2, j, jres1)
+        ln0_n = jnp.where(golazy, lnf, ln0)
+        dist0_n = jnp.where(golazy, distf, dist0)
+        p_n = jnp.where(do_emit, p + adv_p, p)
+
+        # Emit: each walk owns its positions, so one predicated scatter
+        # (inactive lanes write the junk tail column) replaces the
+        # Pallas row-register store.
+        col = jnp.where(do_emit, p, jnp.int32(N))
+        out = out.at[blk_w, col].set(mark, mode="drop")
+        return (p_n, st_n, tgt_n, cand_n, k_n, j_n, cap_n, scap_n,
+                nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n, out)
+
+    def cond(c):
+        return jnp.any(c[0] < pend_w)
+
+    init = (sub_w * jnp.int32(restart), zero, zero, zero, zero, zero,
+            zero + 1, zero, zero, zero, zero, zero, zero, zero, zero,
+            jnp.zeros((NB, N + 1), jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    out = final[-1][:, :N]
     visited = out & 1023
     mlen = jnp.maximum(visited - 1, 0)
     mdist = jnp.where(mlen > 0, out >> 10, 0)
