@@ -816,6 +816,23 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
 
     w1 = _v3_marks(pk1, pk2, cap_at, block_len, window, max_match,
                    screen_bytes, too_far, lazy, max_lazy)
+    # Literal-run collapse: every literal position between matches is
+    # unconditionally visited and emits its own precomputed mark, so a
+    # run of L literals need not cost L trips. Bake "distance to the
+    # next interesting position" (flagged or match mark) into the spare
+    # bits 19..29 of each literal mark; the walk jumps the whole run in
+    # ONE trip and paints the interval with a +-1 delta scatter (the
+    # marks themselves come straight from w1 at the end). This also
+    # collapses the all-literal worst case from `restart` trips to ~8.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, N), 1)
+    aln_w1 = w1 & 1023
+    interesting = ((w1 & RAW) != 0) | (aln_w1 >= 2)
+    cand = jnp.where(interesting, pos, jnp.int32(1 << 28))
+    nxt = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(cand, axis=1), axis=1), axis=1)
+    jump = jnp.clip(nxt - pos, 1, 2047)
+    is_lit_mark = ~interesting  # unflagged mark with aln == 1
+    w1 = jnp.where(is_lit_mark, w1 | (jump << 19), w1)
     # One flat buffer per block: [mp (marks/pk2 interleaved, 2N) | words
     # (M)] so every read is a single dynamic gather comb[blk*R + off].
     mp = jnp.stack([w1, pk2], axis=2).reshape(NB, 2 * N)
@@ -842,7 +859,7 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
 
     def body(c):
         (p, st, tgt, cand, k, j, cap, scap, nz, res1, jres1, s2v, j2v,
-         ln0, dist0, out) = c
+         ln0, dist0, out, delta) = c
         act = p < pend_w
         is_ext = act & (st == 1)
         is_tok = act & (st == 0)
@@ -861,7 +878,13 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
         fast0 = is_tok & ~rawq & (tgt == 0)
         fast1 = is_tok & ~rawq & (tgt == 1)
         aln1023 = apk & 1023
-        amark_ln = jnp.where(aln1023 == 1, apk >> 10, aln1023 - 1)
+        # Literal marks carry (raw pre-demotion length | jump<<19); mask
+        # the jump bits out of the probe length.
+        amark_ln = jnp.where(aln1023 == 1, (apk >> 10) & 511,
+                             aln1023 - 1)
+        lit0 = fast0 & (aln1023 == 1)
+        q_to = jnp.minimum(p + jnp.clip((apk >> 19) & 2047, 1, None),
+                           pend_w)
 
         # ---- TOK (raw): unpack screen candidates at q ----
         ss1 = (apk & 63) - 1
@@ -911,8 +934,9 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
         lnE = jnp.where(tgt == 0, lnf, jnp.where(demote, zero, ln0))
         dE = jnp.where(tgt == 0, distf, jnp.where(demote, zero, dist0))
         mark = jnp.where(fast0, apk, (dE << 10) | (lnE + 1))
-        adv_p = jnp.where(fast0, jnp.maximum(aln1023 - 1, 1),
-                          jnp.maximum(lnE, 1))
+        adv_p = jnp.where(lit0, q_to - p,
+                          jnp.where(fast0, jnp.maximum(aln1023 - 1, 1),
+                                    jnp.maximum(lnE, 1)))
 
         # ---- next state ----
         st_n = jnp.where(go_ext | b_to2, 1, jnp.where(fin_now, 0, st))
@@ -932,20 +956,31 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
 
         # Emit: each walk owns its positions, so one predicated scatter
         # (inactive lanes write the junk tail column) replaces the
-        # Pallas row-register store.
-        col = jnp.where(do_emit, p, jnp.int32(N))
+        # Pallas row-register store. Literal runs don't scatter marks —
+        # they paint a +-1 interval delta; their marks come straight
+        # from w1 (what the walk would have emitted) at the end.
+        emit_pt = do_emit & ~lit0
+        col = jnp.where(emit_pt, p, jnp.int32(N))
         out = out.at[blk_w, col].set(mark, mode="drop")
+        dcol0 = jnp.where(lit0, p, jnp.int32(N + 1))
+        dcol1 = jnp.where(lit0, q_to, jnp.int32(N + 1))
+        delta = delta.at[blk_w, dcol0].add(1, mode="drop")
+        delta = delta.at[blk_w, dcol1].add(-1, mode="drop")
         return (p_n, st_n, tgt_n, cand_n, k_n, j_n, cap_n, scap_n,
-                nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n, out)
+                nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n, out,
+                delta)
 
     def cond(c):
         return jnp.any(c[0] < pend_w)
 
     init = (sub_w * jnp.int32(restart), zero, zero, zero, zero, zero,
             zero + 1, zero, zero, zero, zero, zero, zero, zero, zero,
-            jnp.zeros((NB, N + 1), jnp.int32))
+            jnp.zeros((NB, N + 1), jnp.int32),
+            jnp.zeros((NB, N + 2), jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
-    out = final[-1][:, :N]
+    out = final[-2][:, :N]
+    interval = jnp.cumsum(final[-1][:, :N], axis=1) > 0
+    out = jnp.where(interval, w1.reshape(NB, N), out)
     visited = out & 1023
     mlen = jnp.maximum(visited - 1, 0)
     mdist = jnp.where(mlen > 0, out >> 10, 0)
