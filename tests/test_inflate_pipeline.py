@@ -312,3 +312,33 @@ def test_wide_resolution_routing(monkeypatch):
     monkeypatch.setattr(ip, "MAX_DECODE_SPAN", 100_000)
     outs = ip.decompress_many_segmented(items, interpret=True)
     assert outs == datas  # 200k stream went wide; 80k stayed packed
+
+
+def test_inflate_walk_vz_end_to_end():
+    """Round-5 lane-parallel XLA symbol walk (TPZ_INFLATE_WALK=vz) is
+    marker-identical to the Pallas walk: the full device decode route
+    (indexed member + foreign zlib via segments) round-trips with CRC
+    validation. Subprocess: the variant is chosen at trace time, so it
+    must not share this process's jit caches."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import zlib\n"
+        "from tpz.codecs import gzip_codec as gz, zlib_codec as zc\n"
+        "from tpz.utils import corpus\n"
+        "data = bytes(corpus.mixed(400_000, seed=33))\n"
+        "blob = gz.compress(data)\n"
+        "assert gz.decompress(blob, backend='tpu') == data\n"
+        "d2 = bytes(corpus.mixed(300_000, seed=34))\n"
+        "assert zc.decompress(zlib.compress(d2, 6), backend='tpu') == d2\n"
+        "print('VZ-OK')\n"
+    )
+    import os
+
+    env = dict(os.environ, TPZ_INFLATE_WALK="vz", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "VZ-OK" in r.stdout

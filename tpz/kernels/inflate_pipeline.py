@@ -96,6 +96,16 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
     ODIST2 = ODIST1 + (1 << L1B)
     if start_pos is None:
         start_pos = jnp.zeros((NB,), jnp.int32)
+    import os as _os2
+
+    if _os2.environ.get("TPZ_INFLATE_WALK") == "vz":
+        # Round-5 lane-parallel XLA walk (segments in vector lanes) —
+        # identical markers; also the Mosaic-free fallback should a
+        # Pallas walk ever regress on chip again. Trace-time env read:
+        # A/B runs must use separate processes (jit caches by shape).
+        return _symbol_walk_vz(stream_words, body_bit_local, out_len,
+                               tab, len_base, len_extra, dist_base,
+                               dist_extra, start_pos)
     NBp = -(-NB // nblk) * nblk
     if NBp != NB:
         pad = NBp - NB
@@ -259,6 +269,101 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
       len_extra, dist_base, dist_extra,
       stream_words.reshape(-1), tab.reshape(-1))
     return out.reshape(NBp, BLOCK)[:NB]
+
+
+def _symbol_walk_vz(stream_words, body_bit_local, out_len, tab,
+                    len_base, len_extra, dist_base, dist_extra,
+                    start_pos):
+    """Lane-parallel XLA twin of the Pallas symbol walk: every segment
+    advances one token per loop trip IN VECTOR LANES (~7 dynamic
+    gathers + 1 scatter per trip over NB-wide vectors), so trip count is
+    max-tokens-per-segment instead of sum/nblk. Marker-identical to the
+    Pallas kernel (differential test in tests/test_inflate_pipeline.py);
+    env-gated via TPZ_INFLATE_WALK=vz pending the chip A/B."""
+    NB, SW = stream_words.shape
+    TW = tab.shape[1]
+    L1B = C.INFLATE_L1_BITS
+    L1M = (1 << L1B) - 1
+    OLIT2 = 1 << L1B
+    ODIST1 = C.INFLATE_LIT_TW
+    ODIST2 = ODIST1 + (1 << L1B)
+    s_flat = stream_words.reshape(-1)
+    t_flat = tab.reshape(-1)
+    seg = jnp.arange(NB, dtype=jnp.int32)
+    s_base = seg * jnp.int32(SW)
+    t_base = seg * jnp.int32(TW)
+    zero = jnp.zeros((NB,), jnp.int32)
+    one31 = jnp.int32(31)
+
+    def srl(x, s):
+        return jax.lax.shift_right_logical(x, s)
+
+    def body(c):
+        bitpos, out_pos, ok, out = c
+        act = ok & (out_pos < out_len)
+        w = bitpos >> 5
+        sh = bitpos & 31
+        wc = jnp.minimum(w, jnp.int32(SW - 3))
+        w0 = s_flat[s_base + wc]
+        w1 = s_flat[s_base + wc + 1]
+        w2 = s_flat[s_base + wc + 2]
+
+        def bits_at(off, n):
+            b = sh + off
+            wi = b >> 5
+            s2 = b & 31
+            lo = jnp.where(wi == 0, w0, jnp.where(wi == 1, w1, w2))
+            hi = jnp.where(wi == 0, w1, jnp.where(wi == 1, w2, 0))
+            v = srl(lo, s2) | jnp.where(
+                s2 > 0, jax.lax.shift_left(hi, (32 - s2) & one31), 0)
+            return v & (srl(jnp.full_like(v, -1), (32 - n) & one31)
+                        & jnp.where(n > 0, -1, 0))
+
+        peek = bits_at(zero, jnp.full_like(zero, 15))
+        e1 = t_flat[t_base + (peek & L1M)]
+        esc1 = (e1 & 31) == 31
+        e1b = t_flat[t_base + OLIT2 + srl(e1, 5) + (srl(peek, L1B) & 31)]
+        e = jnp.where(esc1, e1b, e1)
+        clen = e & 31
+        sym = e >> 5
+        okn = ok & (clen > 0) & (sym != 256) & (sym <= 285)
+
+        is_match = sym > 256
+        li = jnp.clip(sym - 257, 0, 28)
+        eb = len_extra[li]
+        lval = len_base[li] + bits_at(clen, eb)
+        pk = bits_at(clen + eb, jnp.full_like(zero, 15))
+        d1 = t_flat[t_base + ODIST1 + (pk & L1M)]
+        escd = (d1 & 31) == 31
+        d1b = t_flat[t_base + ODIST2 + srl(d1, 5) + (srl(pk, L1B) & 31)]
+        e2 = jnp.where(escd, d1b, d1)
+        dlen = e2 & 31
+        ds = jnp.clip(e2 >> 5, 0, 29)
+        okn = okn & (~is_match | (dlen > 0))
+        deb = dist_extra[ds]
+        dval = dist_base[ds] + bits_at(clen + eb + dlen, deb)
+
+        nbits = jnp.where(is_match, clen + eb + dlen + deb, clen)
+        adv = jnp.where(is_match, lval, 1)
+        mark = jnp.where(is_match,
+                         (_KIND_MATCH << 28) | (dval << 9) | lval,
+                         (_KIND_LIT << 28) | sym)
+        mark = jnp.where(okn, mark, 0)
+        adv = jnp.where(okn, adv, jnp.int32(BLOCK))  # corrupt: abort
+
+        col = jnp.where(act, out_pos, jnp.int32(BLOCK))
+        out = out.at[seg, col].set(mark, mode="drop")
+        return (jnp.where(act, bitpos + nbits, bitpos),
+                jnp.where(act, out_pos + adv, out_pos),
+                jnp.where(act, okn, ok), out)
+
+    def cond(c):
+        return jnp.any(c[2] & (c[1] < out_len))
+
+    init = (body_bit_local, start_pos, jnp.ones((NB,), bool),
+            jnp.zeros((NB, BLOCK + 1), jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    return final[3][:, :BLOCK]
 
 
 def _materialize_fn(markers, stream_words, btype, c0_pos_l, c0_len,
