@@ -28,6 +28,8 @@ while true; do
       timeout 2400 python -u bench/probe_parse_ab.py 8
       echo "--- 6. vector gather pricing ---"
       timeout 1200 python -u bench/probe_vector_gather.py
+      echo "--- 7. decode walk A/B (pallas vs lane-parallel vz) ---"
+      timeout 3600 python -u bench/probe_inflate_ab.py 8
     } >> "$LOG" 2>&1
     echo "=== done $(date -u) ===" >> "$LOG"
     break

@@ -40,10 +40,31 @@ def run(label, extra_env, mib):
           flush=True)
 
 
+LZ_CODE = """
+import time
+from tpz.codecs import lzhuf
+from tpz.utils import corpus
+n = {mib} << 20
+data = bytes(corpus.mixed(n, seed=9))
+blob = lzhuf.compress(data, method="lh5", backend="auto")
+out = lzhuf.decompress(blob, backend="tpu")   # cold (compile)
+assert out == data
+t0 = time.time()
+out = lzhuf.decompress(blob, backend="tpu")
+dt = time.time() - t0
+assert out == data
+print(f"warm decode {{dt:.3f}}s ({{n/dt/1e6:.2f}} MB/s)", flush=True)
+"""
+
+
 def main():
     mib = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    run("pallas walk", {}, mib)
-    run("vz lane-parallel walk", {"TPZ_INFLATE_WALK": "vz"}, mib)
+    run("inflate pallas walk", {}, mib)
+    run("inflate vz lane-parallel walk", {"TPZ_INFLATE_WALK": "vz"}, mib)
+    global CODE
+    CODE = LZ_CODE
+    run("lzhuf pallas walk", {}, mib)
+    run("lzhuf vz lane-parallel walk", {"TPZ_LZHUF_WALK": "vz"}, mib)
 
 
 if __name__ == "__main__":

@@ -107,3 +107,28 @@ def test_device_decode_many_batched():
     outs = lzhuf_walk.decompress_many(items, 13)
     for d, o in zip(datas, outs):
         assert o == d
+
+
+def test_lzhuf_walk_vz_end_to_end():
+    """Round-5 lane-parallel XLA lzhuf walk (TPZ_LZHUF_WALK=vz) is
+    marker-identical to the Pallas walk: full device decode round-trips
+    at lh5/lh7. Subprocess (trace-time variant selection)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from tpz.codecs import lzhuf\n"
+        "from tpz.utils import corpus\n"
+        "for m, n, seed in (('lh5', 300_000, 44), ('lh7', 500_000, 45)):\n"
+        "    data = bytes(corpus.mixed(n, seed=seed))\n"
+        "    blob = lzhuf.compress(data, method=m, backend='auto')\n"
+        "    assert lzhuf.decompress(blob, backend='tpu') == data, m\n"
+        "print('LZVZ-OK')\n"
+    )
+    env = dict(os.environ, TPZ_LZHUF_WALK="vz", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "LZVZ-OK" in r.stdout

@@ -106,6 +106,14 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
     r_o = BLOCK // 128
     TW = tab.shape[1]
     assert SW % 128 == 0 and TW % 128 == 0  # flat-DMA lane alignment
+    import os as _os2
+
+    if _os2.environ.get("TPZ_LZHUF_WALK") == "vz":
+        # Round-5 lane-parallel XLA walk (segments in vector lanes):
+        # marker-identical, Mosaic-free fallback. Trace-time env read —
+        # A/B runs use separate processes.
+        return _walk_vz(stream_words, body_bit_local, out_len, start_pos,
+                        tab)
     SWIN = min(STREAM_WIN, SW)
     OC2 = L1W
     OP1 = L1W + L2_CAP
@@ -270,6 +278,97 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
     )(body_bit_local, out_len, start_pos,
       stream_words.reshape(-1), tab.reshape(-1))
     return out.reshape(NBp, BLOCK)[:NB]
+
+
+def _walk_vz(stream_words, body_bit_local, out_len, start_pos, tab):
+    """Lane-parallel XLA twin of the Pallas MSB token walk: every
+    segment advances one token per loop trip in vector lanes (~7
+    dynamic gathers + 1 scatter per trip). Marker-identical (subprocess
+    test in tests/test_lzhuf_pipeline.py); env-gated TPZ_LZHUF_WALK=vz
+    pending the chip A/B."""
+    NB, SW = stream_words.shape
+    TW = tab.shape[1]
+    OC2 = L1W
+    OP1 = L1W + L2_CAP
+    OP2 = 2 * L1W + L2_CAP
+    s_flat = stream_words.reshape(-1)
+    t_flat = tab.reshape(-1)
+    seg = jnp.arange(NB, dtype=jnp.int32)
+    s_base = seg * jnp.int32(SW)
+    t_base = seg * jnp.int32(TW)
+    zero = jnp.zeros((NB,), jnp.int32)
+    one31 = jnp.int32(31)
+
+    def srl(x, s):
+        return jax.lax.shift_right_logical(x, s)
+
+    def body(c):
+        bitpos, out_pos, ok, out = c
+        act = ok & (out_pos < out_len)
+        w = bitpos >> 5
+        sh = bitpos & 31
+        wc = jnp.minimum(w, jnp.int32(SW - 3))
+        w0 = s_flat[s_base + wc]
+        w1 = s_flat[s_base + wc + 1]
+        w2 = s_flat[s_base + wc + 2]
+
+        def bits_at(off, n):
+            # MSB: n bits starting sh+off into the 96-bit window.
+            b = sh + off
+            wi = b >> 5
+            s2 = b & 31
+            lo = jnp.where(wi == 0, w0, jnp.where(wi == 1, w1, w2))
+            hi = jnp.where(wi == 0, w1, jnp.where(wi == 1, w2, 0))
+            v = jax.lax.shift_left(lo, s2) | jnp.where(
+                s2 > 0, srl(hi, (32 - s2) & one31), 0)
+            return jnp.where(n > 0, srl(v, (32 - n) & one31), 0)
+
+        l1b = jnp.full_like(zero, L1_BITS)
+        peekc = bits_at(zero, l1b)
+        e1 = t_flat[t_base + peekc]
+        esc = (e1 & 31) == 31
+        e2v = t_flat[t_base + OC2 + srl(e1, 5)
+                     + bits_at(l1b, jnp.full_like(zero, 5))]
+        e = jnp.where(esc, e2v, e1)
+        clen = e & 31
+        csym = srl(e, 5)
+        okn = ok
+
+        is_match = csym >= 256
+        mlen = jnp.clip(csym - 256 + 3, 3, 258)
+        pk = bits_at(clen, l1b)
+        pe1 = t_flat[t_base + OP1 + pk]
+        pesc = (pe1 & 31) == 31
+        pe2 = t_flat[t_base + OP2 + srl(pe1, 5)
+                     + bits_at(clen + l1b, jnp.full_like(zero, 5))]
+        pe = jnp.where(pesc, pe2, pe1)
+        plen_ = pe & 31
+        pc = srl(pe, 5)
+        raw_n = jnp.maximum(pc - 1, 0)
+        raw = bits_at(clen + plen_, raw_n)
+        pval = jnp.where(pc > 1,
+                         jax.lax.shift_left(jnp.full_like(zero, 1),
+                                            pc - 1) | raw, pc)
+        nbits = jnp.where(is_match, clen + plen_ + raw_n, clen)
+        adv = jnp.where(is_match, mlen, 1)
+        mark = jnp.where(is_match,
+                         (_KIND_MATCH << 28)
+                         | jax.lax.shift_left(pval, 9) | mlen,
+                         (_KIND_LIT << 28) | csym)
+
+        col = jnp.where(act, out_pos, jnp.int32(BLOCK))
+        out = out.at[seg, col].set(mark, mode="drop")
+        return (jnp.where(act, bitpos + nbits, bitpos),
+                jnp.where(act, out_pos + adv, out_pos),
+                jnp.where(act, okn, ok), out)
+
+    def cond(c):
+        return jnp.any(c[2] & (c[1] < out_len))
+
+    init = (body_bit_local, start_pos, jnp.ones((NB,), bool),
+            jnp.zeros((NB, BLOCK + 1), jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    return final[3][:, :BLOCK]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "nblk"))
