@@ -754,7 +754,14 @@ def index_stream(stream: bytes):
 
     if not oracle.available():
         return None
-    idx = oracle.inflate_index(stream, seg_out=BLOCK,
+    import os as _os3
+
+    # Tunable cut size (device sweep knob): the lane-parallel vz walk
+    # gains twice from smaller segments — more lanes AND fewer trips
+    # (trips = max tokens per segment) — at the cost of padded marker
+    # rows. Default stays one 64 KiB block per segment.
+    seg_out = int(_os3.environ.get("TPZ_SEG_OUT", BLOCK))
+    idx = oracle.inflate_index(stream, seg_out=seg_out,
                                max_span_bytes=SLICE_BYTES - 1024)
     if idx is None or len(idx["out_lens"]) == 0:
         return None
