@@ -440,7 +440,13 @@ def _resolve_fn(markers, dist_bias: int = 0, wide: bool = False,
     magnitude slower than running doubling natively, and the resolvers'
     equivalence is differentially proven in tests/test_resolve_walk.py
     over the same marker space."""
-    if interpret:
+    import os as _os4
+
+    if interpret or _os4.environ.get("TPZ_RESOLVE") == "doubling":
+        # TPZ_RESOLVE=doubling forces the XLA pointer-doubling resolver
+        # on the compiled path too — the escape hatch if the Pallas copy
+        # machine (never yet compiled on the real chip, VERDICT r4 weak
+        # #6) hits a Mosaic issue, and the A/B knob for measuring it.
         return _resolve_doubling(markers, dist_bias=dist_bias, wide=wide)
     from tpz.kernels import resolve_walk
 
