@@ -872,6 +872,15 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
         offB = jnp.where(is_ext, WOFF + eb, 2 * qc + 1)
         a = comb[base_w + offA]
         b = comb[base_w + offB]
+        # EXT widening: 8-byte compares halve the dominant trip term
+        # (BASELINE round-5 trip structure). The +4-byte words may read
+        # past cap — harmless, lnc is clamped to cap exactly as the
+        # 4-byte loop's exit does. The second word is word-offset +1 in
+        # words space (4 bytes), valid while ea/eb + 1 <= M - 1.
+        ea2 = jnp.minimum(ea + 4, jnp.int32(M - 1))
+        eb2 = jnp.minimum(eb + 4, jnp.int32(M - 1))
+        a2 = comb[base_w + jnp.where(is_ext, WOFF + ea2, 2 * qc)]
+        b2 = comb[base_w + jnp.where(is_ext, WOFF + eb2, 2 * qc + 1)]
 
         rawq = (a & RAW) != 0
         apk = a & jnp.int32(RAW - 1)
@@ -898,11 +907,14 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
         go_ext = is_tok & rawq & (ss1 >= scap_t) & (jj1 >= 0)
         fin_tok = is_tok & rawq & ~((ss1 >= scap_t) & (jj1 >= 0))
 
-        # ---- EXT: one 4-byte compare step ----
+        # ---- EXT: one 8-byte compare step (two 4-byte words) ----
         x = a ^ b
-        adv = jnp.where(x == 0, 4, lzbytes(x))
+        x2 = a2 ^ b2
+        full8 = (x == 0) & (x2 == 0)
+        adv = jnp.where(x != 0, lzbytes(x),
+                        4 + jnp.where(x2 == 0, 4, lzbytes(x2)))
         k2 = jnp.minimum(k + adv, cap)
-        kn = jnp.where(x == 0, k2, k2 + SENT)
+        kn = jnp.where(full8, k2, k2 + SENT)
         edone = is_ext & (kn >= cap)
         lnc = jnp.minimum(kn & SMASK, cap)
         need2 = (j2v >= 0) & (s2v >= scap) & (lnc < cap)
