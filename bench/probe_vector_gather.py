@@ -92,6 +92,41 @@ def pallas_take_along(adv):
     return jax.jit(functools.partial(f))
 
 
+def trip_simulacrum(adv_flat, rows):
+    """Full v3z-trip cost: 4 flat gathers + 1 scatter + ~50 vector ALU
+    ops per trip in a fori_loop — the number that decides the
+    lane-parallel walk's ceiling."""
+
+    @jax.jit
+    def run(adv_flat, rows):
+        base = rows * L
+        NB = NWALK // 4
+
+        def body(i, c):
+            p, out = c
+            a = adv_flat[base + (p & (L - 1))]
+            b = adv_flat[base + ((p + 1) & (L - 1))]
+            a2 = adv_flat[base + ((p + 4) & (L - 1))]
+            b2 = adv_flat[base + ((p + 5) & (L - 1))]
+            x = a ^ b
+            y = a2 ^ b2
+            for _ in range(12):  # ~50 elementwise ops
+                x = (x + y) ^ (x >> 3)
+                y = jnp.where(x > y, y + 1, y)
+                x = jnp.minimum(x & 1023, p)
+                y = y | (x << 2)
+            mark = x + y
+            col = jnp.where(mark >= 0, p & (L - 1), jnp.int32(L))
+            out = out.at[rows % NB, col].set(mark, mode="drop")
+            return (p + jnp.clip(a & 7, 1, 8), out)
+
+        p0 = jnp.zeros((NWALK,), jnp.int32)
+        out0 = jnp.zeros((NB, L + 1), jnp.int32)
+        return jax.lax.fori_loop(0, STEPS, body, (p0, out0))
+
+    return run
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
@@ -121,6 +156,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"C pallas_take_along: FAIL {type(e).__name__}: "
               f"{str(e)[:200]}", flush=True)
+
+    t = _bench(trip_simulacrum(adv.reshape(-1), rows),
+               adv.reshape(-1), rows)
+    per_trip = t / STEPS * 1e6
+    # 16 MiB mixed ~ 6000 trips (BASELINE round-5 trip structure)
+    est = 16.78e6 / (6000 * t / STEPS) / 1e6
+    print(f"D v3z_trip_simulacrum: {t*1e3:.2f} ms/{STEPS} trips -> "
+          f"{per_trip:.2f} us/trip; 16 MiB walk est "
+          f"{6000 * t / STEPS * 1e3:.0f} ms ({est:.0f} MB/s walk-only)",
+          flush=True)
 
 
 if __name__ == "__main__":
