@@ -123,7 +123,7 @@ STREAM_WIN = 4096
 
 def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
                  mi_ref, out_ref, meta_ref, win_ref, tab_ref, base_ref,
-                 dma_sem, *, S: int, SW: int, NBLK: int):
+                 dma_sem, *, S: int, SW: int, NBLK: int, TROW: int):
     """One grid step = NBLK blocks' symbol walks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -133,20 +133,19 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
     zero = jnp.int32(0)
     one31 = jnp.int32(31)
     WINW = min(STREAM_WIN, SW)
-    TROW = 6 * TAB_STRIDE + SEL_CAP
 
-    # s_hbm / t_hbm arrive FLAT (1-D): Mosaic rejects DMA sources that
-    # slice < 8 rows of a 2-D tiled memref (round-4 on-chip regression);
-    # flat slices at 128-aligned offsets compile.
+    # s_hbm / t_hbm arrive FLAT (1-D): whole-tile (1024-word) slices
+    # into flat 1-D SMEM slices — the only DMA form this chip's Mosaic
+    # accepts (probe_dma_align3/4, 2026-08-20).
     for c in range(NBLK):
         cpt = pltpu.make_async_copy(
-            t_hbm.at[pl.ds((g0 * NBLK + c) * TROW, TROW)], tab_ref.at[c],
-            dma_sem)
+            t_hbm.at[pl.ds((g0 * NBLK + c) * TROW, TROW)],
+            tab_ref.at[pl.ds(c * TROW, TROW)], dma_sem)
         cpt.start()
         cpt.wait()
         cp = pltpu.make_async_copy(
-            s_hbm.at[pl.ds((g0 * NBLK + c) * SW, WINW)], win_ref.at[c],
-            dma_sem)
+            s_hbm.at[pl.ds((g0 * NBLK + c) * SW, WINW)],
+            win_ref.at[pl.ds(c * WINW, WINW)], dma_sem)
         cp.start()
         cp.wait()
         base_ref[c] = 0
@@ -161,7 +160,7 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
 
         # Current table id from the selector list (appended to the
         # fused SMEM scratch at SEL_OFF — a scalar load).
-        t = tab_ref[c, jnp.int32(6 * TAB_STRIDE) + gi]
+        t = tab_ref[c * TROW + jnp.int32(6 * TAB_STRIDE) + gi]
         # 32-bit MSB window at bitpos, read from the chain's SMEM
         # sliding window (refilled by DMA when the cursor nears its
         # end; `need` only fires while the chain is active).
@@ -171,30 +170,30 @@ def _walk_kernel(nu_ref, ns_ref, sb_ref, s_hbm, t_hbm,
 
         @pl.when(need)
         def _():
-            # 128-aligned window base (lane tiling).
-            nb = jax.lax.shift_left(
-                jax.lax.shift_right_logical(
-                    jnp.minimum(w, jnp.int32(SW - WINW)), 7), 7)
+            # Tile-aligned window base (1024 words); the mul form is
+            # what Mosaic's divisibility analysis can prove.
+            nb = jax.lax.shift_right_logical(
+                jnp.minimum(w, jnp.int32(SW - WINW)), 10) * 1024
             cpw = pltpu.make_async_copy(
                 s_hbm.at[pl.ds((g0 * NBLK + c) * SW + nb, WINW)],
-                win_ref.at[c], dma_sem)
+                win_ref.at[pl.ds(c * WINW, WINW)], dma_sem)
             cpw.start()
             cpw.wait()
             base_ref[c] = nb
 
-        woff = jnp.clip(w - base_ref[c], 0, WINW - 2)
-        w0 = win_ref[c, woff]
-        w1 = win_ref[c, woff + 1]
+        woff = c * WINW + jnp.clip(w - base_ref[c], 0, WINW - 2)
+        w0 = win_ref[woff]
+        w1 = win_ref[woff + 1]
         top = jax.lax.shift_left(w0, sh) | jnp.where(
             sh > 0, srl(w1, (32 - sh) & one31), 0)
         # Two-level SMEM lookup: table t spans [t * TAB_STRIDE,
         # (t+1) * TAB_STRIDE) of the fused scratch ([L1 | L2] per table).
         peek = srl(top, 32 - L1_BITS)
-        tb = t * jnp.int32(TAB_STRIDE)
-        e1 = tab_ref[c, tb + peek]
+        tb = c * TROW + t * jnp.int32(TAB_STRIDE)
+        e1 = tab_ref[tb + peek]
         esc = (e1 & 31) == 31
         l2i = srl(e1, 5) + (srl(top, 32 - L1_BITS - 5) & 31)
-        e2 = tab_ref[c, tb + jnp.int32(L1W) + l2i]
+        e2 = tab_ref[tb + jnp.int32(L1W) + l2i]
         e = jnp.where(esc, e2, e1)
         ln = e & 31
         sym_new = srl(e, 5)
@@ -340,14 +339,17 @@ def _walk_call(n_used, nsel, sym_local, sw, tab, selectors, mtf_init,
     from jax.experimental.pallas import tpu as pltpu
 
     NB, SW = sw.shape
-    if SW % 128:  # flat-DMA lane alignment (bzip2 slices are not pow2)
+    # Whole-tile (1024-word) DMA alignment (probe_dma_align3 on this
+    # chip); bzip2 slices are not pow2, so pad the per-block stride.
+    if SW % 1024:
         sw = jnp.concatenate(
-            [sw, jnp.zeros((NB, 128 - SW % 128), sw.dtype)], axis=1)
+            [sw, jnp.zeros((NB, 1024 - SW % 1024), sw.dtype)], axis=1)
         SW = sw.shape[1]
     # SMEM bounds the interleave factor (ADVICE r4): each chain holds a
     # WINW stream window + the full fused table+selector row. The 920 KiB
     # budget is the round-4 probe_extract capacity-ladder result.
-    per_chain = min(STREAM_WIN, SW) + 6 * TAB_STRIDE + SEL_CAP + 1
+    TROW = -(-(6 * TAB_STRIDE + SEL_CAP) // 1024) * 1024  # tile-pad
+    per_chain = min(STREAM_WIN, SW) + TROW + 1
     NBLK = max(1, min(NBLK, (920 * 1024 // 4) // per_chain))
     NBp = -(-NB // NBLK) * NBLK
     if NBp != NB:
@@ -367,7 +369,7 @@ def _walk_call(n_used, nsel, sym_local, sw, tab, selectors, mtf_init,
         sym_local = jnp.concatenate([sym_local, zp])
 
     recs, meta = pl.pallas_call(
-        functools.partial(_walk_kernel, S=S, SW=SW, NBLK=NBLK),
+        functools.partial(_walk_kernel, S=S, SW=SW, NBLK=NBLK, TROW=TROW),
         grid=(NBp // NBLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
             pl.BlockSpec(memory_space=pl.ANY),
@@ -388,15 +390,18 @@ def _walk_call(n_used, nsel, sym_local, sw, tab, selectors, mtf_init,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         scratch_shapes=[
-            pltpu.SMEM((NBLK, min(STREAM_WIN, SW)), jnp.int32),
-            pltpu.SMEM((NBLK, 6 * TAB_STRIDE + SEL_CAP), jnp.int32),
+            pltpu.SMEM((NBLK * min(STREAM_WIN, SW),), jnp.int32),
+            pltpu.SMEM((NBLK * TROW,), jnp.int32),
             pltpu.SMEM((NBLK,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(n_used, nsel, sym_local,
       sw.reshape(-1),
-      jnp.concatenate([tab, selectors], axis=1).reshape(-1),
+      jnp.concatenate(
+          [tab, selectors,
+           jnp.zeros((NBp, TROW - 6 * TAB_STRIDE - SEL_CAP), tab.dtype)],
+          axis=1).reshape(-1),
       mtf_init.reshape(NBp, 2, 128))
     return recs.reshape(NBp, S)[:NB], meta.reshape(NBp, 128)[:NB]
 

@@ -84,10 +84,23 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
     from jax.experimental.pallas import tpu as pltpu
 
     NB, SW = stream_words.shape
-    assert SW % 128 == 0 and BLOCK % 128 == 0
+    assert BLOCK % 128 == 0
     r_o = BLOCK // 128
+    # Mosaic DMA rule measured on this chip (bench/probe_dma_align3.py,
+    # 2026-08-20): 1-D HBM slices must cover WHOLE (8,128) tiles — both
+    # the offset and the length must be multiples of 1024 words; and the
+    # SMEM destination must be a flat 1-D slice (2-D row slices are
+    # rejected regardless of src). Pad the per-chain strides to 1024.
+    if SW % 1024:
+        stream_words = jnp.concatenate(
+            [stream_words,
+             jnp.zeros((NB, 1024 - SW % 1024), stream_words.dtype)], axis=1)
+        SW = stream_words.shape[1]
     TW = tab.shape[1]
-    assert TW % 128 == 0  # flat-DMA row offsets must stay lane-aligned
+    if TW % 1024:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((NB, 1024 - TW % 1024), tab.dtype)], axis=1)
+        TW = tab.shape[1]
     SWIN = min(STREAM_WIN, SW)
     L1B = C.INFLATE_L1_BITS
     L1M = (1 << L1B) - 1
@@ -129,18 +142,20 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
-        # s_hbm / t_hbm arrive FLAT (1-D): Mosaic rejects DMA sources
-        # that slice < 8 rows of a 2-D tiled memref (round-4 on-chip
-        # regression); flat slices at 128-aligned offsets compile.
+        # s_hbm / t_hbm arrive FLAT (1-D): Mosaic only accepts 1-D DMA
+        # slices covering whole (8,128) tiles — 1024-word-aligned offset
+        # AND length — into flat 1-D SMEM slices (probe_dma_align3/4 on
+        # this chip, 2026-08-20; the round-4 2-D row form and the first
+        # round-5 128-aligned flat form both fail compilation).
         for c in range(nblk):
             cpt = pltpu.make_async_copy(
-                t_hbm.at[pl.ds((g * nblk + c) * TW, TW)], t_ref.at[c],
-                dma_sem)
+                t_hbm.at[pl.ds((g * nblk + c) * TW, TW)],
+                t_ref.at[pl.ds(c * TW, TW)], dma_sem)
             cpt.start()
             cpt.wait()
             cps = pltpu.make_async_copy(
-                s_hbm.at[pl.ds((g * nblk + c) * SW, SWIN)], s_win.at[c],
-                dma_sem)
+                s_hbm.at[pl.ds((g * nblk + c) * SW, SWIN)],
+                s_win.at[pl.ds(c * SWIN, SWIN)], dma_sem)
             cps.start()
             cps.wait()
             sbase_ref[c] = 0
@@ -161,22 +176,25 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
 
             @pl.when(need)
             def _():
-                # 128-aligned window base (lane tiling; <=127 words of
+                # Tile-aligned window base (1024 words; <=1023 words of
                 # forward coverage lost, absorbed by the refill margin).
-                nb = jax.lax.shift_left(
-                    jax.lax.shift_right_logical(
-                        jnp.minimum(wc, jnp.int32(SW - SWIN)), 7), 7)
+                # MUST be `(x >> 10) * 1024`, not shifts both ways:
+                # Mosaic's divisibility analysis proves mul-by-1024 but
+                # not shift-left-by-10 (on-chip error: "Failed to prove
+                # that a tile index ... is divisible by the tiling").
+                nb = jax.lax.shift_right_logical(
+                    jnp.minimum(wc, jnp.int32(SW - SWIN)), 10) * 1024
                 cpw = pltpu.make_async_copy(
                     s_hbm.at[pl.ds((g * nblk + c) * SW + nb, SWIN)],
-                    s_win.at[c], dma_sem)
+                    s_win.at[pl.ds(c * SWIN, SWIN)], dma_sem)
                 cpw.start()
                 cpw.wait()
                 sbase_ref[c] = nb
 
-            woff = jnp.clip(wc - sbase_ref[c], 0, SWIN - 3)
-            w0 = s_win[c, woff]
-            w1 = s_win[c, woff + 1]
-            w2 = s_win[c, woff + 2]
+            woff = c * SWIN + jnp.clip(wc - sbase_ref[c], 0, SWIN - 3)
+            w0 = s_win[woff]
+            w1 = s_win[woff + 1]
+            w2 = s_win[woff + 2]
 
             def bits_at(off, n):
                 # n-bit window at bit sh+off of the 96-bit (w0,w1,w2)
@@ -192,9 +210,10 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
                             & jnp.where(n > 0, -1, 0))
 
             peek = bits_at(zero, jnp.int32(15))
-            e1 = t_ref[c, peek & L1M]
+            tb = c * TW
+            e1 = t_ref[tb + (peek & L1M)]
             esc1 = (e1 & 31) == 31
-            e1b = t_ref[c, OLIT2 + srl(e1, 5) + (srl(peek, L1B) & 31)]
+            e1b = t_ref[tb + OLIT2 + srl(e1, 5) + (srl(peek, L1B) & 31)]
             e = jnp.where(esc1, e1b, e1)
             clen = e & 31
             sym = e >> 5
@@ -205,9 +224,9 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
             eb = le_ref[li]
             lval = lb_ref[li] + bits_at(clen, eb)
             pk = bits_at(clen + eb, jnp.int32(15))
-            d1 = t_ref[c, ODIST1 + (pk & L1M)]
+            d1 = t_ref[tb + ODIST1 + (pk & L1M)]
             escd = (d1 & 31) == 31
-            d1b = t_ref[c, ODIST2 + srl(d1, 5) + (srl(pk, L1B) & 31)]
+            d1b = t_ref[tb + ODIST2 + srl(d1, 5) + (srl(pk, L1B) & 31)]
             e2 = jnp.where(escd, d1b, d1)
             dlen = e2 & 31
             ds = jnp.clip(e2 >> 5, 0, 29)
@@ -260,8 +279,8 @@ def _symbol_walk(stream_words, body_bit_local, out_len, tab,
         ],
         out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((nblk, SWIN), jnp.int32),
-                        pltpu.SMEM((nblk, TW), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((nblk * SWIN,), jnp.int32),
+                        pltpu.SMEM((nblk * TW,), jnp.int32),
                         pltpu.SMEM((nblk,), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,

@@ -105,7 +105,6 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
     NB, SW = stream_words.shape
     r_o = BLOCK // 128
     TW = tab.shape[1]
-    assert SW % 128 == 0 and TW % 128 == 0  # flat-DMA lane alignment
     import os as _os2
 
     if _os2.environ.get("TPZ_LZHUF_WALK") == "vz":
@@ -114,6 +113,18 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
         # A/B runs use separate processes.
         return _walk_vz(stream_words, body_bit_local, out_len, start_pos,
                         tab)
+    # Mosaic DMA rule measured on this chip (bench/probe_dma_align3/4,
+    # 2026-08-20): 1-D HBM slices must cover whole (8,128) tiles — offset
+    # and length multiples of 1024 words — into flat 1-D SMEM slices.
+    if SW % 1024:
+        stream_words = jnp.concatenate(
+            [stream_words,
+             jnp.zeros((NB, 1024 - SW % 1024), stream_words.dtype)], axis=1)
+        SW = stream_words.shape[1]
+    if TW % 1024:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((NB, 1024 - TW % 1024), tab.dtype)], axis=1)
+        TW = tab.shape[1]
     SWIN = min(STREAM_WIN, SW)
     OC2 = L1W
     OP1 = L1W + L2_CAP
@@ -139,18 +150,18 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
         g = pl.program_id(0)
         zero = jnp.int32(0)
         one31 = jnp.int32(31)
-        # s_hbm / t_hbm arrive FLAT (1-D): Mosaic rejects DMA sources
-        # that slice < 8 rows of a 2-D tiled memref (round-4 on-chip
-        # regression); flat slices at 128-aligned offsets compile.
+        # s_hbm / t_hbm arrive FLAT (1-D): whole-tile (1024-word) slices
+        # into flat 1-D SMEM slices — the only DMA form this chip's
+        # Mosaic accepts (probe_dma_align3/4, 2026-08-20).
         for c in range(nblk):
             cpt = pltpu.make_async_copy(
-                t_hbm.at[pl.ds((g * nblk + c) * TW, TW)], t_ref.at[c],
-                dma_sem)
+                t_hbm.at[pl.ds((g * nblk + c) * TW, TW)],
+                t_ref.at[pl.ds(c * TW, TW)], dma_sem)
             cpt.start()
             cpt.wait()
             cps = pltpu.make_async_copy(
-                s_hbm.at[pl.ds((g * nblk + c) * SW, SWIN)], s_win.at[c],
-                dma_sem)
+                s_hbm.at[pl.ds((g * nblk + c) * SW, SWIN)],
+                s_win.at[pl.ds(c * SWIN, SWIN)], dma_sem)
             cps.start()
             cps.wait()
             sbase_ref[c] = 0
@@ -171,21 +182,21 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
 
             @pl.when(need)
             def _():
-                # 128-aligned window base (lane tiling).
-                nb = jax.lax.shift_left(
-                    jax.lax.shift_right_logical(
-                        jnp.minimum(wc, jnp.int32(SW - SWIN)), 7), 7)
+                # Tile-aligned window base (1024 words); the mul form is
+                # what Mosaic's divisibility analysis can prove.
+                nb = jax.lax.shift_right_logical(
+                    jnp.minimum(wc, jnp.int32(SW - SWIN)), 10) * 1024
                 cpw = pltpu.make_async_copy(
                     s_hbm.at[pl.ds((g * nblk + c) * SW + nb, SWIN)],
-                    s_win.at[c], dma_sem)
+                    s_win.at[pl.ds(c * SWIN, SWIN)], dma_sem)
                 cpw.start()
                 cpw.wait()
                 sbase_ref[c] = nb
 
-            woff = jnp.clip(wc - sbase_ref[c], 0, SWIN - 3)
-            w0 = s_win[c, woff]
-            w1 = s_win[c, woff + 1]
-            w2 = s_win[c, woff + 2]
+            woff = c * SWIN + jnp.clip(wc - sbase_ref[c], 0, SWIN - 3)
+            w0 = s_win[woff]
+            w1 = s_win[woff + 1]
+            w2 = s_win[woff + 2]
 
             def bits_at(off, n):
                 # MSB: n bits starting sh+off into the 96-bit window.
@@ -199,9 +210,10 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
                 return jnp.where(n > 0, srl(v, (32 - n) & one31), 0)
 
             peekc = bits_at(zero, jnp.int32(L1_BITS))
-            e1 = t_ref[c, peekc]
+            tb = c * TW
+            e1 = t_ref[tb + peekc]
             esc = (e1 & 31) == 31
-            e2 = t_ref[c, OC2 + srl(e1, 5)
+            e2 = t_ref[tb + OC2 + srl(e1, 5)
                        + bits_at(jnp.int32(L1_BITS), jnp.int32(5))]
             e = jnp.where(esc, e2, e1)
             clen = e & 31
@@ -214,9 +226,9 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
             is_match = csym >= 256
             mlen = jnp.clip(csym - 256 + 3, 3, 258)
             pk = bits_at(clen, jnp.int32(L1_BITS))
-            pe1 = t_ref[c, OP1 + pk]
+            pe1 = t_ref[tb + OP1 + pk]
             pesc = (pe1 & 31) == 31
-            pe2 = t_ref[c, OP2 + srl(pe1, 5)
+            pe2 = t_ref[tb + OP2 + srl(pe1, 5)
                         + bits_at(clen + jnp.int32(L1_BITS), jnp.int32(5))]
             pe = jnp.where(pesc, pe2, pe1)
             plen_ = pe & 31
@@ -270,8 +282,8 @@ def _walk(stream_words, body_bit_local, out_len, start_pos, tab,
         ],
         out_specs=pl.BlockSpec((nblk, r_o, 128), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_o, 128), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((nblk, SWIN), jnp.int32),
-                        pltpu.SMEM((nblk, TW), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((nblk * SWIN,), jnp.int32),
+                        pltpu.SMEM((nblk * TW,), jnp.int32),
                         pltpu.SMEM((nblk,), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,

@@ -530,12 +530,17 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
     # SMEM bounds the chain count (W * (MPW + WW) * 4 B), so nblk drops
     # to 1 (W = nsub = 4): the round-3 W-sweep was flat — the walk is
     # issue-bound, so fewer-but-cheaper chains win.
-    # Flat 1-D HBM operands: Mosaic rejects a DMA source that slices a
-    # single row of a 2-D (8,128)-tiled memref ("Slice shape along
-    # dimension 0 must be aligned to tiling (8), but is 1" — the round-4
-    # on-chip regression, VERDICT r4 weak #1). A 1-D operand has no
-    # sublane dim to mis-slice; all dynamic offsets below are kept
-    # 128-word-aligned so the lane tiling is respected too.
+    # Flat 1-D HBM operands: the only DMA form this chip's Mosaic
+    # accepts is a 1-D slice covering WHOLE (8,128) tiles — offset and
+    # length both multiples of 1024 words, with the offset in a form the
+    # divisibility analysis can PROVE (constants, program_id products,
+    # and `t * 1024`; NOT `(x>>10)<<10` or `x & ~1023`) — into a flat
+    # 1-D SMEM slice (bench/probe_dma_align3/5 on-chip, 2026-08-20).
+    if M % 1024:
+        words = jnp.concatenate(
+            [words, jnp.zeros((NBp, 1024 - M % 1024), words.dtype)],
+            axis=1)
+        M = words.shape[1]
     mp = jnp.stack([w1, pk2], axis=2).reshape(NBp * 2 * N)
     words = words.reshape(NBp * M)
     SENT = 1 << 20
@@ -543,8 +548,10 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
     MP_SPAN = min(2048, N)
     MPW = 2 * MP_SPAN
     WLOOK = window + max_match + 64
-    WW = min(-(-(64 + WLOOK + 2048) // 128) * 128, M)
-    assert MPW % 128 == 0 and WW % 128 == 0 and M % 128 == 0
+    WW = min(-(-(64 + WLOOK + 2048) // 1024) * 1024, M)
+    assert MPW % 1024 == 0 and WW % 1024 == 0 and M % 1024 == 0, (
+        f"whole-tile DMA: MPW={MPW} WW={WW} M={M}")
+    assert (2 * N) % 1024 == 0, f"mp row stride must be tile-mult: N={N}"
     assert W * (MPW + WW) * 4 <= 920 * 1024, (
         f"SMEM window budget: W={W} MPW={MPW} WW={WW}")
 
@@ -562,16 +569,18 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
         for c in range(W):
             p0 = (c % nsub) * restart
             row = g * nblk + c // nsub
-            mpb0 = (min(p0, N - MP_SPAN) >> 7) << 7
-            wb0 = ((min(max(p0 - 64, 0), M - WW) >> 7) << 7)
+            # Static (python-int) bases, aligned so the flat offsets are
+            # whole tiles: 2*mpb0 and wb0 multiples of 1024 words.
+            mpb0 = (min(p0, N - MP_SPAN) >> 9) << 9
+            wb0 = ((min(max(p0 - 64, 0), M - WW) >> 10) << 10)
             cp = pltpu.make_async_copy(
                 mp_hbm.at[pl.ds(row * (2 * N) + 2 * mpb0, MPW)],
-                mp_win.at[c], dma_sem)
+                mp_win.at[pl.ds(c * MPW, MPW)], dma_sem)
             cp.start()
             cp.wait()
             cp = pltpu.make_async_copy(
-                wd_hbm.at[pl.ds(row * M + wb0, WW)], wd_win.at[c],
-                dma_sem)
+                wd_hbm.at[pl.ds(row * M + wb0, WW)],
+                wd_win.at[pl.ds(c * WW, WW)], dma_sem)
             cp.start()
             cp.wait()
             mpb_ref[c] = mpb0
@@ -605,41 +614,42 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
 
             @pl.when(need_mp)
             def _():
-                # Window base aligned down to 128 words (lane tiling);
-                # the <=127-word coverage loss is absorbed by MP_SPAN.
-                nb = jax.lax.shift_left(
-                    jax.lax.shift_right_logical(
-                        jnp.minimum(p, jnp.int32(N - MP_SPAN)), 7), 7)
+                # Window base aligned down to 512 positions (= 1024
+                # interleaved words, one whole tile); the coverage loss
+                # is absorbed by MP_SPAN. The `t * 1024` mul form is
+                # what Mosaic's divisibility analysis can prove
+                # (probe_dma_align5).
+                t = jax.lax.shift_right_logical(
+                    jnp.minimum(p, jnp.int32(N - MP_SPAN)), 9)
                 cpm = pltpu.make_async_copy(
-                    mp_hbm.at[pl.ds((g * nblk + blk) * (2 * N) + 2 * nb,
+                    mp_hbm.at[pl.ds((g * nblk + blk) * (2 * N) + t * 1024,
                                     MPW)],
-                    mp_win.at[c], dma_sem)
+                    mp_win.at[pl.ds(c * MPW, MPW)], dma_sem)
                 cpm.start()
                 cpm.wait()
-                mpb_ref[c] = nb
+                mpb_ref[c] = t * 512
 
             need_wd = act & ((p + jnp.int32(WLOOK)) >= (wb_ref[c] + WW))
 
             @pl.when(need_wd)
             def _():
-                nb = jax.lax.shift_left(
-                    jax.lax.shift_right_logical(
-                        jnp.clip(p - 64, 0, jnp.int32(M - WW)), 7), 7)
+                nb = jax.lax.shift_right_logical(
+                    jnp.clip(p - 64, 0, jnp.int32(M - WW)), 10) * 1024
                 cpw = pltpu.make_async_copy(
                     wd_hbm.at[pl.ds((g * nblk + blk) * M + nb, WW)],
-                    wd_win.at[c], dma_sem)
+                    wd_win.at[pl.ds(c * WW, WW)], dma_sem)
                 cpw.start()
                 cpw.wait()
                 wb_ref[c] = nb
 
             # Predication runs both reads every step; clip keeps the
             # inactive one's (stale-state) index inside its window.
-            mo = 2 * jnp.clip(qc - mpb_ref[c], 0, MP_SPAN - 1)
+            mo = c * MPW + 2 * jnp.clip(qc - mpb_ref[c], 0, MP_SPAN - 1)
             wb = wb_ref[c]
-            a_tok = mp_win[c, mo]
-            b_tok = mp_win[c, mo + 1]
-            a_ext = wd_win[c, jnp.clip(ea - wb, 0, WW - 1)]
-            b_ext = wd_win[c, jnp.clip(eb - wb, 0, WW - 1)]
+            a_tok = mp_win[mo]
+            b_tok = mp_win[mo + 1]
+            a_ext = wd_win[c * WW + jnp.clip(ea - wb, 0, WW - 1)]
+            b_ext = wd_win[c * WW + jnp.clip(eb - wb, 0, WW - 1)]
             a = jnp.where(is_ext, a_ext, a_tok)
             b = jnp.where(is_ext, b_ext, b_tok)
 
@@ -761,8 +771,8 @@ def parse_extend_pallas_v3y(pk1: jax.Array, pk2: jax.Array,
         out_specs=pl.BlockSpec((nblk, r_n, 128), lambda bb: (bb, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NBp, r_n, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.SMEM((W, MPW), jnp.int32),
-            pltpu.SMEM((W, WW), jnp.int32),
+            pltpu.SMEM((W * MPW,), jnp.int32),
+            pltpu.SMEM((W * WW,), jnp.int32),
             pltpu.SMEM((W,), jnp.int32),
             pltpu.SMEM((W,), jnp.int32),
             pltpu.SemaphoreType.DMA,
