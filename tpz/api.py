@@ -301,10 +301,12 @@ class DecodeStream:
     garbage after a completed single-stream format.
 
     The DEFLATE family decodes incrementally (resumable cpp InflateStream
-    + running checksums) and bzip2 decodes block-granularly (magic-
-    delimited blocks decode as they complete, round 4): many small
-    writes cost O(total bytes), not O(writes x stream). Raw lzss and
-    lh4-lh7 retry a full parse per write (no internal delimiters).
+    + running checksums), bzip2 decodes block-granularly (magic-
+    delimited blocks decode as they complete, round 4), and lh4-lh7
+    stream through the resumable cpp LzhufStream (round 5): many small
+    writes cost O(total bytes), not O(writes x stream). Only raw lzss
+    retries a full parse per write (no internal delimiters; the format
+    is a bare token stream used for lh0/testing).
     """
 
     def __init__(self, format: str = "gzip") -> None:
