@@ -276,7 +276,7 @@ def main():
         "buffers": nbuf,
         "bytes_per_buffer": size,
         "backend": backend,
-        "parse": os.environ.get("TPZ_PARSE", "v3y"),
+        "parse": os.environ.get("TPZ_PARSE", "v3z"),
         "median_s": round(median, 4),
         "all_s": [round(t, 4) for t in times],
         "compression_ratio": round(ratio, 4),

@@ -1,6 +1,8 @@
 """Kernel micro-tests (SURVEY.md §4 item 4): numpy/C++ twins agree, Pallas
 and XLA parse paths agree, device token stream equals oracle tokens."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -338,6 +340,14 @@ def test_parse_extend_v3z_matches_v3y(lazy):
     ry, my, dy = parse_extend_pallas_v3y(
         *args, lazy=lazy, restart=restart, nblk=2, interpret=True)
     rz, mz, dz = parse_extend_v3z(*args, lazy=lazy, restart=restart)
+    # Grouped dispatch path (round 5: lax.map over TPZ_V3Z_GROUP-block
+    # groups keeps compile time span-independent): GB=2 forces grouping
+    # AND the ragged tail pad with these 3 blocks.
+    os.environ["TPZ_V3Z_GROUP"] = "2"
+    try:
+        rg, mg, dg = parse_extend_v3z(*args, lazy=lazy, restart=restart)
+    finally:
+        del os.environ["TPZ_V3Z_GROUP"]
     bl = np.asarray(block_len)
     for b in range(n_blocks):
         live = np.arange(block) < bl[b]
@@ -347,6 +357,12 @@ def test_parse_extend_v3z_matches_v3y(lazy):
                               np.asarray(mz)[b][live]), f"mlen blk {b}"
         assert np.array_equal(np.asarray(dy)[b][live],
                               np.asarray(dz)[b][live]), f"mdist blk {b}"
+        assert np.array_equal(np.asarray(rz)[b][live],
+                              np.asarray(rg)[b][live]), f"grp reach {b}"
+        assert np.array_equal(np.asarray(mz)[b][live],
+                              np.asarray(mg)[b][live]), f"grp mlen {b}"
+        assert np.array_equal(np.asarray(dz)[b][live],
+                              np.asarray(dg)[b][live]), f"grp mdist {b}"
 
 
 @pytest.mark.slow

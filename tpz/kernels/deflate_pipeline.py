@@ -282,11 +282,11 @@ def _stage1_core(words: jax.Array, span_off: jax.Array, span_len: jax.Array,
             screen_bytes, restart)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
         sl = slice(WINDOW, WINDOW + BLOCK)
-        # parse="v3z" selects the round-5 lane-parallel walk (token-
-        # identical, tests/test_kernels.py); default stays the scalar-
-        # chain Pallas walk until the chip A/B picks a winner. It is a
-        # STATIC arg (env read at the dispatch wrapper) so A/B switches
-        # retrace instead of hitting the jit cache.
+        # parse="v3z" (the DEFAULT since the round-5 chip A/B: 11.3x
+        # over v3y at 8 MiB, byte-identical — BASELINE.md round 5)
+        # selects the lane-parallel walk; "v3y" keeps the scalar-chain
+        # Pallas walk. It is a STATIC arg (env read at the dispatch
+        # wrapper) so A/B switches retrace instead of hitting the cache.
         if parse == "v3z":
             reach, mlen, mdist = parse_extend_v3z(
                 pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
@@ -440,7 +440,7 @@ def _fused_encode(span, span_off, span_len, block_len, buf_start, bfinal,
                       use_pallas=use_pallas, lazy=lazy, suffix=suffix,
                       screen_bytes=screen_bytes, max_lazy=max_lazy,
                       restart=restart,
-                      parse=_os.environ.get("TPZ_PARSE", "v3y"))
+                      parse=_os.environ.get("TPZ_PARSE", "v3z"))
 
 
 def oracle_lazy_encode(data: bytes, k: int) -> bytes:

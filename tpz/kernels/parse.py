@@ -792,6 +792,55 @@ def parse_extend_v3z(pk1: jax.Array, pk2: jax.Array,
                      max_match: int = 258, screen_bytes: int = 16,
                      too_far: int = 4096, lazy: bool = False,
                      max_lazy: int = 258, restart: int = 0):
+    """Grouped dispatch wrapper for the lane-parallel v3z parse.
+
+    XLA compile time of the v3z loop grows superlinearly with the block
+    count (measured on this chip, bench/probe_v3z_compile.py: NB=16
+    81 s, NB=32 217 s, NB=128 did not finish in 50 min), so large spans
+    lax.map over fixed-size groups of TPZ_V3Z_GROUP blocks (default 16
+    = 1 MiB): ONE group-shaped program compiles once and is reused for
+    every group, making compile cost span-independent. Within a group
+    all sub-walks still advance together in vector lanes."""
+    import os as _os
+
+    NB = pk1.shape[0]
+    GB = max(1, int(_os.environ.get("TPZ_V3Z_GROUP", "16")))
+    if NB <= GB:
+        return _parse_extend_v3z_core(
+            pk1, pk2, cap_at, words, block_len, window, max_match,
+            screen_bytes, too_far, lazy, max_lazy, restart)
+    pad = (-NB) % GB
+    if pad:
+        def padz(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        pk1, pk2, cap_at, words, block_len = map(
+            padz, (pk1, pk2, cap_at, words, block_len))
+    G = (NB + pad) // GB
+
+    def one(args):
+        return _parse_extend_v3z_core(
+            *args, window, max_match, screen_bytes, too_far, lazy,
+            max_lazy, restart)
+
+    def grp(x):
+        return x.reshape((G, GB) + x.shape[1:])
+
+    visited, mlen, mdist = jax.lax.map(
+        one, (grp(pk1), grp(pk2), grp(cap_at), grp(words),
+              grp(block_len)))
+    N = pk1.shape[1]
+    return (visited.reshape(-1, N)[:NB], mlen.reshape(-1, N)[:NB],
+            mdist.reshape(-1, N)[:NB])
+
+
+def _parse_extend_v3z_core(pk1: jax.Array, pk2: jax.Array,
+                           cap_at: jax.Array, words: jax.Array,
+                           block_len: jax.Array, window: int,
+                           max_match: int = 258, screen_bytes: int = 16,
+                           too_far: int = 4096, lazy: bool = False,
+                           max_lazy: int = 258, restart: int = 0):
     """Lane-parallel spec-v3 parse (the round-5 formulation-ceiling
     attack, VERDICT r4 next item 5).
 
