@@ -37,11 +37,16 @@ def main():
 
     data = bytes(corpus.mixed(mib << 20, seed=41))
 
-    os.environ.pop("TPZ_PARSE", None)
-    t_y = time_compress(data, "v3y scalar-chain walk")
-    os.environ["TPZ_PARSE"] = "v3z"
-    t_z = time_compress(data, "v3z lane-parallel walk")
-    print(f"speedup v3z/v3y: {t_y / t_z:.2f}x", flush=True)
+    only = os.environ.get("TPZ_AB_ONLY")  # "v3y" | "v3z" | unset (both)
+    t_y = t_z = None
+    if only in (None, "v3y"):
+        os.environ["TPZ_PARSE"] = "v3y"
+        t_y = time_compress(data, "v3y scalar-chain walk")
+    if only in (None, "v3z"):
+        os.environ["TPZ_PARSE"] = "v3z"
+        t_z = time_compress(data, "v3z lane-parallel walk")
+    if t_y and t_z:
+        print(f"speedup v3z/v3y: {t_y / t_z:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

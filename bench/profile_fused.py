@@ -38,10 +38,11 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
                  tables):
     from tpz.kernels.deflate_plan_device import plan_device
     from tpz.kernels.matchfinder import suffix_screen_w
-    from tpz.kernels.parse import parse_extend_pallas_v3y
+    from tpz.kernels.parse import parse_extend_pallas_v3y, parse_extend_v3z
 
     sl = slice(WINDOW, WINDOW + BLOCK)
     restart = 16384  # DeflateConfig.restart
+    parse_variant = os.environ.get("TPZ_PARSE", "v3z")
 
     @jax.jit
     def fn(span, span_off, span_len, block_len, buf_start, bfinal, out_buf,
@@ -55,7 +56,9 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
         if stage == 1:
             return _csum(pk1, pk2)
         words_i32 = jax.lax.bitcast_convert_type(words, jnp.int32)
-        reach, mlen, mdist = parse_extend_pallas_v3y(
+        walk = (parse_extend_v3z if parse_variant == "v3z"
+                else parse_extend_pallas_v3y)
+        reach, mlen, mdist = walk(
             pk1[:, sl], pk2[:, sl], cap_at[:, sl], words_i32,
             block_len[:, None], WINDOW, 258, screen_bytes,
             lazy=lazy, max_lazy=max_lazy, restart=restart)
@@ -93,7 +96,7 @@ def build_prefix(stage, k, lazy, screen_bytes, max_lazy, nb, cap_words,
     return fn
 
 
-STAGE_NAMES = ["make_words", "suffix_screen", "walk_v3y", "histograms",
+STAGE_NAMES = ["make_words", "suffix_screen", "walk", "histograms",
                "plan_device", "assemble_v2"]
 
 

@@ -918,7 +918,7 @@ def _parse_extend_v3z_core(pk1: jax.Array, pk2: jax.Array,
 
     def body(c):
         (p, st, tgt, cand, k, j, cap, scap, nz, res1, jres1, s2v, j2v,
-         ln0, dist0, out, delta) = c
+         ln0, dist0, buf) = c
         act = p < pend_w
         is_ext = act & (st == 1)
         is_tok = act & (st == 0)
@@ -929,8 +929,6 @@ def _parse_extend_v3z_core(pk1: jax.Array, pk2: jax.Array,
         eb = jnp.clip(j + k, 0, jnp.int32(M - 1))
         offA = jnp.where(is_ext, WOFF + ea, 2 * qc)
         offB = jnp.where(is_ext, WOFF + eb, 2 * qc + 1)
-        a = comb[base_w + offA]
-        b = comb[base_w + offB]
         # EXT widening: 8-byte compares halve the dominant trip term
         # (BASELINE round-5 trip structure). The +4-byte words may read
         # past cap — harmless, lnc is clamped to cap exactly as the
@@ -938,8 +936,17 @@ def _parse_extend_v3z_core(pk1: jax.Array, pk2: jax.Array,
         # words space (4 bytes), valid while ea/eb + 1 <= M - 1.
         ea2 = jnp.minimum(ea + 4, jnp.int32(M - 1))
         eb2 = jnp.minimum(eb + 4, jnp.int32(M - 1))
-        a2 = comb[base_w + jnp.where(is_ext, WOFF + ea2, 2 * qc)]
-        b2 = comb[base_w + jnp.where(is_ext, WOFF + eb2, 2 * qc + 1)]
+        offA2 = jnp.where(is_ext, WOFF + ea2, 2 * qc)
+        offB2 = jnp.where(is_ext, WOFF + eb2, 2 * qc + 1)
+        # ONE gather per trip: each gather/scatter HLO in the loop body
+        # has a fixed microcode cost that dominated the walk stage
+        # (8 MiB profile: 476 ms with 4 gathers + 3 scatters per trip),
+        # so all four reads ride a single 4*NW-index gather.
+        g4 = comb[jnp.concatenate(
+            [base_w + offA, base_w + offB,
+             base_w + offA2, base_w + offB2])]
+        a, b = g4[:NW], g4[NW:2 * NW]
+        a2, b2 = g4[2 * NW:3 * NW], g4[3 * NW:]
 
         rawq = (a & RAW) != 0
         apk = a & jnp.int32(RAW - 1)
@@ -1025,32 +1032,37 @@ def _parse_extend_v3z_core(pk1: jax.Array, pk2: jax.Array,
         dist0_n = jnp.where(golazy, distf, dist0)
         p_n = jnp.where(do_emit, p + adv_p, p)
 
-        # Emit: each walk owns its positions, so one predicated scatter
-        # (inactive lanes write the junk tail column) replaces the
-        # Pallas row-register store. Literal runs don't scatter marks —
-        # they paint a +-1 interval delta; their marks come straight
-        # from w1 (what the walk would have emitted) at the end.
+        # Emit: each walk owns its positions. ONE flat scatter-add per
+        # trip covers all three writes (mark emit + the +-1 literal-run
+        # interval delta): the mark slot is written at most once per
+        # position so add==set there, junk lanes land in per-block tail
+        # slots that the final [:, :N] slice discards. Literal runs
+        # don't scatter marks — they paint the interval delta; their
+        # marks come straight from w1 at the end.
         emit_pt = do_emit & ~lit0
-        col = jnp.where(emit_pt, p, jnp.int32(N))
-        out = out.at[blk_w, col].set(mark, mode="drop")
-        dcol0 = jnp.where(lit0, p, jnp.int32(N + 1))
-        dcol1 = jnp.where(lit0, q_to, jnp.int32(N + 1))
-        delta = delta.at[blk_w, dcol0].add(1, mode="drop")
-        delta = delta.at[blk_w, dcol1].add(-1, mode="drop")
+        idx_o = blk_w * jnp.int32(N + 1) + jnp.where(emit_pt, p,
+                                                     jnp.int32(N))
+        dbase = jnp.int32(DELTA_OFF) + blk_w * jnp.int32(N + 2)
+        idx_d0 = dbase + jnp.where(lit0, p, jnp.int32(N + 1))
+        idx_d1 = dbase + jnp.where(lit0, q_to, jnp.int32(N + 1))
+        one_w = jnp.ones((NW,), jnp.int32)
+        buf = buf.at[jnp.concatenate([idx_o, idx_d0, idx_d1])].add(
+            jnp.concatenate([jnp.where(emit_pt, mark, 0), one_w, -one_w]))
         return (p_n, st_n, tgt_n, cand_n, k_n, j_n, cap_n, scap_n,
-                nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n, out,
-                delta)
+                nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n, buf)
 
     def cond(c):
         return jnp.any(c[0] < pend_w)
 
+    DELTA_OFF = NB * (N + 1)
     init = (sub_w * jnp.int32(restart), zero, zero, zero, zero, zero,
             zero + 1, zero, zero, zero, zero, zero, zero, zero, zero,
-            jnp.zeros((NB, N + 1), jnp.int32),
-            jnp.zeros((NB, N + 2), jnp.int32))
+            jnp.zeros((NB * (N + 1) + NB * (N + 2),), jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
-    out = final[-2][:, :N]
-    interval = jnp.cumsum(final[-1][:, :N], axis=1) > 0
+    buf = final[-1]
+    out = buf[:DELTA_OFF].reshape(NB, N + 1)[:, :N]
+    delta = buf[DELTA_OFF:].reshape(NB, N + 2)
+    interval = jnp.cumsum(delta[:, :N], axis=1) > 0
     out = jnp.where(interval, w1.reshape(NB, N), out)
     visited = out & 1023
     mlen = jnp.maximum(visited - 1, 0)

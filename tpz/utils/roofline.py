@@ -32,6 +32,12 @@ RATES = {
     "walk_positions_per_s": 62e6,   # measured v3y/inflate serial-walk
                                     # floor (~16 MiB / 270 ms of pure
                                     # walk at NBLK=2, round-3 W-sweep)
+    # Round-5 lane-parallel (v3z) walk: one loop trip advances every
+    # 16 KiB sub-walk in vector lanes; per-trip cost is the fused
+    # gather+scatter+ALU body. Derived from the 8 MiB stage profile
+    # (476 ms / ~40k trips over 8 groups, 4-gather form) — re-derive
+    # when the merged-gather number lands.
+    "v3z_trips_per_s": 8.4e4,
     "dispatch_floor_s": 0.6,        # relay fixed per-dispatch cost
 }
 
@@ -65,11 +71,15 @@ def deflate_encode_model(nbytes: int, screen_bytes: int = 16,
     m = 32768 + blk + 512
     nb = max(1, (nbytes + blk - 1) // blk)
     nw = screen_bytes // 4
+    # v3z walk (the default since round 5): lax.map groups of 16 blocks,
+    # ~5k trips per group on the mixed corpus (BASELINE round-5 trip
+    # structure), every trip one fused gather+scatter+ALU body.
+    groups = max(1, (nb + 15) // 16)
     return {
         "sort3_keys_count": nb * m,                      # multi-key screen
         "sort_keys_count": nb * m,                       # inverse perm
         "elementwise_bytes_count": nb * m * 4 * (2 * r_neighbors * nw),
-        "walk_positions_count": nb * blk,
+        "v3z_trips_count": groups * 5000,
         "cumsum_elems_count": nb * blk,
         "dispatch": 1,
     }
