@@ -1039,15 +1039,19 @@ def _parse_extend_v3z_core(pk1: jax.Array, pk2: jax.Array,
         # slots that the final [:, :N] slice discards. Literal runs
         # don't scatter marks — they paint the interval delta; their
         # marks come straight from w1 at the end.
+        # emit_pt and lit0 are mutually exclusive, so the mark emit and
+        # the interval-open (+1) share ONE update slot; only the
+        # interval-close (-1) needs the second: 2*NW updates per trip.
         emit_pt = do_emit & ~lit0
-        idx_o = blk_w * jnp.int32(N + 1) + jnp.where(emit_pt, p,
-                                                     jnp.int32(N))
         dbase = jnp.int32(DELTA_OFF) + blk_w * jnp.int32(N + 2)
-        idx_d0 = dbase + jnp.where(lit0, p, jnp.int32(N + 1))
-        idx_d1 = dbase + jnp.where(lit0, q_to, jnp.int32(N + 1))
-        one_w = jnp.ones((NW,), jnp.int32)
-        buf = buf.at[jnp.concatenate([idx_o, idx_d0, idx_d1])].add(
-            jnp.concatenate([jnp.where(emit_pt, mark, 0), one_w, -one_w]))
+        junk_o = blk_w * jnp.int32(N + 1) + jnp.int32(N)
+        idx_1 = jnp.where(emit_pt, blk_w * jnp.int32(N + 1) + p,
+                          jnp.where(lit0, dbase + p, junk_o))
+        val_1 = jnp.where(emit_pt, mark, jnp.where(lit0, 1, 0))
+        idx_2 = jnp.where(lit0, dbase + q_to, junk_o)
+        val_2 = jnp.where(lit0, -1, 0)
+        buf = buf.at[jnp.concatenate([idx_1, idx_2])].add(
+            jnp.concatenate([val_1, val_2]))
         return (p_n, st_n, tgt_n, cand_n, k_n, j_n, cap_n, scap_n,
                 nz_n, res1_n, jres1_n, s2v, j2v, ln0_n, dist0_n, buf)
 
