@@ -127,7 +127,7 @@ def main():
     size = mib << 20
     data = corpus.mixed(size, seed=11)
     print(f"encoding {mib} MiB (device, indexed)...", flush=True)
-    stream, end_bits, out_lens = deflate.compress_indexed(data)
+    stream, end_bits, out_lens = deflate.compress_indexed(bytes(data), backend="tpu")
 
     # --- host prep (the decompress_many_indexed preamble) ---
     t0 = time.time()
