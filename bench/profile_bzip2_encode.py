@@ -38,11 +38,18 @@ def prep(seed, mib, level):
     return data, w, ln, crc, N, NB, t_rle, t_cw
 
 
+def _force(r):
+    """block_until_ready is unreliable on the relay (device_quirks);
+    only a d2h fetch proves completion — fetch one element per leaf."""
+    for leaf in jax.tree_util.tree_leaves(r):
+        fetch(leaf.reshape(-1)[:1])
+
+
 def t(label, fn, *a):
-    jax.block_until_ready(fn(*a))  # ensure queue drained
+    _force(fn(*a))  # ensure queue drained + warm
     t0 = time.time()
     r = fn(*a)
-    jax.block_until_ready(r)
+    _force(r)
     print(f"{label}: {(time.time()-t0)*1000:.0f} ms", flush=True)
     return r
 

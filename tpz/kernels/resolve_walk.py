@@ -261,10 +261,17 @@ def resolve_copy_machine(markers, dist_bias: int = 0,
 
     if not state_in:
         # ---- phase 1: segment-parallel ----
-        SR = 1024 if rows >= 8192 else 512
+        import os as _os
+
+        # Round-5 sweep knobs: more, shorter chains per grid step cut
+        # the sequential step count (max steps over a chain ~ its rows)
+        # at the price of more boundary carries for phase 2.
+        SR = int(_os.environ.get(
+            "TPZ_RESOLVE_SR", 1024 if rows >= 8192 else 512))
         if rows < SR:
             SR = rows
-        W = min(8, -(-rows // SR))
+        W = min(int(_os.environ.get("TPZ_RESOLVE_W", 8)),
+                -(-rows // SR))
         if W * SR > rows and rows % SR == 0:
             W = rows // SR
         pad = (-rows) % (W * SR)
