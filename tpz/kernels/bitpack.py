@@ -226,7 +226,8 @@ def assemble_stream_v2(data_block, is_token, mlen, mdist, table320,
         # Parked keys (and any out-of-range word) land on the spare slot
         # past total_words; it is sliced off below.
         idx = jnp.where(skey <= total_words, skey, total_words + 1)
-        words = words.at[idx].add(wv, mode="drop")
+        words = words.at[idx].add(wv, mode="drop",
+                                  indices_are_sorted=True)
     hv, hn, ho = header
     hoff = ho.reshape(-1)
     hw0 = hoff >> 5
@@ -286,5 +287,6 @@ def assemble_stream_msb(vals, nbits, body_off, total_words):
         wv = spref - jnp.concatenate(
             [jnp.zeros((1,), jnp.uint32), spref[:-1]])
         idx = jnp.where(skey <= total_words, skey, total_words + 1)
-        words = words.at[idx].add(wv, mode="drop")
+        words = words.at[idx].add(wv, mode="drop",
+                                  indices_are_sorted=True)
     return words[:total_words]
