@@ -263,14 +263,15 @@ def resolve_copy_machine(markers, dist_bias: int = 0,
         # ---- phase 1: segment-parallel ----
         import os as _os
 
-        # Round-5 sweep knobs: more, shorter chains per grid step cut
-        # the sequential step count (max steps over a chain ~ its rows)
-        # at the price of more boundary carries for phase 2.
+        # Round-5 on-chip sweep (16 MiB indexed decode wall): W=8/SR=1024
+        # 4.65 s, W=16/SR=512 4.20 s, W=32/SR=256 5.42 s — more, shorter
+        # chains cut the sequential step count until phase-2 boundary
+        # carries overtake; W=16/SR=512 is the default.
         SR = int(_os.environ.get(
-            "TPZ_RESOLVE_SR", 1024 if rows >= 8192 else 512))
+            "TPZ_RESOLVE_SR", 512))
         if rows < SR:
             SR = rows
-        W = min(int(_os.environ.get("TPZ_RESOLVE_W", 8)),
+        W = min(int(_os.environ.get("TPZ_RESOLVE_W", 16)),
                 -(-rows // SR))
         if W * SR > rows and rows % SR == 0:
             W = rows // SR
